@@ -1,0 +1,76 @@
+"""kanter_core_tpu — a TPU-native, interactive, lazily-evaluated,
+priority-scheduled texture node-graph engine.
+
+A ground-up JAX/XLA/Pallas rebuild with the capabilities of the reference
+Rust crate `vismut_core` (lukors/kanter_core): DAGs of per-pixel image ops
+over f32 channel planes with per-node dirty-state tracking, size
+normalization via resize policies, JSON graph persistence, priority-steered
+scheduling, and a memory-bounded tiered buffer cache — except the pixel math
+runs as fused XLA programs over HBM-resident `[H, W]` planes instead of
+scalar per-pixel loops on CPU threads.
+
+Public surface mirrors the reference's `lib.rs` re-exports.
+"""
+
+from .edge import Edge
+from .errors import ErrorKind, TexProError
+from .geometry import Size
+from .ids import NodeId, SlotId
+from .live_graph import LiveGraph, NodeState
+from .node import (
+    AtomicFlag,
+    MixType,
+    Node,
+    NodeType,
+    NodeTypeKind,
+    ResizeFilter,
+    ResizePolicy,
+    ResizePolicyKind,
+    Side,
+    Slot,
+    SlotType,
+)
+from .node_graph import NodeGraph
+from .ops.embed import EmbeddedSlotData, EmbeddedSlotDataId
+from .priority import Priority, PriorityPropagator
+from .slot_data import ChannelPixel, SlotData
+from .slot_image import SlotImage
+from .texture_processor import TextureProcessor
+from .transient_buffer import AtomicUsize, PlaneBuffer, PlaneBufferQueue, Tier
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AtomicFlag",
+    "AtomicUsize",
+    "ChannelPixel",
+    "Edge",
+    "EmbeddedSlotData",
+    "EmbeddedSlotDataId",
+    "ErrorKind",
+    "LiveGraph",
+    "MixType",
+    "Node",
+    "NodeGraph",
+    "NodeId",
+    "NodeState",
+    "NodeType",
+    "NodeTypeKind",
+    "PlaneBuffer",
+    "PlaneBufferQueue",
+    "Priority",
+    "PriorityPropagator",
+    "ResizeFilter",
+    "ResizePolicy",
+    "ResizePolicyKind",
+    "Side",
+    "Size",
+    "Slot",
+    "SlotData",
+    "SlotId",
+    "SlotImage",
+    "SlotType",
+    "TexProError",
+    "TextureProcessor",
+    "Tier",
+]

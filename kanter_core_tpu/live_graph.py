@@ -1,0 +1,412 @@
+"""Live graph: per-node clean/dirty state over a `NodeGraph`.
+
+Mirrors `/root/reference/src/live_graph.rs`. The node-state machine
+(Clean / Dirty / Requested / Prioritised / Processing / ProcessingDirty,
+`live_graph.rs:23-37`), dirty propagation to descendants (`:515-537`), the
+`changed` feed for UIs (`:69,156-160`), request/prioritise, and the
+edit-cancels-in-flight-work rules (`:488-511,551-594`) are ported 1:1 — this
+is host-side control logic steering device execution.
+
+Synchronization: the reference wraps LiveGraph in `Arc<RwLock<_>>` and callers
+spin-wait 1 ms for states (`live_graph.rs:164-195`). Here every public method
+is guarded by one reentrant lock, `read()`/`write()` context managers group
+multi-call sections, and `await_clean_read/write` block on a condition
+variable notified by state changes instead of polling.
+"""
+
+from __future__ import annotations
+
+import threading
+from contextlib import contextmanager
+from enum import Enum
+from typing import Optional
+
+from .errors import ErrorKind, TexProError
+from .ids import NodeId, SlotId
+from .node import Node, Side
+from .node_graph import NodeGraph
+from .ops.embed import EmbeddedSlotData, EmbeddedSlotDataId
+from .priority import PriorityPropagator
+from .slot_data import SlotData, Size
+
+
+class NodeState(Enum):
+    CLEAN = "Clean"
+    DIRTY = "Dirty"
+    REQUESTED = "Requested"
+    PRIORITISED = "Prioritised"
+    PROCESSING = "Processing"
+    PROCESSING_DIRTY = "ProcessingDirty"
+
+    @staticmethod
+    def default() -> "NodeState":
+        return NodeState.DIRTY
+
+
+_DIRTYISH = (NodeState.DIRTY, NodeState.REQUESTED, NodeState.PRIORITISED)
+_PROCESSINGISH = (NodeState.PROCESSING, NodeState.PROCESSING_DIRTY)
+
+
+class LiveGraph:
+    def __init__(self, buffer_queue):
+        self._lock = threading.RLock()
+        self._state_cv = threading.Condition(threading.Lock())
+        self.node_graph = NodeGraph()
+        self.slot_datas: list[SlotData] = []
+        self._embedded_slot_datas: list[EmbeddedSlotData] = []
+        self._input_slot_datas: list[SlotData] = []
+        self._node_state: dict[NodeId, NodeState] = {}
+        self._changed: set[NodeId] = set()
+        self.priority_propagator = PriorityPropagator()
+        self.auto_update = False
+        self.use_cache = False
+        self.buffer_queue = buffer_queue
+        # set by the engine on a fatal kernel error (reference: engine panic,
+        # `engine.rs:111-119`); awaits re-raise it instead of hanging.
+        self.fatal_error: Optional[BaseException] = None
+
+    # --- locking ---
+    @contextmanager
+    def read(self):
+        with self._lock:
+            yield self
+
+    @contextmanager
+    def write(self):
+        with self._lock:
+            yield self
+
+    def _notify_state_change(self) -> None:
+        with self._state_cv:
+            self._state_cv.notify_all()
+
+    # --- blocking waits (`live_graph.rs:164-195`) ---
+    @staticmethod
+    @contextmanager
+    def await_clean_write(live_graph: "LiveGraph", node_id: NodeId):
+        while True:
+            LiveGraph._await_clean(live_graph, node_id)
+            with live_graph._lock:
+                # re-check under the lock; retry if a concurrent edit dirtied it
+                if live_graph.node_state(node_id) == NodeState.CLEAN:
+                    yield live_graph
+                    return
+
+    await_clean_read = None  # assigned below (same implementation)
+
+    @staticmethod
+    def _await_clean(live_graph: "LiveGraph", node_id: NodeId) -> None:
+        while True:
+            with live_graph._lock:
+                if live_graph.fatal_error is not None:
+                    raise live_graph.fatal_error
+                if live_graph.node_state(node_id) == NodeState.CLEAN:
+                    return
+                live_graph.prioritise(node_id)
+            with live_graph._state_cv:
+                live_graph._state_cv.wait(timeout=0.002)
+
+    # --- pixels out ---
+    def buffer_rgba(self, node_id: NodeId, slot_id: SlotId):
+        with self._lock:
+            return self.slot_data(node_id, slot_id).image.to_u8()
+
+    def buffer_srgba(self, node_id: NodeId, slot_id: SlotId):
+        with self._lock:
+            return self.slot_data(node_id, slot_id).image.to_u8_srgb()
+
+    def try_buffer_rgba(self, node_id: NodeId, slot_id: SlotId):
+        """Non-blocking read; submits a request when not clean
+        (`live_graph.rs:98-124`)."""
+        with self._lock:
+            if self.node_state(node_id) == NodeState.CLEAN:
+                return self.slot_data(node_id, slot_id).image.to_u8()
+            self.request(node_id)
+            raise TexProError(ErrorKind.NODE_DIRTY)
+
+    # --- change feed ---
+    def changed_consume(self) -> list[NodeId]:
+        with self._lock:
+            output = sorted(self._changed)
+            self._changed.clear()
+            return output
+
+    # --- state machine ---
+    def request(self, node_id: NodeId) -> None:
+        with self._lock:
+            state = self.node_state(node_id)
+            if state == NodeState.DIRTY:
+                self._node_state[node_id] = NodeState.REQUESTED
+
+    def prioritise(self, node_id: NodeId) -> None:
+        with self._lock:
+            state = self.node_state(node_id)
+            if state in (NodeState.DIRTY, NodeState.REQUESTED):
+                self._node_state[node_id] = NodeState.PRIORITISED
+
+    def node_states(self) -> dict[NodeId, NodeState]:
+        with self._lock:
+            return dict(self._node_state)
+
+    def node_state(self, node_id: NodeId) -> NodeState:
+        with self._lock:
+            state = self._node_state.get(NodeId(node_id))
+            if state is None:
+                raise TexProError(ErrorKind.INVALID_NODE_ID)
+            return state
+
+    def node_ids_without_state(self, node_state: NodeState) -> list[NodeId]:
+        with self._lock:
+            return [nid for nid, s in sorted(self._node_state.items()) if s != node_state]
+
+    def node_ids_with_state(self, node_state: NodeState) -> list[NodeId]:
+        with self._lock:
+            return [nid for nid, s in sorted(self._node_state.items()) if s == node_state]
+
+    def get_closest_processable(self, node_id: NodeId) -> list[NodeId]:
+        """Closest ready-to-process ancestors, including self
+        (`live_graph.rs:279-311`)."""
+        with self._lock:
+            closest: list[NodeId] = []
+            dirty, processing = [], []
+            for parent in self.node_graph.get_parents(node_id):
+                state = self.node_state(parent)
+                if state in _PROCESSINGISH:
+                    processing.append(parent)
+                elif state in _DIRTYISH:
+                    dirty.append(parent)
+            if not dirty and not processing:
+                closest.append(node_id)
+            else:
+                for parent in dirty:
+                    closest.extend(self.get_closest_processable(parent))
+            return sorted(set(closest))
+
+    def set_state(self, node_id: NodeId, node_state: NodeState) -> None:
+        """State write + dirty propagation to children + changed feed
+        (`live_graph.rs:515-537`)."""
+        with self._lock:
+            old = self.node_state(node_id)
+            if node_state == old:
+                return
+            if node_state == NodeState.DIRTY:
+                for child in self.node_graph.get_children(node_id):
+                    self.set_state(child, node_state)
+            if node_state == NodeState.DIRTY and old == NodeState.PROCESSING:
+                self._node_state[node_id] = NodeState.PROCESSING_DIRTY
+            else:
+                self._node_state[node_id] = node_state
+            self._changed.add(node_id)
+        self._notify_state_change()
+
+    def force_state(self, node_id: NodeId, node_state: NodeState) -> None:
+        """set_state + unconditional write, e.g. ProcessingDirty → Dirty
+        (`live_graph.rs:542-549`)."""
+        with self._lock:
+            self.set_state(node_id, node_state)
+            self._node_state[node_id] = node_state
+        self._notify_state_change()
+
+    def _set_state_raw(self, node_id: NodeId, node_state: NodeState) -> None:
+        """Direct state write, no propagation/changed (engine dispatch marks
+        Processing this way, `engine.rs:207-211`)."""
+        with self._lock:
+            self._node_state[node_id] = node_state
+        self._notify_state_change()
+
+    # --- priorities ---
+    def propagate_priorities(self) -> None:
+        with self._lock:
+            self.priority_propagator.update(self.node_graph)
+
+    # --- embedded / input slot data side channels ---
+    def embedded_slot_datas(self) -> list[EmbeddedSlotData]:
+        with self._lock:
+            return list(self._embedded_slot_datas)
+
+    def embed_slot_data_with_id(
+        self, slot_data: SlotData, id: EmbeddedSlotDataId
+    ) -> EmbeddedSlotDataId:
+        with self._lock:
+            if any(esd.slot_data_id == id for esd in self._embedded_slot_datas):
+                raise TexProError(ErrorKind.INVALID_SLOT_ID)
+            self.buffer_queue.add_slot_data(slot_data)
+            self._embedded_slot_datas.append(EmbeddedSlotData.from_slot_data(slot_data, id))
+            return id
+
+    def input_slot_datas(self) -> list[SlotData]:
+        with self._lock:
+            return list(self._input_slot_datas)
+
+    def add_input_slot_data(self, slot_data: SlotData) -> None:
+        with self._lock:
+            self.buffer_queue.add_slot_data(slot_data)
+            self._input_slot_datas.append(slot_data)
+
+    # --- results cache ---
+    def remove_nodes_data(self, node_id: NodeId) -> None:
+        with self._lock:
+            self.slot_datas = [sd for sd in self.slot_datas if sd.node_id != node_id]
+
+    def node_slot_datas(self, node_id: NodeId) -> list[SlotData]:
+        with self._lock:
+            return [sd for sd in self.slot_datas if sd.node_id == node_id]
+
+    def slot_data(self, node_id: NodeId, slot_id: SlotId) -> SlotData:
+        with self._lock:
+            for sd in self.slot_datas:
+                if sd.node_id == node_id and sd.slot_id == slot_id:
+                    return sd
+            raise TexProError(ErrorKind.NO_SLOT_DATA)
+
+    def slot_data_size(self, node_id: NodeId, slot_id: SlotId) -> Size:
+        return self.slot_data(node_id, slot_id).size()
+
+    def slot_in_memory(self, node_id: NodeId, slot_id: SlotId) -> bool:
+        return self.slot_data(node_id, slot_id).in_memory()
+
+    # --- graph edits ---
+    def has_node(self, node_id: NodeId) -> None:
+        with self._lock:
+            self.node_graph.has_node_with_id(node_id)
+
+    def node(self, node_id: NodeId) -> Node:
+        with self._lock:
+            return self.node_graph.node(node_id)
+
+    def node_mut(self, node_id: NodeId) -> Node:
+        """Marks the node dirty and returns the live (mutable) node object
+        (`live_graph.rs:369-374`)."""
+        with self._lock:
+            self.set_state(node_id, NodeState.DIRTY)
+            node = self.node_graph._node_with_id_mut(node_id)
+            if node is None:
+                raise TexProError(ErrorKind.INVALID_NODE_ID)
+            return node
+
+    def set_node_with_id(self, node_id: NodeId, node: Node) -> None:
+        with self._lock:
+            index = self.node_graph._index_of_node(node_id)
+            if index is None:
+                raise TexProError(ErrorKind.INVALID_NODE_ID)
+            self.node_graph.nodes[index] = node
+
+    def new_id(self) -> NodeId:
+        with self._lock:
+            return self.node_graph.new_id()
+
+    def add_node(self, node: Node) -> NodeId:
+        with self._lock:
+            priority = node.priority
+            node_id = self.node_graph.add_node(node)
+            self._add_node_internal(priority, node_id)
+            return node_id
+
+    def add_node_with_id(self, node: Node) -> None:
+        with self._lock:
+            priority = node.priority
+            node_id = node.node_id
+            self.node_graph.add_node_with_id(node)
+            self._add_node_internal(priority, node_id)
+
+    def _add_node_internal(self, priority, node_id: NodeId) -> None:
+        self._changed.add(node_id)
+        self._node_state[node_id] = NodeState.DIRTY
+        self.priority_propagator.push_priority(node_id, priority)
+
+    def remove_node(self, node_id: NodeId) -> list:
+        with self._lock:
+            _, edges = self.node_graph.remove_node(node_id)
+            self._changed.add(node_id)
+            for input_id in sorted({e.input_id for e in edges}):
+                self._changed.add(input_id)
+            self.remove_nodes_data(node_id)
+            self._node_state.pop(node_id, None)
+            return edges
+
+    def can_connect(self, output_node, input_node, output_slot, input_slot) -> None:
+        with self._lock:
+            self.node_graph.can_connect(output_node, input_node, output_slot, input_slot)
+
+    def connect(self, output_node, input_node, output_slot, input_slot):
+        """Connect + dirty input subtree + cancel in-flight work on the input
+        node (`live_graph.rs:488-511`)."""
+        with self._lock:
+            edge = self.node_graph.connect(
+                NodeId(output_node), NodeId(input_node), SlotId(output_slot), SlotId(input_slot)
+            )
+            self._changed.add(NodeId(input_node))
+            self.node(output_node).priority.touch()
+            self.set_state(NodeId(input_node), NodeState.DIRTY)
+            try:
+                node = self.node(input_node)
+            except TexProError:
+                raise TexProError(ErrorKind.INVALID_NODE_ID)
+            node.cancel.store(True)
+            return edge
+
+    def remove_edge(self, edge) -> "Edge":
+        with self._lock:
+            dirty_nodes = self.node_graph.get_children_recursive(edge.input_id)
+            dirty_nodes.append(edge.input_id)
+            dirty_nodes = sorted(set(dirty_nodes))
+
+            edge = self.node_graph.remove_edge(edge)
+
+            for node_id in dirty_nodes:
+                self.set_state(node_id, NodeState.DIRTY)
+                self.node(edge.output_id).priority.touch()
+                self.remove_nodes_data(node_id)
+            return edge
+
+    def disconnect_slot(self, node_id: NodeId, side: Side, slot_id: SlotId) -> list:
+        with self._lock:
+            edges = self.node_graph.disconnect_slot(NodeId(node_id), side, SlotId(slot_id))
+            dirty_nodes = []
+            for edge in edges:
+                dirty_nodes.extend(self.node_graph.get_children_recursive(edge.input_id))
+                self.node(edge.output_id).priority.touch()
+            if side == Side.INPUT:
+                dirty_nodes.append(NodeId(node_id))
+            else:
+                self._changed.add(NodeId(node_id))
+            for nid in sorted(set(dirty_nodes)):
+                self.set_state(nid, NodeState.DIRTY)
+            return edges
+
+    def connected_edges(self, node_id: NodeId, side: Side, slot_id: SlotId) -> list:
+        with self._lock:
+            return self.node_graph.connected_edges(node_id, side, slot_id)
+
+    def set_node_graph(self, node_graph: NodeGraph) -> None:
+        with self._lock:
+            self.node_graph = node_graph
+            self.reset_node_states()
+            self.slot_datas.clear()
+            for node in node_graph.nodes:
+                self.priority_propagator.push_priority(node.node_id, node.priority)
+
+    def reset_node_states(self) -> None:
+        with self._lock:
+            self._node_state = {nid: NodeState.default() for nid in self.node_ids()}
+
+    def output_ids(self) -> list[NodeId]:
+        with self._lock:
+            return self.node_graph.output_ids()
+
+    def rename_output_node(self, node_id: NodeId, new_name: str) -> str:
+        with self._lock:
+            return self.node_graph.rename_output_node(node_id, new_name)
+
+    def node_ids(self) -> list[NodeId]:
+        with self._lock:
+            return self.node_graph.node_ids()
+
+    def edges(self) -> list:
+        with self._lock:
+            return list(self.node_graph.edges)
+
+
+# await_clean_read has identical semantics to await_clean_write under a single
+# reentrant lock (shared reads gain nothing under the GIL).
+LiveGraph.await_clean_read = LiveGraph.await_clean_write

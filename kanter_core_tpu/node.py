@@ -1,0 +1,496 @@
+"""Node metadata: types, slots, resize policies/filters.
+
+Mirrors `/root/reference/src/node/mod.rs` (Node struct, SlotType/Slot, Side,
+ResizePolicy, ResizeFilter) and `/root/reference/src/node/node_type.rs`
+(NodeType enum + per-type slot signature tables, `node_type.rs:141-210`) and
+`/root/reference/src/node/mix.rs:21-33` (MixType).
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import enum
+import threading
+from typing import Any, Optional
+
+from .errors import ErrorKind, TexProError
+from .ids import NodeId, SlotId
+from .priority import Priority
+
+
+class AtomicFlag:
+    """Boolean flag shared across threads (reference: `Arc<AtomicBool>`)."""
+
+    __slots__ = ("_value", "_lock")
+
+    def __init__(self, value: bool = False):
+        self._value = bool(value)
+        self._lock = threading.Lock()
+
+    def store(self, value: bool) -> None:
+        with self._lock:
+            self._value = bool(value)
+
+    def load(self) -> bool:
+        return self._value
+
+    def take(self) -> bool:
+        """Atomically read-and-clear; mirrors the commit-time
+        `compare_exchange(true, false)` at `/root/reference/src/engine.rs:82-87`."""
+        with self._lock:
+            value = self._value
+            self._value = False
+            return value
+
+
+class Side(enum.Enum):
+    INPUT = "Input"
+    OUTPUT = "Output"
+
+
+class SlotType(enum.Enum):
+    GRAY = "Gray"
+    RGBA = "Rgba"
+    GRAY_OR_RGBA = "GrayOrRgba"
+
+    def fits(self, other: "SlotType") -> None:
+        """Output-slot-type → input-slot-type compatibility
+        (`/root/reference/src/node/mod.rs:210-221`). Raises on mismatch."""
+        if self == SlotType.GRAY:
+            ok = other in (SlotType.GRAY, SlotType.GRAY_OR_RGBA)
+        elif self == SlotType.RGBA:
+            ok = other in (SlotType.RGBA, SlotType.GRAY_OR_RGBA)
+        else:
+            ok = True
+        if not ok:
+            raise TexProError(ErrorKind.INVALID_SLOT_TYPE)
+
+
+@dataclasses.dataclass
+class Slot:
+    name: str
+    slot_id: SlotId
+    slot_type: SlotType
+
+
+SlotInput = Slot
+SlotOutput = Slot
+
+
+class MixType(enum.Enum):
+    ADD = "Add"
+    SUBTRACT = "Subtract"
+    MULTIPLY = "Multiply"
+    DIVIDE = "Divide"
+    POW = "Pow"
+
+    @staticmethod
+    def default() -> "MixType":
+        return MixType.ADD
+
+
+class ResizeFilter(enum.Enum):
+    NEAREST = "Nearest"
+    TRIANGLE = "Triangle"
+    CATMULL_ROM = "CatmullRom"
+    GAUSSIAN = "Gaussian"
+    LANCZOS3 = "Lanczos3"
+
+    @staticmethod
+    def default() -> "ResizeFilter":
+        return ResizeFilter.TRIANGLE
+
+
+class ResizePolicyKind(enum.Enum):
+    MOST_PIXELS = "MostPixels"
+    LEAST_PIXELS = "LeastPixels"
+    LARGEST_AXES = "LargestAxes"
+    SMALLEST_AXES = "SmallestAxes"
+    SPECIFIC_SLOT = "SpecificSlot"
+    SPECIFIC_SIZE = "SpecificSize"
+
+
+@dataclasses.dataclass(frozen=True)
+class ResizePolicy:
+    """Input-size normalization policy (`/root/reference/src/node/mod.rs:33-47`)."""
+
+    kind: ResizePolicyKind
+    payload: Any = None  # SlotId for SPECIFIC_SLOT, Size for SPECIFIC_SIZE
+
+    @staticmethod
+    def MostPixels() -> "ResizePolicy":
+        return ResizePolicy(ResizePolicyKind.MOST_PIXELS)
+
+    @staticmethod
+    def LeastPixels() -> "ResizePolicy":
+        return ResizePolicy(ResizePolicyKind.LEAST_PIXELS)
+
+    @staticmethod
+    def LargestAxes() -> "ResizePolicy":
+        return ResizePolicy(ResizePolicyKind.LARGEST_AXES)
+
+    @staticmethod
+    def SmallestAxes() -> "ResizePolicy":
+        return ResizePolicy(ResizePolicyKind.SMALLEST_AXES)
+
+    @staticmethod
+    def SpecificSlot(slot_id) -> "ResizePolicy":
+        return ResizePolicy(ResizePolicyKind.SPECIFIC_SLOT, SlotId(slot_id))
+
+    @staticmethod
+    def SpecificSize(size) -> "ResizePolicy":
+        return ResizePolicy(ResizePolicyKind.SPECIFIC_SIZE, size)
+
+    @staticmethod
+    def default() -> "ResizePolicy":
+        return ResizePolicy.MostPixels()
+
+    def to_json(self):
+        if self.kind == ResizePolicyKind.SPECIFIC_SLOT:
+            return {"SpecificSlot": int(self.payload)}
+        if self.kind == ResizePolicyKind.SPECIFIC_SIZE:
+            return {"SpecificSize": {"width": self.payload.width, "height": self.payload.height}}
+        return self.kind.value
+
+    @staticmethod
+    def from_json(data) -> "ResizePolicy":
+        from .slot_data import Size
+
+        if isinstance(data, str):
+            return ResizePolicy(ResizePolicyKind(data))
+        if "SpecificSlot" in data:
+            return ResizePolicy.SpecificSlot(SlotId(data["SpecificSlot"]))
+        if "SpecificSize" in data:
+            size = data["SpecificSize"]
+            return ResizePolicy.SpecificSize(Size(size["width"], size["height"]))
+        raise TexProError(ErrorKind.GENERIC, f"bad resize policy: {data!r}")
+
+
+class NodeTypeKind(enum.Enum):
+    INPUT_GRAY = "InputGray"
+    INPUT_RGBA = "InputRgba"
+    OUTPUT_GRAY = "OutputGray"
+    OUTPUT_RGBA = "OutputRgba"
+    GRAPH = "Graph"
+    IMAGE = "Image"
+    EMBED = "Embed"
+    WRITE = "Write"
+    VALUE = "Value"
+    MIX = "Mix"
+    HEIGHT_TO_NORMAL = "HeightToNormal"
+    SEPARATE_RGBA = "SeparateRgba"
+    COMBINE_RGBA = "CombineRgba"
+
+
+class NodeType:
+    """Tagged union of node kinds (`/root/reference/src/node/node_type.rs:14-28`).
+
+    Equality compares the discriminant only, matching the reference's
+    `mem::discriminant` PartialEq (`node_type.rs:50-54`).
+    """
+
+    __slots__ = ("kind", "payload")
+
+    def __init__(self, kind: NodeTypeKind, payload: Any = None):
+        self.kind = kind
+        self.payload = payload
+
+    # --- constructors mirroring the enum variants ---
+    @staticmethod
+    def InputGray(name: str) -> "NodeType":
+        return NodeType(NodeTypeKind.INPUT_GRAY, str(name))
+
+    @staticmethod
+    def InputRgba(name: str) -> "NodeType":
+        return NodeType(NodeTypeKind.INPUT_RGBA, str(name))
+
+    @staticmethod
+    def OutputGray(name: str) -> "NodeType":
+        return NodeType(NodeTypeKind.OUTPUT_GRAY, str(name))
+
+    @staticmethod
+    def OutputRgba(name: str) -> "NodeType":
+        return NodeType(NodeTypeKind.OUTPUT_RGBA, str(name))
+
+    @staticmethod
+    def Graph(node_graph) -> "NodeType":
+        return NodeType(NodeTypeKind.GRAPH, node_graph)
+
+    @staticmethod
+    def Image(path) -> "NodeType":
+        return NodeType(NodeTypeKind.IMAGE, str(path))
+
+    @staticmethod
+    def Embed(embedded_slot_data_id) -> "NodeType":
+        return NodeType(NodeTypeKind.EMBED, embedded_slot_data_id)
+
+    @staticmethod
+    def Write(path) -> "NodeType":
+        return NodeType(NodeTypeKind.WRITE, str(path))
+
+    @staticmethod
+    def Value(value: float) -> "NodeType":
+        return NodeType(NodeTypeKind.VALUE, float(value))
+
+    @staticmethod
+    def Mix(mix_type: MixType = None) -> "NodeType":
+        return NodeType(NodeTypeKind.MIX, mix_type or MixType.default())
+
+    @staticmethod
+    def HeightToNormal() -> "NodeType":
+        return NodeType(NodeTypeKind.HEIGHT_TO_NORMAL)
+
+    @staticmethod
+    def SeparateRgba() -> "NodeType":
+        return NodeType(NodeTypeKind.SEPARATE_RGBA)
+
+    @staticmethod
+    def CombineRgba() -> "NodeType":
+        return NodeType(NodeTypeKind.COMBINE_RGBA)
+
+    # --- predicates / accessors (`node_type.rs:56-95`) ---
+    def is_input(self) -> bool:
+        return self.kind in (NodeTypeKind.INPUT_GRAY, NodeTypeKind.INPUT_RGBA)
+
+    def is_output(self) -> bool:
+        return self.kind in (NodeTypeKind.OUTPUT_GRAY, NodeTypeKind.OUTPUT_RGBA)
+
+    def name(self) -> Optional[str]:
+        if self.is_input() or self.is_output():
+            return self.payload
+        return None
+
+    def set_name(self, name: str) -> None:
+        if not (self.is_input() or self.is_output()):
+            raise TexProError(ErrorKind.INVALID_NODE_TYPE)
+        self.payload = name
+
+    def to_slot_type(self) -> Optional[SlotType]:
+        if self.kind in (NodeTypeKind.INPUT_GRAY, NodeTypeKind.OUTPUT_GRAY):
+            return SlotType.GRAY
+        if self.kind in (NodeTypeKind.INPUT_RGBA, NodeTypeKind.OUTPUT_RGBA):
+            return SlotType.RGBA
+        return None
+
+    def __eq__(self, other):
+        if isinstance(other, NodeType):
+            return self.kind == other.kind
+        return NotImplemented
+
+    def __hash__(self):
+        return hash(self.kind)
+
+    def __repr__(self):
+        if self.payload is None:
+            return f"NodeType.{self.kind.value}"
+        return f"NodeType.{self.kind.value}({self.payload!r})"
+
+    def clone(self) -> "NodeType":
+        payload = self.payload
+        if self.kind == NodeTypeKind.GRAPH and payload is not None:
+            payload = payload.clone()
+        return NodeType(self.kind, payload)
+
+    def to_json(self):
+        k = self.kind
+        if k == NodeTypeKind.HEIGHT_TO_NORMAL or k in (
+            NodeTypeKind.SEPARATE_RGBA,
+            NodeTypeKind.COMBINE_RGBA,
+        ):
+            return k.value  # serde unit variants serialize as bare strings
+        if k == NodeTypeKind.GRAPH:
+            return {"Graph": self.payload.to_json()}
+        if k == NodeTypeKind.MIX:
+            return {"Mix": self.payload.value}
+        if k == NodeTypeKind.EMBED:
+            return {"Embed": int(self.payload)}
+        if k == NodeTypeKind.VALUE:
+            return {"Value": self.payload}
+        # newtype string payloads: InputGray/InputRgba/OutputGray/OutputRgba/Image/Write
+        return {k.value: self.payload}
+
+    @staticmethod
+    def from_json(data) -> "NodeType":
+        from .node_graph import NodeGraph
+
+        if isinstance(data, str):
+            return NodeType(NodeTypeKind(data))
+        (variant, payload), = data.items()
+        kind = NodeTypeKind(variant)
+        if kind == NodeTypeKind.GRAPH:
+            return NodeType(kind, NodeGraph.from_json(payload))
+        if kind == NodeTypeKind.MIX:
+            return NodeType(kind, MixType(payload))
+        if kind == NodeTypeKind.EMBED:
+            from .ops.embed import EmbeddedSlotDataId
+
+            return NodeType(kind, EmbeddedSlotDataId(payload))
+        if kind == NodeTypeKind.VALUE:
+            return NodeType(kind, float(payload))
+        return NodeType(kind, payload)
+
+
+class Node:
+    """A graph node (`/root/reference/src/node/mod.rs:113-161`).
+
+    `priority` and `cancel` are shared handles (reference: `Arc<Priority>` /
+    `Arc<AtomicBool>`): clones of a Node share them, and they are skipped by
+    serialization (`node/mod.rs:119-122`).
+    """
+
+    __slots__ = ("node_id", "node_type", "_resize_policy", "_resize_filter", "priority", "cancel")
+
+    def __init__(self, node_type: NodeType, node_id: NodeId = NodeId(0)):
+        self.node_id = NodeId(node_id)
+        self.node_type = node_type
+        self._resize_policy = ResizePolicy.default()
+        self._resize_filter = ResizeFilter.default()
+        self.priority = Priority()
+        self.cancel = AtomicFlag(False)
+
+    @staticmethod
+    def with_id(node_type: NodeType, node_id: NodeId) -> "Node":
+        return Node(node_type, node_id)
+
+    # resize policy/filter are plain attributes in the reference; the builder
+    # methods share their names, so expose them via properties + builders.
+    @property
+    def resize_policy(self) -> ResizePolicy:
+        return self._resize_policy
+
+    @resize_policy.setter
+    def resize_policy(self, value: ResizePolicy) -> None:
+        self._resize_policy = value
+
+    @property
+    def resize_filter(self) -> ResizeFilter:
+        return self._resize_filter
+
+    @resize_filter.setter
+    def resize_filter(self, value: ResizeFilter) -> None:
+        self._resize_filter = value
+
+    def with_resize_policy(self, resize_policy: ResizePolicy) -> "Node":
+        self._resize_policy = resize_policy
+        return self
+
+    def with_resize_filter(self, resize_filter: ResizeFilter) -> "Node":
+        self._resize_filter = resize_filter
+        return self
+
+    def clone(self) -> "Node":
+        """Shallow clone sharing `priority`/`cancel` (reference `Node: Clone`)."""
+        node = copy.copy(self)
+        return node
+
+    def deep_clone_type(self) -> "Node":
+        node = self.clone()
+        node.node_type = self.node_type.clone()
+        return node
+
+    # --- slot signature tables (`node_type.rs:141-210`) ---
+    def input_slots(self) -> list[Slot]:
+        k = self.node_type.kind
+        K = NodeTypeKind
+        if k in (K.INPUT_GRAY, K.INPUT_RGBA, K.IMAGE, K.EMBED, K.VALUE):
+            return []
+        if k == K.OUTPUT_GRAY:
+            return [Slot("input", SlotId(0), SlotType.GRAY)]
+        if k == K.OUTPUT_RGBA:
+            return [Slot("input", SlotId(0), SlotType.RGBA)]
+        if k == K.GRAPH:
+            return self.node_type.payload.input_slots()
+        if k == K.WRITE:
+            raise NotImplementedError("Write node slots are unimplemented in the reference")
+        if k == K.MIX:
+            return [
+                Slot("left", SlotId(0), SlotType.GRAY_OR_RGBA),
+                Slot("right", SlotId(1), SlotType.GRAY_OR_RGBA),
+            ]
+        if k == K.HEIGHT_TO_NORMAL:
+            return [Slot("input", SlotId(0), SlotType.GRAY)]
+        if k == K.SEPARATE_RGBA:
+            return [Slot("input", SlotId(0), SlotType.RGBA)]
+        if k == K.COMBINE_RGBA:
+            return [
+                Slot("red", SlotId(0), SlotType.GRAY),
+                Slot("green", SlotId(1), SlotType.GRAY),
+                Slot("blue", SlotId(2), SlotType.GRAY),
+                Slot("alpha", SlotId(3), SlotType.GRAY),
+            ]
+        raise TexProError(ErrorKind.INVALID_NODE_TYPE)
+
+    def output_slots(self) -> list[Slot]:
+        k = self.node_type.kind
+        K = NodeTypeKind
+        if k == K.INPUT_GRAY:
+            return [Slot("output", SlotId(0), SlotType.GRAY)]
+        if k == K.INPUT_RGBA:
+            return [Slot("output", SlotId(0), SlotType.RGBA)]
+        if k in (K.OUTPUT_GRAY, K.OUTPUT_RGBA):
+            return []
+        if k == K.GRAPH:
+            return self.node_type.payload.output_slots()
+        if k in (K.IMAGE, K.EMBED):
+            return [Slot("output", SlotId(0), SlotType.RGBA)]
+        if k == K.WRITE:
+            raise NotImplementedError("Write node slots are unimplemented in the reference")
+        if k == K.VALUE:
+            return [Slot("output", SlotId(0), SlotType.GRAY)]
+        if k == K.MIX:
+            return [Slot("output", SlotId(0), SlotType.GRAY_OR_RGBA)]
+        if k == K.HEIGHT_TO_NORMAL:
+            return [Slot("output", SlotId(0), SlotType.RGBA)]
+        if k == K.SEPARATE_RGBA:
+            return [
+                Slot("red", SlotId(0), SlotType.GRAY),
+                Slot("green", SlotId(1), SlotType.GRAY),
+                Slot("blue", SlotId(2), SlotType.GRAY),
+                Slot("alpha", SlotId(3), SlotType.GRAY),
+            ]
+        if k == K.COMBINE_RGBA:
+            return [Slot("output", SlotId(0), SlotType.RGBA)]
+        raise TexProError(ErrorKind.INVALID_NODE_TYPE)
+
+    def input_slot_with_id(self, slot_id: SlotId) -> Slot:
+        for slot in self.input_slots():
+            if slot.slot_id == slot_id:
+                return slot
+        raise TexProError(ErrorKind.INVALID_SLOT_ID)
+
+    def output_slot_with_id(self, slot_id: SlotId) -> Slot:
+        for slot in self.output_slots():
+            if slot.slot_id == slot_id:
+                return slot
+        raise TexProError(ErrorKind.INVALID_SLOT_ID)
+
+    def input_slot_with_name(self, name: str) -> Slot:
+        for slot in self.input_slots():
+            if slot.name == name:
+                return slot
+        raise TexProError(ErrorKind.INVALID_NAME)
+
+    def output_slot_with_name(self, name: str) -> Slot:
+        for slot in self.output_slots():
+            if slot.name == name:
+                return slot
+        raise TexProError(ErrorKind.INVALID_NAME)
+
+    def to_json(self) -> dict:
+        return {
+            "node_id": int(self.node_id),
+            "node_type": self.node_type.to_json(),
+            "resize_policy": self._resize_policy.to_json(),
+            "resize_filter": self._resize_filter.value,
+        }
+
+    @staticmethod
+    def from_json(data: dict) -> "Node":
+        node = Node(NodeType.from_json(data["node_type"]), NodeId(data["node_id"]))
+        node.resize_policy = ResizePolicy.from_json(data["resize_policy"])
+        node.resize_filter = ResizeFilter(data["resize_filter"])
+        return node
+
+    def __repr__(self):
+        return f"Node({self.node_type!r}, id={int(self.node_id)})"

@@ -1,0 +1,351 @@
+"""Pure graph topology + JSON persistence.
+
+Mirrors `/root/reference/src/node_graph.rs`: node/edge storage, id allocation,
+connect/disconnect semantics (including implicit disconnect of an occupied
+input slot, `node_graph.rs:434`), input/output-node name deduplication
+(`node_graph.rs:141-164`), parent/child queries, and a serde_json-compatible
+`{nodes, edges}` JSON format (`/root/reference/data/invert_graph.json`).
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+from typing import Optional
+
+from .edge import Edge
+from .errors import ErrorKind, TexProError
+from .ids import NodeId, SlotId
+from .node import Node, NodeType, NodeTypeKind, MixType, Side, Slot
+
+
+class NodeGraph:
+    def __init__(self):
+        self.nodes: list[Node] = []
+        self.edges: list[Edge] = []
+        self._node_id_counter = NodeId(0)
+
+    def clone(self) -> "NodeGraph":
+        graph = NodeGraph()
+        graph.nodes = [node.clone() for node in self.nodes]
+        graph.edges = list(self.edges)
+        graph._node_id_counter = self._node_id_counter
+        return graph
+
+    # --- persistence (`node_graph.rs:33-46,98-107`) ---
+    @staticmethod
+    def from_path(path: str) -> "NodeGraph":
+        with open(path, "r") as f:
+            graph = NodeGraph.from_json(json.load(f))
+        if graph.nodes:
+            graph._node_id_counter = NodeId(max(int(n.node_id) for n in graph.nodes) + 1)
+        else:
+            graph._node_id_counter = NodeId(0)
+        return graph
+
+    def export_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_json(), f, indent=2)
+
+    def to_json(self) -> dict:
+        return {
+            "nodes": [node.to_json() for node in self.nodes],
+            "edges": [edge.to_json() for edge in self.edges],
+        }
+
+    @staticmethod
+    def from_json(data: dict) -> "NodeGraph":
+        graph = NodeGraph()
+        graph.nodes = [Node.from_json(n) for n in data.get("nodes", [])]
+        graph.edges = [Edge.from_json(e) for e in data.get("edges", [])]
+        return graph
+
+    # --- node settings edits (`node_graph.rs:48-83`) ---
+    def set_mix_type(self, node_id: NodeId, mix_type: MixType) -> None:
+        node = self._node_with_id_mut(node_id)
+        if node is None or node.node_type.kind != NodeTypeKind.MIX:
+            raise TexProError(ErrorKind.INVALID_NODE_ID)
+        node.node_type = NodeType.Mix(mix_type)
+
+    def set_image_node_path(self, node_id: NodeId, path: str) -> None:
+        node = self._node_with_id_mut(node_id)
+        if node is None or node.node_type.kind != NodeTypeKind.IMAGE:
+            raise TexProError(ErrorKind.INVALID_NODE_ID)
+        node.node_type = NodeType.Image(path)
+
+    # --- id allocation (`node_graph.rs:86-96`) ---
+    def new_id(self) -> NodeId:
+        output = self._node_id_counter
+        self._node_id_counter = NodeId(int(self._node_id_counter) + 1)
+        while self._has_node_with_id(output):
+            output = self._node_id_counter
+            self._node_id_counter = NodeId(int(self._node_id_counter) + 1)
+        return output
+
+    def _index_of_node(self, node_id: NodeId) -> Optional[int]:
+        for i, node in enumerate(self.nodes):
+            if node.node_id == node_id:
+                return i
+        return None
+
+    def _has_node_with_id(self, node_id: NodeId) -> bool:
+        return any(node.node_id == node_id for node in self.nodes)
+
+    def has_node_with_id(self, node_id: NodeId) -> None:
+        if not self._has_node_with_id(node_id):
+            raise TexProError(ErrorKind.INVALID_NODE_ID)
+
+    def node_ids(self) -> list[NodeId]:
+        return [node.node_id for node in self.nodes]
+
+    def node(self, node_id: NodeId) -> Node:
+        """Returns a clone sharing `priority`/`cancel` (reference `Node: Clone`)."""
+        for node in self.nodes:
+            if node.node_id == node_id:
+                return node.clone()
+        raise TexProError(ErrorKind.INVALID_NODE_ID)
+
+    def _node_with_id_mut(self, node_id: NodeId) -> Optional[Node]:
+        for node in self.nodes:
+            if node.node_id == node_id:
+                return node
+        return None
+
+    # --- name collision avoidance (`node_graph.rs:141-189`) ---
+    @staticmethod
+    def _avoid_name_collision(name_list: list[str], name: str) -> str:
+        name_edit = str(name)
+        while name_edit in name_list:
+            head, sep, number = name_edit.rpartition("_")
+            if sep and number.isdigit():
+                try:
+                    number = (int(number) + 1) & 0xFFFFFFFF
+                except ValueError:
+                    number = 0
+                name_edit = f"{head}_{number}"
+            elif sep:
+                name_edit = f"{name_edit}_0"
+            else:
+                name_edit = f"{name_edit}_0"
+        return name_edit
+
+    def _add_node_internal(self, node: Node, node_id: NodeId) -> NodeId:
+        if node.node_type.name() is not None:
+            name = node.node_type.name()
+            if not name:
+                name = "untitled"
+            if node.node_type.is_input():
+                name = self._avoid_name_collision(self.input_names(), name)
+            else:
+                name = self._avoid_name_collision(self.output_names(), name)
+            node.node_type.set_name(name)
+        node.node_id = NodeId(node_id)
+        self.nodes.append(node)
+        return node_id
+
+    def input_nodes(self) -> list[Node]:
+        return [node for node in self.nodes if node.node_type.is_input()]
+
+    def output_nodes(self) -> list[Node]:
+        return [node for node in self.nodes if node.node_type.is_output()]
+
+    def input_names(self) -> list[str]:
+        return [node.node_type.name() for node in self.input_nodes()]
+
+    def output_names(self) -> list[str]:
+        return [node.node_type.name() for node in self.output_nodes()]
+
+    def rename_output_node(self, node_id: NodeId, new_name: str) -> str:
+        """Renames an output node, returns the old name (`node_graph.rs:232-269`)."""
+        name_list = self.output_names()
+        node = self._node_with_id_mut(node_id)
+        if node is None:
+            raise TexProError(ErrorKind.INVALID_NODE_ID)
+        if not node.node_type.is_output():
+            raise TexProError(ErrorKind.INVALID_NODE_TYPE)
+        old_name = node.node_type.name()
+        name_list.remove(old_name)
+        node.node_type.set_name(self._avoid_name_collision(name_list, new_name))
+        return old_name
+
+    # --- graph-as-node slot mapping: inner node id n ↔ outer SlotId(n)
+    #     (`node_graph.rs:271-313`) ---
+    def input_slot_id_with_name(self, name: str) -> Optional[SlotId]:
+        for node in self.input_nodes():
+            if node.node_type.name() == name:
+                return SlotId(int(node.node_id))
+        return None
+
+    def output_slot_id_with_name(self, name: str) -> Optional[SlotId]:
+        for node in self.output_nodes():
+            if node.node_type.name() == name:
+                return SlotId(int(node.node_id))
+        return None
+
+    def input_slots(self) -> list[Slot]:
+        return [
+            Slot(
+                name=node.node_type.name(),
+                slot_id=SlotId(int(node.node_id)),
+                slot_type=node.node_type.to_slot_type(),
+            )
+            for node in self.input_nodes()
+        ]
+
+    def output_slots(self) -> list[Slot]:
+        return [
+            Slot(
+                name=node.node_type.name(),
+                slot_id=SlotId(int(node.node_id)),
+                slot_type=node.node_type.to_slot_type(),
+            )
+            for node in self.output_nodes()
+        ]
+
+    def add_node(self, node: Node) -> NodeId:
+        node_id = self.new_id()
+        return self._add_node_internal(node, node_id)
+
+    def add_node_with_id(self, node: Node) -> None:
+        if self._has_node_with_id(node.node_id):
+            raise TexProError(ErrorKind.INVALID_NODE_ID)
+        self._add_node_internal(node, node.node_id)
+
+    def output_ids(self) -> list[NodeId]:
+        return [node.node_id for node in self.nodes if node.node_type.is_output()]
+
+    def input_ids(self) -> list[NodeId]:
+        return [node.node_id for node in self.nodes if node.node_type.is_input()]
+
+    def edge_indices_node(self, node_id: NodeId) -> list[int]:
+        self.has_node_with_id(node_id)
+        return [
+            i
+            for i, edge in enumerate(self.edges)
+            if edge.output_id == node_id or edge.input_id == node_id
+        ]
+
+    def edge_indices_slot(self, node_id: NodeId, side: Side, slot_id: SlotId) -> list[int]:
+        if side == Side.INPUT:
+            return [
+                i
+                for i, edge in enumerate(self.edges)
+                if edge.input_id == node_id and edge.input_slot == slot_id
+            ]
+        return [
+            i
+            for i, edge in enumerate(self.edges)
+            if edge.output_id == node_id and edge.output_slot == slot_id
+        ]
+
+    def can_connect(
+        self,
+        output_node_id: NodeId,
+        input_node_id: NodeId,
+        output_slot_id: SlotId,
+        input_slot_id: SlotId,
+    ) -> None:
+        self.node(output_node_id).output_slot_with_id(output_slot_id)
+        self.node(input_node_id).input_slot_with_id(input_slot_id)
+        if self.slot_occupied(input_node_id, Side.INPUT, input_slot_id):
+            raise TexProError(ErrorKind.SLOT_OCCUPIED)
+
+    def try_connect(
+        self,
+        output_node_id: NodeId,
+        input_node_id: NodeId,
+        output_slot_id: SlotId,
+        input_slot_id: SlotId,
+    ) -> None:
+        self.can_connect(output_node_id, input_node_id, output_slot_id, input_slot_id)
+        self.edges.append(Edge(output_node_id, input_node_id, output_slot_id, input_slot_id))
+
+    def connect(
+        self,
+        output_node_id: NodeId,
+        input_node_id: NodeId,
+        output_slot_id: SlotId,
+        input_slot_id: SlotId,
+    ) -> Edge:
+        """Force-connect: an occupied input slot is implicitly disconnected first
+        (`node_graph.rs:416-446`)."""
+        new_edge = Edge(output_node_id, input_node_id, output_slot_id, input_slot_id)
+
+        output_node = self.node(output_node_id)
+        input_node = self.node(input_node_id)
+
+        output_slot_type = output_node.output_slot_with_id(output_slot_id).slot_type
+        input_slot_type = input_node.input_slot_with_id(input_slot_id).slot_type
+        output_slot_type.fits(input_slot_type)
+
+        try:
+            self.disconnect_slot(input_node_id, Side.INPUT, input_slot_id)
+        except TexProError:
+            pass  # don't care whether anything got disconnected
+
+        if new_edge in self.edges:
+            raise TexProError(ErrorKind.INVALID_EDGE)
+        self.edges.append(new_edge)
+        return new_edge
+
+    def slot_occupied(self, node_id: NodeId, side: Side, slot: SlotId) -> bool:
+        if side == Side.INPUT:
+            return any(e.input_id == node_id and e.input_slot == slot for e in self.edges)
+        return any(e.output_id == node_id and e.output_slot == slot for e in self.edges)
+
+    def remove_edge(self, edge: Edge) -> Edge:
+        for i, edge_cmp in enumerate(self.edges):
+            if edge_cmp == edge:
+                self.node(edge.input_id).cancel.store(True)
+                return self.edges.pop(i)
+        raise TexProError(ErrorKind.INVALID_EDGE)
+
+    def remove_node(self, node_id: NodeId) -> tuple[Node, list[Edge]]:
+        removed_edges = self._disconnect_node(node_id)
+        index = self._index_of_node(node_id)
+        if index is None:
+            raise TexProError(ErrorKind.INVALID_NODE_ID)
+        return self.nodes.pop(index), removed_edges
+
+    def _disconnect_node(self, node_id: NodeId) -> list[Edge]:
+        self.node(node_id).cancel.store(True)
+        removed = []
+        for i in reversed(self.edge_indices_node(node_id)):
+            removed.append(self.edges.pop(i))
+        return removed
+
+    def disconnect_slot(self, node_id: NodeId, side: Side, slot_id: SlotId) -> list[Edge]:
+        self.node(node_id).cancel.store(True)
+        removed = []
+        for i in reversed(self.edge_indices_slot(node_id, side, slot_id)):
+            removed.append(self.edges.pop(i))
+        removed.reverse()
+        if not removed:
+            raise TexProError(ErrorKind.SLOT_NOT_OCCUPIED)
+        return removed
+
+    def connected_edges(self, node_id: NodeId, side: Side, slot_id: SlotId) -> list[Edge]:
+        self.has_node_with_id(node_id)
+        edges = [self.edges[i] for i in self.edge_indices_slot(node_id, side, slot_id)]
+        if not edges:
+            raise TexProError(ErrorKind.SLOT_NOT_OCCUPIED)
+        return edges
+
+    def input_edges(self, node_id: NodeId) -> list[Edge]:
+        return [edge for edge in self.edges if edge.input_id == node_id]
+
+    def get_children(self, node_id: NodeId) -> list[NodeId]:
+        self.has_node_with_id(node_id)
+        children = sorted({e.input_id for e in self.edges if e.output_id == node_id})
+        return [NodeId(c) for c in children]
+
+    def get_children_recursive(self, node_id: NodeId) -> list[NodeId]:
+        children = self.get_children(node_id)
+        output = list(children)
+        for child in children:
+            output.extend(self.get_children_recursive(child))
+        return output
+
+    def get_parents(self, node_id: NodeId) -> list[NodeId]:
+        parents = sorted({e.output_id for e in self.edges if e.input_id == node_id})
+        return [NodeId(p) for p in parents]

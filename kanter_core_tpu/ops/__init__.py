@@ -1,0 +1,85 @@
+"""Op registry + per-node dispatch.
+
+Mirrors `/root/reference/src/node/node_type.rs:98-138,213-267`: `process_node`
+sorts the input edges by input slot, resizes mismatched inputs per the node's
+resize policy/filter, re-keys the inputs to the consuming node, dispatches on
+the node type, and validates the output count against the node's output slot
+signature.
+
+Every kernel here is a traceable JAX function dispatched through cached
+`jax.jit`; the fused whole-graph path (`kanter_core_tpu.compiler`) reuses the
+same kernels.
+"""
+
+from __future__ import annotations
+
+from ..errors import ErrorKind, TexProError
+from ..node import NodeTypeKind
+from ..slot_data import SlotData
+from . import embed, graph_op, height_to_normal, inout, mix, separate_combine
+from .resize import resize_buffers
+
+
+def assign_slot_ids(slot_datas, edges):
+    """Re-key producer-keyed slot data to the consuming (node, input slot)
+    (`node_type.rs:250-267`)."""
+    output = []
+    for edge in edges:
+        for slot_data in slot_datas:
+            if edge.output_slot == slot_data.slot_id and edge.output_id == slot_data.node_id:
+                output.append(SlotData(edge.input_id, edge.input_slot, slot_data.image))
+                break
+        else:
+            raise TexProError(ErrorKind.NO_SLOT_DATA)
+    return output
+
+
+def process_node_internal(node, slot_datas, embedded_slot_datas, input_slot_datas, tex_pro):
+    shutdown = tex_pro.shutdown
+    kind = node.node_type.kind
+    K = NodeTypeKind
+
+    if kind == K.INPUT_RGBA:
+        output = inout.process_input_rgba(node, input_slot_datas)
+    elif kind == K.INPUT_GRAY:
+        output = inout.process_input_gray(node, input_slot_datas)
+    elif kind in (K.OUTPUT_RGBA, K.OUTPUT_GRAY):
+        output = inout.process_output(slot_datas, node)
+    elif kind == K.GRAPH:
+        output = graph_op.process(slot_datas, node, node.node_type.payload, tex_pro)
+    elif kind == K.IMAGE:
+        output = inout.process_image(node, node.node_type.payload)
+    elif kind == K.EMBED:
+        output = embed.process(node, embedded_slot_datas, node.node_type.payload)
+    elif kind == K.WRITE:
+        output = inout.process_write(slot_datas, node.node_type.payload)
+    elif kind == K.VALUE:
+        output = inout.process_value(node, node.node_type.payload)
+    elif kind == K.MIX:
+        output = mix.process(slot_datas, node, node.node_type.payload)
+    elif kind == K.HEIGHT_TO_NORMAL:
+        output = height_to_normal.process(shutdown, slot_datas, node)
+    elif kind == K.SEPARATE_RGBA:
+        output = separate_combine.process_separate(slot_datas, node)
+    elif kind == K.COMBINE_RGBA:
+        output = separate_combine.process_combine(slot_datas, node)
+    else:
+        raise TexProError(ErrorKind.INVALID_NODE_TYPE)
+
+    if kind not in (K.OUTPUT_GRAY, K.OUTPUT_RGBA) and len(output) != len(node.output_slots()):
+        raise TexProError(
+            ErrorKind.INVALID_BUFFER_COUNT,
+            f"{len(output)} output buffers for {len(node.output_slots())} output slots "
+            f"on {node.node_type!r}",
+        )
+    return output
+
+
+def process_node(node, slot_datas, embedded_slot_datas, input_slot_datas, edges, tex_pro):
+    assert len(edges) == len(slot_datas), f"NodeType: {node.node_type!r}"
+
+    edges = sorted(edges, key=lambda e: e.input_slot)
+    slot_datas = resize_buffers(slot_datas, edges, node.resize_policy, node.resize_filter)
+    slot_datas = assign_slot_ids(slot_datas, edges)
+
+    return process_node_internal(node, slot_datas, embedded_slot_datas, input_slot_datas, tex_pro)

@@ -1,0 +1,74 @@
+"""HeightToNormal: gray heightmap → RGB(A) tangent-space normal map.
+
+Mirrors `/root/reference/src/node/height_to_normal.rs`: toroidal-wrap finite
+differences sampling up (y-1) and left (x-1) with wraparound
+(`height_to_normal.rs:55-56`), tangent/bitangent normalization and cross
+product via nalgebra (`:58-60`), remapped as `n * 0.5 + 0.5` (`:63`), alpha
+forced to 1 (`from_buffers_rgb`).
+
+The reference's per-pixel scalar loop (its only cancellation-aware kernel)
+becomes one fused XLA stencil via `jnp.roll`; cancellation here happens at
+dispatch granularity instead of per pixel. Operation order matches nalgebra's
+`norm = sqrt((x² + y²) + z²)` and componentwise divide, so results are
+bit-identical (sqrt and divide are correctly rounded everywhere).
+"""
+
+from __future__ import annotations
+
+import functools
+
+from ..ids import SlotId
+from ..slot_data import SlotData
+from ..slot_image import SlotImage
+from ..transient_buffer import plane_from_device
+from .common import slot_data_with_name
+
+
+@functools.cache
+def _kernel():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def h2n(h):
+        height, width = h.shape
+        pdx = jnp.float32(1.0) / jnp.float32(width)
+        pdy = jnp.float32(1.0) / jnp.float32(height)
+
+        up = jnp.roll(h, 1, axis=0)  # sample at (x, y-1) wrapped
+        left = jnp.roll(h, 1, axis=1)  # sample at (x-1, y) wrapped
+
+        # tangent = normalize([pdx, 0, h - left])
+        tz = h - left
+        tnorm = jnp.sqrt((pdx * pdx + jnp.float32(0.0)) + tz * tz)
+        tx, ty, tzn = pdx / tnorm, jnp.float32(0.0) / tnorm, tz / tnorm
+
+        # bitangent = normalize([0, pdy, up - h])
+        bz = up - h
+        bnorm = jnp.sqrt((jnp.float32(0.0) + pdy * pdy) + bz * bz)
+        bx, by, bzn = jnp.float32(0.0) / bnorm, pdy / bnorm, bz / bnorm
+
+        # normal = normalize(cross(tangent, bitangent))
+        cx = ty * bzn - tzn * by
+        cy = tzn * bx - tx * bzn
+        cz = tx * by - ty * bx
+        cnorm = jnp.sqrt((cx * cx + cy * cy) + cz * cz)
+        nx, ny, nz = cx / cnorm, cy / cnorm, cz / cnorm
+
+        half = jnp.float32(0.5)
+        alpha = jnp.ones_like(h)
+        return nx * half + half, ny * half + half, nz * half + half, alpha
+
+    return h2n
+
+
+def process(shutdown, slot_datas, node):
+    slot_data = slot_data_with_name(slot_datas, node, "input")
+    if slot_data is None:
+        return []
+    if slot_data.image.is_rgba():
+        return []  # `height_to_normal.rs:39-43`
+
+    outs = _kernel()(slot_data.image.planes[0].data())
+    image = SlotImage([plane_from_device(o) for o in outs])
+    return [SlotData(node.node_id, SlotId(0), image)]

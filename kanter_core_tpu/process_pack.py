@@ -1,0 +1,110 @@
+"""Dispatch admission control.
+
+Port of `/root/reference/src/process_pack.rs`: the manager keeps the set of
+in-flight node dispatches sorted by propagated priority, caps it at
+`max_count`, and preempts — higher-priority work cancels (via the node's
+cancel flag) the lowest-priority running node (`process_pack.rs:53-89`). On
+TPU, "running" means an enqueued/dispatched XLA program; preemption drops
+queued dispatches — an in-flight device kernel is never aborted, and the
+commit-time cancel check discards its result (`engine.rs:80-102`).
+
+The reference caps at `num_cpus` (`process_pack.rs:27`); workers here are
+dispatch threads (the device does the math), and nested Graph nodes *block* a
+slot while their inner graph runs, so the default is at least 8 to keep
+deeply-nested graphs live even on small hosts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from .errors import ErrorKind, TexProError
+from .live_graph import LiveGraph, NodeState
+
+
+class ProcessPack:
+    __slots__ = ("node_id", "priority", "live_graph")
+
+    def __init__(self, node_id, priority, live_graph: LiveGraph):
+        self.node_id = node_id
+        self.priority = priority
+        self.live_graph = live_graph
+
+
+def default_max_count() -> int:
+    return max(os.cpu_count() or 1, 8)
+
+
+class ProcessPackManager:
+    def __init__(self):
+        self.process_packs: list[ProcessPack] = []
+        self.max_count = default_max_count()
+
+    def update(self, process_packs: list[ProcessPack]) -> list[ProcessPack]:
+        """Admit as many of the given packs as fit; returns the admitted ones
+        (`process_pack.rs:33-96`)."""
+        output_packs: list[ProcessPack] = []
+        self._remove_clean()
+        self._sort_by_priority(self.process_packs)
+        del self.process_packs[self.max_count :]
+
+        self._sort_by_priority(process_packs)
+
+        while process_packs:
+            pack = process_packs.pop()  # highest priority first
+            if len(self.process_packs) < self.max_count:
+                if not self._insert_by_priority(pack):
+                    continue  # node deleted
+                output_packs.append(pack)
+            elif (
+                pack.priority.propagated_priority()
+                > self.process_packs[0].priority.propagated_priority()
+            ):
+                if not self._insert_by_priority(pack):
+                    continue
+                removed = self.process_packs.pop(0)
+                try:
+                    removed.live_graph.node(removed.node_id).cancel.store(True)
+                except TexProError as e:
+                    if e.kind == ErrorKind.INVALID_NODE_ID:
+                        continue  # node removed
+                    raise
+                output_packs.append(pack)
+            else:
+                break
+
+        return output_packs
+
+    def _remove_clean(self) -> None:
+        for i in reversed(range(len(self.process_packs))):
+            pack = self.process_packs[i]
+            try:
+                state = pack.live_graph.node_state(pack.node_id)
+            except TexProError:
+                del self.process_packs[i]
+                continue
+            if state == NodeState.CLEAN:
+                del self.process_packs[i]
+
+    def _insert_by_priority(self, pack: ProcessPack) -> bool:
+        """Insert sorted; un-cancels the node so previously preempted work can
+        run (`process_pack.rs:121-129`). False if the node no longer exists."""
+        try:
+            pack.live_graph.node(pack.node_id).cancel.store(False)
+        except TexProError as e:
+            if e.kind == ErrorKind.INVALID_NODE_ID:
+                return False
+            raise
+
+        key = pack.priority.propagated_priority()
+        pos = len(self.process_packs)
+        for i, existing in enumerate(self.process_packs):
+            if existing.priority.propagated_priority() >= key:
+                pos = i
+                break
+        self.process_packs.insert(pos, pack)
+        return True
+
+    @staticmethod
+    def _sort_by_priority(packs: list[ProcessPack]) -> None:
+        packs.sort(key=lambda p: p.priority.propagated_priority())

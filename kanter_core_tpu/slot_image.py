@@ -1,0 +1,215 @@
+"""Channel-plane images.
+
+Mirrors `/root/reference/src/slot_image.rs`: an image is either Gray (one f32
+plane) or Rgba (four f32 planes `[r, g, b, a]`). Planes are `[H, W]` arrays in
+tiered `PlaneBuffer`s and may be shared between images (zero-copy aliasing,
+e.g. SeparateRgba / `as_type`).
+
+The u8 export paths reproduce the reference bit-for-bit, including its NaN
+behavior: `f32_to_u8` is `((value.clamp(0,1) * 255.).min(255.)) as u8`
+(`slot_image.rs:142-144`) where Rust's `min` maps NaN to 255 and `as u8`
+truncates toward zero.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable
+
+import numpy as np
+
+from .errors import ErrorKind, TexProError
+from .geometry import Size
+from .transient_buffer import PlaneBuffer, plane_from_device, plane_from_host
+
+
+@functools.cache
+def _jitted_converters():
+    import jax
+    import jax.numpy as jnp
+
+    def f32_to_u8(x):
+        # clamp(0,1) * 255, NaN → 255 (Rust f32::min semantics), truncating cast
+        c = jnp.clip(x, 0.0, 1.0)
+        v = c * jnp.float32(255.0)
+        v = jnp.where(jnp.isnan(v), jnp.float32(255.0), jnp.minimum(v, jnp.float32(255.0)))
+        return v.astype(jnp.uint8)
+
+    def srgb_to_linear(x):
+        # reference formula at `slot_data.rs:100-109` (applied by `to_u8_srgb`
+        # despite the method's name, `slot_image.rs:172-175`)
+        return jnp.where(
+            x <= 0.0,
+            x,
+            jnp.where(
+                x <= jnp.float32(0.04045),
+                x / jnp.float32(12.92),
+                jnp.power((x + jnp.float32(0.055)) / jnp.float32(1.055), jnp.float32(2.4)),
+            ),
+        )
+
+    def linear_to_srgb(x):
+        return jnp.where(
+            x <= 0.0,
+            x,
+            jnp.where(
+                x <= jnp.float32(0.0031308),
+                x * jnp.float32(12.92),
+                jnp.float32(1.055) * jnp.power(x, jnp.float32(1.0 / 2.4)) - jnp.float32(0.055),
+            ),
+        )
+
+    @jax.jit
+    def gray_to_u8(g):
+        v = f32_to_u8(g)
+        a = jnp.full_like(v, 255, dtype=jnp.uint8)
+        return jnp.stack([v, v, v, a], axis=-1)
+
+    @jax.jit
+    def rgba_to_u8(r, g, b, a):
+        return jnp.stack([f32_to_u8(r), f32_to_u8(g), f32_to_u8(b), f32_to_u8(a)], axis=-1)
+
+    @jax.jit
+    def gray_to_u8_srgb(g):
+        v = f32_to_u8(srgb_to_linear(jnp.clip(g, 0.0, 1.0)))
+        a = jnp.full_like(v, 255, dtype=jnp.uint8)
+        return jnp.stack([v, v, v, a], axis=-1)
+
+    @jax.jit
+    def rgba_to_u8_srgb(r, g, b, a):
+        def conv(x):
+            return f32_to_u8(srgb_to_linear(jnp.clip(x, 0.0, 1.0)))
+
+        return jnp.stack([conv(r), conv(g), conv(b), f32_to_u8(a)], axis=-1)
+
+    @jax.jit
+    def rgb_mean(r, g, b):
+        # gray = ((r + g) + b) / 3 — same association as `slot_image.rs:247-250`
+        return ((r + g) + b) / jnp.float32(3.0)
+
+    return dict(
+        gray_to_u8=gray_to_u8,
+        rgba_to_u8=rgba_to_u8,
+        gray_to_u8_srgb=gray_to_u8_srgb,
+        rgba_to_u8_srgb=rgba_to_u8_srgb,
+        rgb_mean=rgb_mean,
+    )
+
+
+def _as_plane(obj) -> PlaneBuffer:
+    if isinstance(obj, PlaneBuffer):
+        return obj
+    if isinstance(obj, np.ndarray):
+        return plane_from_host(obj)
+    return plane_from_device(obj)  # assume jax.Array
+
+
+class SlotImage:
+    """Gray (1 plane) or Rgba (4 planes, `[r, g, b, a]`)."""
+
+    __slots__ = ("planes",)
+
+    def __init__(self, planes: list[PlaneBuffer]):
+        if len(planes) not in (1, 4):
+            raise TexProError(ErrorKind.INVALID_BUFFER_COUNT)
+        self.planes = planes
+
+    # --- constructors (`slot_image.rs:28-102`) ---
+    @staticmethod
+    def Gray(plane) -> "SlotImage":
+        return SlotImage([_as_plane(plane)])
+
+    @staticmethod
+    def Rgba(planes: Iterable) -> "SlotImage":
+        planes = [_as_plane(p) for p in planes]
+        if len(planes) != 4:
+            raise TexProError(ErrorKind.INVALID_BUFFER_COUNT)
+        return SlotImage(planes)
+
+    @staticmethod
+    def from_value(size: Size, value: float, rgba: bool) -> "SlotImage":
+        shape = (size.height, size.width)
+        if rgba:
+            return SlotImage(
+                [
+                    plane_from_host(np.full(shape, value, dtype=np.float32)),
+                    plane_from_host(np.full(shape, value, dtype=np.float32)),
+                    plane_from_host(np.full(shape, value, dtype=np.float32)),
+                    plane_from_host(np.full(shape, 1.0, dtype=np.float32)),
+                ]
+            )
+        return SlotImage([plane_from_host(np.full(shape, value, dtype=np.float32))])
+
+    @staticmethod
+    def from_buffers_rgba(buffers: list) -> "SlotImage":
+        if len(buffers) != 4:
+            raise TexProError(ErrorKind.INVALID_BUFFER_COUNT)
+        return SlotImage.Rgba(buffers)
+
+    @staticmethod
+    def from_buffers_rgb(buffers: list) -> "SlotImage":
+        if len(buffers) != 3:
+            raise TexProError(ErrorKind.INVALID_BUFFER_COUNT)
+        first = _as_plane(buffers[0])
+        h, w = first.shape
+        alpha = plane_from_host(np.ones((h, w), dtype=np.float32))
+        return SlotImage([first, _as_plane(buffers[1]), _as_plane(buffers[2]), alpha])
+
+    def from_self(self) -> "SlotImage":
+        return SlotImage(list(self.planes))
+
+    # --- introspection ---
+    def is_rgba(self) -> bool:
+        return len(self.planes) == 4
+
+    def size(self) -> Size:
+        return self.planes[0].size
+
+    def bufs(self) -> list[PlaneBuffer]:
+        return list(self.planes)
+
+    def __eq__(self, other):
+        if isinstance(other, SlotImage):
+            return self.is_rgba() == other.is_rgba()  # discriminant-only eq
+        return NotImplemented
+
+    def __hash__(self):
+        return hash(self.is_rgba())
+
+    # --- u8 export (`slot_image.rs:146-207`) ---
+    def to_u8(self) -> np.ndarray:
+        """Flat row-major interleaved RGBA u8 pixels."""
+        conv = _jitted_converters()
+        if self.is_rgba():
+            out = conv["rgba_to_u8"](*[p.data() for p in self.planes])
+        else:
+            out = conv["gray_to_u8"](self.planes[0].data())
+        return np.asarray(out).reshape(-1)
+
+    def to_u8_srgb(self) -> np.ndarray:
+        conv = _jitted_converters()
+        if self.is_rgba():
+            out = conv["rgba_to_u8_srgb"](*[p.data() for p in self.planes])
+        else:
+            out = conv["gray_to_u8_srgb"](self.planes[0].data())
+        return np.asarray(out).reshape(-1)
+
+    def to_numpy_rgba(self) -> np.ndarray:
+        """`[H, W, 4]` u8 view of `to_u8` (convenience)."""
+        size = self.size()
+        return self.to_u8().reshape(size.height, size.width, 4)
+
+    # --- type coercion (`slot_image.rs:212-256`) ---
+    def as_type(self, rgba: bool) -> "SlotImage":
+        if self.is_rgba() == rgba:
+            return SlotImage(list(self.planes))
+        if not self.is_rgba():
+            # gray → rgba: alias the gray plane ×3, fresh alpha=1 plane
+            h, w = self.planes[0].shape
+            alpha = plane_from_host(np.ones((h, w), dtype=np.float32))
+            g = self.planes[0]
+            return SlotImage([g, g, g, alpha])
+        # rgba → gray: mean of RGB
+        conv = _jitted_converters()
+        r, g, b = (self.planes[i].data() for i in range(3))
+        return SlotImage([plane_from_device(conv["rgb_mean"](r, g, b))])

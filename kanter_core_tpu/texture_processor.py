@@ -1,0 +1,142 @@
+"""Public facade: owns live graphs, the scheduler, and the memory manager.
+
+Mirrors `/root/reference/src/texture_processor.rs`: construction spawns the
+scheduler loop and the buffer-queue manager as daemon threads
+(`texture_processor.rs:52-53`); dropping the processor flips the shutdown flag
+(`:27-31`). Here it is also a context manager for deterministic teardown.
+"""
+
+from __future__ import annotations
+
+import sys
+import threading
+from typing import Optional
+
+from .engine import Engine
+from .errors import ErrorKind, TexProError
+from .ids import NodeId, SlotId
+from .live_graph import LiveGraph, NodeState
+from .node import AtomicFlag
+from .process_pack import ProcessPackManager
+from .slot_data import Size, SlotData
+from .transient_buffer import AtomicUsize, PlaneBufferQueue
+
+
+class TextureProcessor:
+    def __init__(self, memory_threshold=10_000_000, host_memory_threshold: Optional[int] = None):
+        if not isinstance(memory_threshold, AtomicUsize):
+            memory_threshold = AtomicUsize(memory_threshold)
+        self.memory_threshold = memory_threshold
+        self.host_memory_threshold = (
+            AtomicUsize(host_memory_threshold) if host_memory_threshold is not None else None
+        )
+        self.shutdown = AtomicFlag(False)
+        self.buffer_queue = PlaneBufferQueue(
+            self.memory_threshold, self.shutdown, self.host_memory_threshold
+        )
+        self._live_graphs: list[LiveGraph] = []
+        self._live_graphs_lock = threading.Lock()
+        self._process_pack_manager = ProcessPackManager()
+        self._ppm_lock = threading.Lock()
+        self.engine = Engine(self)
+
+        self._engine_thread = threading.Thread(
+            target=self.engine.run, daemon=True, name="kanter-engine"
+        )
+        self._buffer_thread = threading.Thread(
+            target=self.buffer_queue.thread_loop, daemon=True, name="kanter-memory"
+        )
+        self._engine_thread.start()
+        self._buffer_thread.start()
+
+    # --- lifecycle ---
+    def shutdown_now(self) -> None:
+        self.shutdown.store(True)
+        self.engine.wake()
+
+    def __enter__(self) -> "TextureProcessor":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.shutdown_now()
+
+    def __del__(self):
+        try:
+            self.shutdown.store(True)
+        except Exception:
+            pass
+
+    # --- live graph management ---
+    def new_live_graph(self) -> LiveGraph:
+        live_graph = LiveGraph(self.buffer_queue)
+        with self._live_graphs_lock:
+            self._live_graphs.append(live_graph)
+        return live_graph
+
+    def push_live_graph(self, live_graph: LiveGraph) -> None:
+        with self._live_graphs_lock:
+            self._live_graphs.append(live_graph)
+        self.engine.wake()
+
+    def remove_live_graph(self, live_graph: LiveGraph) -> None:
+        with self._live_graphs_lock:
+            self._live_graphs = [lg for lg in self._live_graphs if lg is not live_graph]
+
+    def live_graphs_snapshot(self) -> list[LiveGraph]:
+        with self._live_graphs_lock:
+            return list(self._live_graphs)
+
+    def has_live_graph(self, live_graph: LiveGraph) -> bool:
+        with self._live_graphs_lock:
+            return any(lg is live_graph for lg in self._live_graphs)
+
+    def drop_unused_live_graphs(self) -> None:
+        """Drop graphs no external code references (reference: Arc strong
+        count of 1, `live_graph.rs:637-645`). CPython refcount heuristic:
+        list entry + comprehension variable + getrefcount argument = 3."""
+        with self._live_graphs_lock:
+            self._live_graphs = [lg for lg in self._live_graphs if sys.getrefcount(lg) > 3]
+
+    # --- admission control ---
+    def update_process_packs(self, packs):
+        with self._ppm_lock:
+            try:
+                return self._process_pack_manager.update(packs)
+            except TexProError:
+                self.shutdown.store(True)
+                return None
+
+    def processing_node_count(self) -> int:
+        with self._ppm_lock:
+            return len(self._process_pack_manager.process_packs)
+
+    def set_max_processing_nodes(self, count: int) -> None:
+        with self._ppm_lock:
+            self._process_pack_manager.max_count = int(count)
+
+    # --- blocking getters (`texture_processor.rs:75-105`) ---
+    @staticmethod
+    def buffer_rgba(live_graph: LiveGraph, node_id: NodeId, slot_id: SlotId):
+        with LiveGraph.await_clean_write(live_graph, node_id) as lg:
+            return lg.buffer_rgba(node_id, slot_id)
+
+    @staticmethod
+    def node_slot_datas(live_graph: LiveGraph, node_id: NodeId) -> list[SlotData]:
+        with LiveGraph.await_clean_write(live_graph, node_id) as lg:
+            return lg.node_slot_datas(node_id)
+
+    @staticmethod
+    def await_slot_data_size(live_graph: LiveGraph, node_id: NodeId, slot_id: SlotId) -> Size:
+        with live_graph.write() as lg:
+            lg.prioritise(node_id)
+        while True:
+            with live_graph.read() as lg:
+                if lg.fatal_error is not None:
+                    raise lg.fatal_error
+                try:
+                    return lg.slot_data_size(node_id, slot_id)
+                except TexProError as e:
+                    if e.kind != ErrorKind.NO_SLOT_DATA:
+                        raise
+            with live_graph._state_cv:
+                live_graph._state_cv.wait(timeout=0.002)

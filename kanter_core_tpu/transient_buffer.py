@@ -1,0 +1,338 @@
+"""Tiered channel-plane buffers (HBM → host DRAM → disk).
+
+TPU-native rework of `/root/reference/src/transient_buffer.rs`. The reference
+keeps every channel plane in a `TransientBuffer` that is either in RAM or
+spilled to disk (salted-hash file under `$TMPDIR/vismut_cache`,
+`transient_buffer.rs:98-183`), with a 1 ms manager thread enforcing an LRU
+memory watermark (`transient_buffer.rs:351-406`).
+
+Here a plane is an f32 `[H, W]` array living in one of three tiers:
+
+- ``DEVICE``: a `jax.Array` resident in TPU HBM (the compute tier);
+- ``HOST``: a NumPy array in host DRAM (first spill tier);
+- ``STORAGE``: a salted-hash-verified file on disk (second spill tier,
+  preserving the reference's crash-detecting reload semantics).
+
+``in_memory`` maps to "device-resident" — the analog of the reference's
+RAM-vs-disk distinction for a machine whose working memory is HBM. A manager
+thread (`PlaneBufferQueue.thread_loop`) enforces the device watermark by
+evicting least-recently-touched planes device→host, and an optional host
+watermark by spilling host→disk.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+import sys
+import tempfile
+import threading
+import time
+from collections import deque
+from enum import Enum
+from typing import Optional
+
+import numpy as np
+
+from .errors import ErrorKind, TexProError
+from .geometry import Size
+
+_CACHE_DIR = os.path.join(tempfile.gettempdir(), "kanter_tpu_cache")
+
+BYTES_PER_PIXEL = 4  # f32 channel plane (`slot_data.rs:32`)
+
+
+class Tier(Enum):
+    DEVICE = "device"
+    HOST = "host"
+    STORAGE = "storage"
+
+
+class AtomicUsize:
+    """Shared mutable counter (reference: `Arc<AtomicUsize>`)."""
+
+    __slots__ = ("_value", "_lock")
+
+    def __init__(self, value: int = 0):
+        self._value = int(value)
+        self._lock = threading.Lock()
+
+    def store(self, value: int) -> None:
+        with self._lock:
+            self._value = int(value)
+
+    def load(self) -> int:
+        return self._value
+
+
+def _hash_plane(salt: int, data: bytes) -> str:
+    h = hashlib.blake2b(salt.to_bytes(16, "little"), digest_size=16)
+    h.update(data)
+    return h.hexdigest()
+
+
+class PlaneBuffer:
+    """One channel plane in one of three memory tiers.
+
+    Analog of `TransientBufferContainer` + `TransientBuffer`
+    (`transient_buffer.rs:28-247`). The size is cached so size queries never
+    fault data in (`transient_buffer.rs:188-201`).
+    """
+
+    __slots__ = ("_lock", "_tier", "_device", "_host", "_path", "_salt", "_height",
+                 "_width", "_queue", "__weakref__")
+
+    def __init__(self, *, device=None, host=None):
+        self._lock = threading.RLock()
+        self._queue = None  # PlaneBufferQueue that manages this buffer, if any
+        if device is not None:
+            self._tier = Tier.DEVICE
+            self._device = device
+            self._host = None
+            self._height, self._width = device.shape
+        else:
+            host = np.ascontiguousarray(host, dtype=np.float32)
+            self._tier = Tier.HOST
+            self._device = None
+            self._host = host
+            self._height, self._width = host.shape
+        self._path = None
+        self._salt = None
+
+    # --- introspection ---
+    @property
+    def size(self) -> Size:
+        return Size(self._width, self._height)
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self._height, self._width)
+
+    def bytes(self) -> int:
+        return self._height * self._width * BYTES_PER_PIXEL
+
+    def in_memory(self) -> bool:
+        """True when device-resident (reference: RAM-vs-disk, here HBM-vs-spill)."""
+        return self._tier == Tier.DEVICE
+
+    @property
+    def tier(self) -> Tier:
+        return self._tier
+
+    # --- access ---
+    def data(self):
+        """The plane as a device `jax.Array`, faulting it in if spilled.
+
+        Faulting is synchronous (unlike the reference's request-flag + manager
+        round-trip at `transient_buffer.rs:203-217`); the LRU touch is still
+        reported to the managing queue.
+        """
+        with self._lock:
+            if self._tier != Tier.DEVICE:
+                self._fault_in_locked()
+            device = self._device
+        queue = self._queue
+        if queue is not None:
+            queue._note_touch(self)
+        return device
+
+    def host_data(self) -> np.ndarray:
+        """The plane as a host ndarray without promoting it to the device."""
+        with self._lock:
+            if self._tier == Tier.DEVICE:
+                return np.asarray(self._device)
+            if self._tier == Tier.STORAGE:
+                self._load_from_storage_locked()
+                self._tier = Tier.HOST
+            return self._host
+
+    def _fault_in_locked(self) -> None:
+        import jax
+
+        if self._tier == Tier.STORAGE:
+            self._load_from_storage_locked()
+        self._device = jax.device_put(self._host)
+        self._host = None
+        self._tier = Tier.DEVICE
+
+    # --- tier transitions (manager thread) ---
+    def evict_to_host(self) -> bool:
+        """DEVICE → HOST. Returns True if a move happened."""
+        with self._lock:
+            if self._tier != Tier.DEVICE:
+                return False
+            self._host = np.asarray(self._device)
+            self._device = None
+            self._tier = Tier.HOST
+            return True
+
+    def spill_to_storage(self) -> bool:
+        """HOST → STORAGE with a salted content hash as the file name; the hash
+        is verified on reload and the file deleted, erroring on mismatch
+        (`transient_buffer.rs:98-183`)."""
+        with self._lock:
+            if self._tier == Tier.DEVICE:
+                self.evict_to_host()
+            if self._tier != Tier.HOST:
+                return False
+            salt = random.getrandbits(64)
+            raw = self._host.tobytes()
+            digest = _hash_plane(salt, raw)
+            os.makedirs(_CACHE_DIR, exist_ok=True)
+            path = os.path.join(_CACHE_DIR, digest)
+            with open(path, "wb") as f:
+                f.write(raw)
+            self._path = path
+            self._salt = salt
+            self._host = None
+            self._tier = Tier.STORAGE
+            return True
+
+    def _load_from_storage_locked(self) -> None:
+        path = self._path
+        with open(path, "rb") as f:
+            raw = f.read()
+        digest = _hash_plane(self._salt, raw)
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+        if digest != os.path.basename(path):
+            raise TexProError(ErrorKind.GENERIC, "spill file hash mismatch")
+        self._host = np.frombuffer(raw, dtype=np.float32).reshape(self._height, self._width).copy()
+        self._path = None
+        self._salt = None
+
+    def __del__(self):
+        if getattr(self, "_path", None):
+            try:
+                os.remove(self._path)
+            except OSError:
+                pass
+
+
+def plane_from_host(array) -> PlaneBuffer:
+    return PlaneBuffer(host=np.asarray(array, dtype=np.float32))
+
+
+def plane_from_device(array) -> PlaneBuffer:
+    return PlaneBuffer(device=array)
+
+
+def pixel_buffer(value: float) -> PlaneBuffer:
+    """A 1×1 gray plane (`/root/reference/src/node/mod.rs:239-243`)."""
+    return PlaneBuffer(host=np.full((1, 1), value, dtype=np.float32))
+
+
+class PlaneBufferQueue:
+    """LRU spill manager (analog of `TransientBufferQueue`,
+    `transient_buffer.rs:250-434`).
+
+    Holds every live plane once (deduplicated by identity), drops planes no
+    one else references, moves touched planes to the back, and evicts from the
+    front while the device-resident byte count exceeds `memory_threshold`.
+    """
+
+    TICK_SECONDS = 0.001
+
+    def __init__(self, memory_threshold: AtomicUsize, shutdown, host_threshold: Optional[AtomicUsize] = None):
+        self.queue: deque[PlaneBuffer] = deque()
+        self.memory_threshold = memory_threshold
+        self.host_threshold = host_threshold
+        self.shutdown = shutdown
+        self._incoming: list[PlaneBuffer] = []
+        self._touches: list[PlaneBuffer] = []
+        self._lock = threading.Lock()
+
+    # --- ingestion (`transient_buffer.rs:297-345`) ---
+    def add_buffer(self, buffer: PlaneBuffer) -> None:
+        with self._lock:
+            self._incoming.append(buffer)
+
+    def add_slot_data(self, slot_data) -> None:
+        for buf in slot_data.image.bufs():
+            self.add_buffer(buf)
+
+    def _note_touch(self, buffer: PlaneBuffer) -> None:
+        with self._lock:
+            self._touches.append(buffer)
+
+    def _handle_incoming(self) -> None:
+        with self._lock:
+            incoming, self._incoming = self._incoming, []
+        existing = {id(buf) for buf in self.queue}
+        for buf in incoming:
+            if id(buf) in existing:
+                continue
+            existing.add(id(buf))
+            buf._queue = self
+            if buf.in_memory():
+                self.queue.append(buf)
+            else:
+                self.queue.appendleft(buf)
+
+    def _handle_touches(self) -> None:
+        with self._lock:
+            touches, self._touches = self._touches, []
+        if not touches:
+            return
+        touched_ids = []
+        seen = set()
+        for buf in touches:
+            if id(buf) not in seen:
+                seen.add(id(buf))
+                touched_ids.append(id(buf))
+        order = {bid: i for i, bid in enumerate(touched_ids)}
+        kept = [b for b in self.queue if id(b) not in order]
+        moved = sorted((b for b in self.queue if id(b) in order), key=lambda b: order[id(b)])
+        self.queue = deque(kept + moved)
+
+    # --- accounting ---
+    def bytes_memory(self) -> int:
+        return sum(b.bytes() for b in self.queue if b.tier == Tier.DEVICE)
+
+    def bytes_host(self) -> int:
+        return sum(b.bytes() for b in self.queue if b.tier == Tier.HOST)
+
+    def bytes_storage(self) -> int:
+        return sum(b.bytes() for b in self.queue if b.tier == Tier.STORAGE)
+
+    def _sweep_orphans(self) -> None:
+        # A plane referenced only by this queue belongs to no SlotData anymore
+        # (reference: `Arc::strong_count == 1`, `transient_buffer.rs:364`).
+        # CPython refcount: deque entry + loop temp + getrefcount argument = 3.
+        survivors = deque()
+        for buf in self.queue:
+            if sys.getrefcount(buf) > 3:
+                survivors.append(buf)
+        self.queue = survivors
+
+    def tick(self) -> None:
+        self._handle_incoming()
+        self._sweep_orphans()
+        self._handle_touches()
+
+        threshold = self.memory_threshold.load()
+        in_memory = self.bytes_memory()
+        if in_memory > threshold:
+            for buf in self.queue:
+                if in_memory <= threshold:
+                    break
+                if buf.evict_to_host():
+                    in_memory -= buf.bytes()
+
+        if self.host_threshold is not None:
+            host_threshold = self.host_threshold.load()
+            on_host = self.bytes_host()
+            if on_host > host_threshold:
+                for buf in self.queue:
+                    if on_host <= host_threshold:
+                        break
+                    if buf.tier == Tier.HOST and buf.spill_to_storage():
+                        on_host -= buf.bytes()
+
+    def thread_loop(self) -> None:
+        while not self.shutdown.load():
+            self.tick()
+            time.sleep(self.TICK_SECONDS)
