@@ -402,7 +402,10 @@ class Node:
         if k == K.GRAPH:
             return self.node_type.payload.input_slots()
         if k == K.WRITE:
-            raise NotImplementedError("Write node slots are unimplemented in the reference")
+            # The reference leaves Write's slot tables `unimplemented!()`
+            # (`node_type.rs:154,190`), making the node unusable; here it
+            # accepts one input of either type so it actually works.
+            return [Slot("input", SlotId(0), SlotType.GRAY_OR_RGBA)]
         if k == K.MIX:
             return [
                 Slot("left", SlotId(0), SlotType.GRAY_OR_RGBA),
@@ -435,7 +438,7 @@ class Node:
         if k in (K.IMAGE, K.EMBED):
             return [Slot("output", SlotId(0), SlotType.RGBA)]
         if k == K.WRITE:
-            raise NotImplementedError("Write node slots are unimplemented in the reference")
+            return []  # sink node; see input_slots note
         if k == K.VALUE:
             return [Slot("output", SlotId(0), SlotType.GRAY)]
         if k == K.MIX:

@@ -1,0 +1,81 @@
+"""Test harness configuration.
+
+Forces the JAX CPU backend (the axon TPU plugin ignores the JAX_PLATFORMS
+env var — only the config update works) with 8 virtual devices so sharding
+tests run without real chips, mirroring the reference's single-process
+integration suite (`/root/reference/tests/integration_tests.rs`).
+
+Every test gets a watchdog (the reference uses ntest's #[timeout(20_000)] so
+deadlocks fail instead of hanging).
+"""
+
+import faulthandler
+import os
+import threading
+
+import numpy as np
+import pytest
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+REFERENCE_DATA = "/root/reference/data"
+GOLDEN_DIR = os.path.join(REFERENCE_DATA, "test_compare")
+
+IMAGE_1 = os.path.join(REFERENCE_DATA, "image_1.png")
+IMAGE_2 = os.path.join(REFERENCE_DATA, "image_2.png")
+HEART_128 = os.path.join(REFERENCE_DATA, "heart_128.png")
+HEART_256 = os.path.join(REFERENCE_DATA, "heart_256.png")
+HEART_WIDE = os.path.join(REFERENCE_DATA, "heart_wide.png")
+HEART_TALL = os.path.join(REFERENCE_DATA, "heart_tall.png")
+HEART_110 = os.path.join(REFERENCE_DATA, "heart_110.png")
+CLOUDS = os.path.join(REFERENCE_DATA, "clouds.png")
+INVERT_GRAPH_JSON = os.path.join(REFERENCE_DATA, "invert_graph.json")
+
+TIMEOUT_SECONDS = 60
+
+
+@pytest.fixture(autouse=True)
+def _watchdog():
+    """Deadlock guard: dump all stacks and abort the test process if a test
+    exceeds the budget (reference: `#[timeout(20_000)]` on every test)."""
+    timer = threading.Timer(TIMEOUT_SECONDS, faulthandler.dump_traceback)
+    timer.daemon = True
+    timer.start()
+    yield
+    timer.cancel()
+
+
+@pytest.fixture
+def tex_pro():
+    from kanter_core_tpu import TextureProcessor
+
+    tp = TextureProcessor(10_000_000)
+    yield tp
+    tp.shutdown_now()
+
+
+def golden(name: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(os.path.join(GOLDEN_DIR, name)), dtype=np.uint8)
+
+
+def render_u8(live_graph, node_id, slot_id=None) -> np.ndarray:
+    from kanter_core_tpu import SlotId, TextureProcessor
+
+    return TextureProcessor.buffer_rgba(
+        live_graph, node_id, SlotId(0) if slot_id is None else slot_id
+    )
+
+
+def assert_matches_golden(live_graph, node_id, name, slot_id=None):
+    data = render_u8(live_graph, node_id, slot_id)
+    ref = golden(name)
+    assert data.shape[0] == ref.size, f"{name}: size {data.shape} vs {ref.shape}"
+    assert np.array_equal(data.reshape(ref.shape), ref), f"{name}: pixels differ"

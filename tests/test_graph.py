@@ -1,0 +1,171 @@
+"""API-contract tests: graph topology, slot typing, serde.
+
+Ports `/root/reference/tests/integration_tests.rs` contract tests
+(connect_invalid_slot `:787-810`, wrong_slot_type `:1330-1347`, remove_node
+`:772-785`, unconnected `:555-565`, request_empty_buffer `:307-333`,
+deadlock `:109-138`) plus NodeGraph unit coverage.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from conftest import IMAGE_1, INVERT_GRAPH_JSON, render_u8
+
+from kanter_core_tpu import (
+    Edge,
+    ErrorKind,
+    LiveGraph,
+    MixType,
+    Node,
+    NodeGraph,
+    NodeId,
+    NodeType,
+    Side,
+    SlotId,
+    TexProError,
+)
+
+
+def test_connect_invalid_slot(tex_pro):
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        value_node = g.add_node(Node(NodeType.Value(0.0)))
+        mix_node = g.add_node(Node(NodeType.Mix()))
+        g.connect(value_node, mix_node, SlotId(0), SlotId(0))
+        g.connect(value_node, mix_node, SlotId(0), SlotId(1))
+        with pytest.raises(TexProError) as exc:
+            g.connect(value_node, mix_node, SlotId(0), SlotId(2))
+        assert exc.value.kind == ErrorKind.INVALID_SLOT_ID
+
+
+def test_wrong_slot_type(tex_pro):
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        image_node = g.add_node(Node(NodeType.Image(IMAGE_1)))
+        gray_node = g.add_node(Node(NodeType.OutputGray("out")))
+        with pytest.raises(TexProError) as exc:
+            g.connect(image_node, gray_node, SlotId(0), SlotId(0))
+        assert exc.value.kind == ErrorKind.INVALID_SLOT_TYPE
+
+
+def test_remove_node(tex_pro):
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        value_node = g.add_node(Node(NodeType.Value(0.0)))
+        g.remove_node(value_node)
+    assert len(lg.node_ids()) == 0
+
+
+def test_unconnected(tex_pro):
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        g.add_node(Node(NodeType.OutputRgba("out")))
+
+
+def test_request_empty_buffer(tex_pro):
+    """Mix with no inputs yields a 1×1 output (`:307-333`)."""
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        mix_node = g.add_node(Node(NodeType.Mix()))
+        output_node = g.add_node(Node(NodeType.OutputRgba("out")))
+        g.connect(mix_node, output_node, SlotId(0), SlotId(0))
+    data = render_u8(lg, output_node)
+    assert data.shape == (4,)  # 1×1 RGBA
+
+
+def test_deadlock(tex_pro):
+    """One Value node feeding both Mix inputs must not deadlock (`:109-138`)."""
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        value_node = g.add_node(Node(NodeType.Value(0.0)))
+        mix_node = g.add_node(Node(NodeType.Mix(MixType.ADD)))
+        g.connect(value_node, mix_node, SlotId(0), SlotId(0))
+        g.connect(value_node, mix_node, SlotId(0), SlotId(1))
+    with LiveGraph.await_clean_read(lg, mix_node) as g:
+        g.slot_data(mix_node, SlotId(0))
+
+
+def test_implicit_disconnect(tex_pro):
+    """Force-connecting into an occupied input slot replaces the old edge
+    (`node_graph.rs:434`)."""
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        v1 = g.add_node(Node(NodeType.Value(0.25)))
+        v2 = g.add_node(Node(NodeType.Value(0.75)))
+        out = g.add_node(Node(NodeType.OutputGray("out")))
+        g.connect(v1, out, SlotId(0), SlotId(0))
+        g.connect(v2, out, SlotId(0), SlotId(0))
+        assert len(g.edges()) == 1
+        assert g.edges()[0].output_id == v2
+
+
+def test_name_dedup(tex_pro):
+    """Input/output node names dedup as name_0, name_1… (`node_graph.rs:141-189`)."""
+    graph = NodeGraph()
+    graph.add_node(Node(NodeType.OutputGray("out")))
+    graph.add_node(Node(NodeType.OutputGray("out")))
+    graph.add_node(Node(NodeType.OutputGray("out")))
+    graph.add_node(Node(NodeType.OutputGray("")))
+    assert graph.output_names() == ["out", "out_0", "out_1", "untitled"]
+
+
+def test_rename_output_node():
+    graph = NodeGraph()
+    a = graph.add_node(Node(NodeType.OutputGray("a")))
+    graph.add_node(Node(NodeType.OutputGray("b")))
+    old = graph.rename_output_node(a, "b")
+    assert old == "a"
+    assert graph.output_names() == ["b_0", "b"]
+
+
+def test_edge_from_arbitrary():
+    edge = Edge.from_arbitrary(
+        NodeId(1), Side.INPUT, SlotId(2), NodeId(3), Side.OUTPUT, SlotId(4)
+    )
+    assert edge == Edge(NodeId(3), NodeId(1), SlotId(4), SlotId(2))
+    with pytest.raises(TexProError):
+        Edge.from_arbitrary(NodeId(1), Side.INPUT, SlotId(0), NodeId(1), Side.OUTPUT, SlotId(0))
+    with pytest.raises(TexProError):
+        Edge.from_arbitrary(NodeId(1), Side.INPUT, SlotId(0), NodeId(2), Side.INPUT, SlotId(0))
+
+
+def test_json_format_compat():
+    """The serialized shape matches serde_json's output for the reference
+    types (`data/invert_graph.json`)."""
+    with open(INVERT_GRAPH_JSON) as f:
+        reference = json.load(f)
+    graph = NodeGraph.from_json(reference)
+    assert graph.to_json() == reference
+
+
+def test_json_round_trip(tmp_path):
+    graph = NodeGraph.from_path(INVERT_GRAPH_JSON)
+    path = str(tmp_path / "rt.json")
+    graph.export_json(path)
+    graph2 = NodeGraph.from_path(path)
+    assert len(graph2.nodes) == 4
+    assert len(graph2.edges) == 3
+    assert graph2.node(NodeId(3098157114)).node_type.payload == MixType.SUBTRACT
+    # id counter resumes above the max existing id (`node_graph.rs:33-46`)
+    assert int(graph2.new_id()) == 3948812723
+
+
+def test_get_children_parents():
+    graph = NodeGraph()
+    a = graph.add_node(Node(NodeType.Value(0.0)))
+    b = graph.add_node(Node(NodeType.Mix()))
+    c = graph.add_node(Node(NodeType.Mix()))
+    graph.connect(a, b, SlotId(0), SlotId(0))
+    graph.connect(a, c, SlotId(0), SlotId(0))
+    graph.connect(b, c, SlotId(0), SlotId(1))
+    assert graph.get_children(a) == [b, c]
+    assert graph.get_parents(c) == [a, b]
+    assert set(graph.get_children_recursive(a)) == {b, c}
+
+
+def test_node_type_discriminant_equality():
+    assert NodeType.Value(1.0) == NodeType.Value(2.0)
+    assert NodeType.Mix(MixType.ADD) == NodeType.Mix(MixType.POW)
+    assert NodeType.Value(1.0) != NodeType.Mix()

@@ -1,0 +1,106 @@
+"""Priority propagation + scheduler-steering tests.
+
+Ports the reference's embedded unit test (`/root/reference/src/priority.rs:170-271`)
+and the scheduler priority test (`integration_tests.rs:412-492`).
+"""
+
+from kanter_core_tpu import (
+    LiveGraph,
+    MixType,
+    Node,
+    NodeState,
+    NodeType,
+    ResizeFilter,
+    ResizePolicy,
+    Size,
+    SlotId,
+    TextureProcessor,
+)
+from kanter_core_tpu.node_graph import NodeGraph
+from kanter_core_tpu.priority import PriorityPropagator
+
+
+def _add_node_with_prio(node_graph, propagator, val):
+    node_id = node_graph.add_node(Node(NodeType.Mix(MixType.ADD)))
+    prio = node_graph.node(node_id).priority
+    prio.set_priority(val)
+    propagator.push_priority(node_id, prio)
+    return node_id
+
+
+def test_propagate_priority():
+    """DAG:  1──2──┐
+                   4──5
+               3──┘
+    Ancestors of the prio-5 node inherit 5 (`priority.rs:178-246`)."""
+    node_graph = NodeGraph()
+    propagator = PriorityPropagator()
+
+    prios = [3, -10, 8, 5, 0]
+    nodes = [_add_node_with_prio(node_graph, propagator, p) for p in prios]
+    n1, n2, n3, n4, n5 = nodes
+
+    node_graph.connect(n1, n2, SlotId(0), SlotId(0))
+    node_graph.connect(n2, n4, SlotId(0), SlotId(0))
+    node_graph.connect(n3, n4, SlotId(0), SlotId(1))
+    node_graph.connect(n4, n5, SlotId(0), SlotId(0))
+
+    propagator.update(node_graph)
+
+    expected = [
+        (n3, 8),  # own 8 > child 5
+        (n4, 5),
+        (n1, 5),  # inherited through 2 → 4
+        (n5, 0),
+        (n2, 5),
+    ]
+    # entries are sorted by own priority; pop from the back like the
+    # reference's assertions
+    for expected_node, expected_prio in expected:
+        node_id, prio = propagator.priorities.pop()
+        assert node_id == expected_node
+        assert prio.propagated_priority() == expected_prio
+        assert not prio.touched()
+
+
+def _priority_internal(max_processing: int, large_priority: int) -> bool:
+    """True iff the large node finished before both small siblings."""
+    SIZE = 400
+    tp = TextureProcessor(10_000_000)
+    try:
+        tp.set_max_processing_nodes(max_processing)
+        lg = tp.new_live_graph()
+        with lg.write() as g:
+            value_node = g.add_node(Node(NodeType.Value(0.5)))
+
+            def resize_node(size):
+                return (
+                    Node(NodeType.Mix())
+                    .with_resize_filter(ResizeFilter.NEAREST)
+                    .with_resize_policy(ResizePolicy.SpecificSize(Size(size, size)))
+                )
+
+            small_1 = g.add_node(resize_node(SIZE))
+            small_2 = g.add_node(resize_node(SIZE))
+            large = g.add_node(resize_node(SIZE))
+            g.node(large).priority.set_priority(large_priority)
+            g.connect(value_node, small_1, SlotId(0), SlotId(0))
+            g.connect(value_node, large, SlotId(0), SlotId(0))
+            g.connect(value_node, small_2, SlotId(0), SlotId(0))
+            g.auto_update = True
+
+        with LiveGraph.await_clean_read(lg, large) as g:
+            return not (
+                g.node_state(small_1) == NodeState.CLEAN
+                and g.node_state(small_2) == NodeState.CLEAN
+            )
+    finally:
+        tp.shutdown_now()
+
+
+def test_priority_scheduling():
+    # With slots to spare and low priority, the large node finishes last.
+    assert not _priority_internal(2, -1)
+    # Serialized with high priority: the large node runs first.
+    assert _priority_internal(1, 1)
+    assert _priority_internal(2, 1)

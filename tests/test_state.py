@@ -1,0 +1,172 @@
+"""Scheduler/state-machine behavior tests.
+
+Ports `input_output_intercept` (`integration_tests.rs:335-410`), `no_cache` /
+`use_cache` (`:249-305`), `read_dirty_read` (`:1386-1437`), `unconnected_node`
+(`:740-770`), and the `temp` connect-ordering race (`:1162-1205`).
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from conftest import IMAGE_2, render_u8
+
+from kanter_core_tpu import (
+    ErrorKind,
+    LiveGraph,
+    MixType,
+    Node,
+    NodeState,
+    NodeType,
+    ResizeFilter,
+    ResizePolicy,
+    Side,
+    Size,
+    SlotId,
+    TexProError,
+)
+
+
+def test_input_output_intercept(tex_pro):
+    """Under auto_update an intermediate node is observably Clean before the
+    final output (incremental scheduling is visible)."""
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        g.auto_update = True
+        input_node = g.add_node(Node(NodeType.Image(IMAGE_2)))
+        resize_1 = g.add_node(
+            Node(NodeType.Mix())
+            .with_resize_filter(ResizeFilter.LANCZOS3)
+            .with_resize_policy(ResizePolicy.SpecificSize(Size(10, 10)))
+        )
+        resize_2 = g.add_node(
+            Node(NodeType.Mix())
+            .with_resize_filter(ResizeFilter.LANCZOS3)
+            .with_resize_policy(ResizePolicy.SpecificSize(Size(20, 20)))
+        )
+        resize_3 = g.add_node(
+            Node(NodeType.Mix())
+            .with_resize_filter(ResizeFilter.LANCZOS3)
+            .with_resize_policy(ResizePolicy.SpecificSize(Size(30, 30)))
+        )
+        output_node = g.add_node(Node(NodeType.OutputRgba("out")))
+        g.connect(input_node, resize_1, SlotId(0), SlotId(0))
+        g.connect(resize_1, resize_2, SlotId(0), SlotId(0))
+        g.connect(resize_2, resize_3, SlotId(0), SlotId(0))
+        g.connect(resize_3, output_node, SlotId(0), SlotId(0))
+
+    intercepted = False
+    while True:
+        with lg.read() as g:
+            if g.node_state(output_node) == NodeState.CLEAN:
+                break
+            if g.node_state(resize_1) == NodeState.CLEAN:
+                intercepted = True
+                break
+    assert intercepted
+
+
+def test_no_cache(tex_pro):
+    """Without use_cache, intermediate results are discarded once their
+    consumers are done."""
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        value_node = g.add_node(Node(NodeType.Value(1.0)))
+        output_node = g.add_node(Node(NodeType.OutputGray("out")))
+        g.connect(value_node, output_node, SlotId(0), SlotId(0))
+    with LiveGraph.await_clean_read(lg, output_node) as g:
+        with pytest.raises(TexProError) as exc:
+            g.slot_data(value_node, SlotId(0))
+        assert exc.value.kind == ErrorKind.NO_SLOT_DATA
+
+
+def test_use_cache(tex_pro):
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        value_node = g.add_node(Node(NodeType.Value(1.0)))
+        output_node = g.add_node(Node(NodeType.OutputGray("out")))
+        g.connect(value_node, output_node, SlotId(0), SlotId(0))
+        g.use_cache = True
+    with LiveGraph.await_clean_read(lg, output_node) as g:
+        g.slot_data(value_node, SlotId(0))  # must not raise
+
+
+def test_unconnected_node(tex_pro):
+    """A dangling extra node must not wedge auto_update evaluation."""
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        input_1 = g.add_node(Node(NodeType.Value(0.0)))
+        g.add_node(Node(NodeType.Value(0.0)))
+        output_node = g.add_node(Node(NodeType.OutputGray("out")))
+        g.connect(input_1, output_node, SlotId(0), SlotId(0))
+        g.auto_update = True
+    time.sleep(0.5)
+    render_u8(lg, output_node)
+
+
+def test_read_dirty_read(tex_pro):
+    """Re-evaluation after a dirty cycle yields identical pixels."""
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        g.use_cache = True
+        val_node = g.add_node(Node(NodeType.Value(0.5)))
+        combine_node = g.add_node(Node(NodeType.CombineRgba()))
+        g.connect(val_node, combine_node, SlotId(0), SlotId(0))
+
+    def verify_pixel(identifier):
+        with LiveGraph.await_clean_read(lg, combine_node) as g:
+            pixels = g.slot_data(combine_node, SlotId(0)).image.to_u8()
+        assert pixels.tolist() == [127, 0, 0, 255], identifier
+
+    verify_pixel("Before dirty")
+    with lg.write() as g:
+        g.disconnect_slot(val_node, Side.OUTPUT, SlotId(0))
+        g.connect(val_node, combine_node, SlotId(0), SlotId(0))
+    verify_pixel("After dirty")
+
+
+def test_connect_ordering_race(tex_pro):
+    """Connecting downstream first, then upstream, with auto_update+use_cache
+    (the reference's `temp` regression, `:1162-1205`)."""
+    lg = LiveGraph(tex_pro.buffer_queue)
+    lg.auto_update = True
+    lg.use_cache = True
+    tex_pro.push_live_graph(lg)
+
+    with lg.write() as g:
+        value_node = g.add_node(Node(NodeType.Value(0.5)))
+        combine_node = g.add_node(Node(NodeType.CombineRgba()))
+        separate_node = g.add_node(Node(NodeType.SeparateRgba()))
+        g.connect(combine_node, separate_node, SlotId(0), SlotId(0))
+        time.sleep(0.1)
+        g.connect(value_node, combine_node, SlotId(0), SlotId(0))
+        time.sleep(0.1)
+
+    with LiveGraph.await_clean_read(lg, combine_node) as g:
+        assert g.slot_data_size(combine_node, SlotId(0)) == Size(1, 1)
+
+
+def test_changed_consume(tex_pro):
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        a = g.add_node(Node(NodeType.Value(0.0)))
+        b = g.add_node(Node(NodeType.OutputGray("out")))
+        changed = set(g.changed_consume())
+        assert changed == {a, b}
+        g.connect(a, b, SlotId(0), SlotId(0))
+        assert b in set(g.changed_consume())
+        assert g.changed_consume() == []
+
+
+def test_fatal_error_surfaces(tex_pro):
+    """A kernel error (dangling HeightToNormal has no input) shuts the engine
+    down and surfaces at await instead of hanging (reference behavior is an
+    engine panic, `engine.rs:111-119`)."""
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        h2n = g.add_node(Node(NodeType.HeightToNormal()))
+        g.request(h2n)
+    with pytest.raises(TexProError):
+        with LiveGraph.await_clean_read(lg, h2n):
+            pass
