@@ -1,0 +1,451 @@
+"""Whole-graph fusion compiler: dirty subgraph → ONE jitted XLA program.
+
+This is the TPU-native answer to the reference's thread-per-node scheduler
+(`/root/reference/src/engine.rs:288-306`): instead of evaluating a DAG node
+by node with intermediate buffers, the graph is traced symbolically — every
+node type maps to the same traceable kernels the eager engine uses — and
+compiled by XLA into a single fused program over HBM-resident channel
+planes. Elementwise chains (value/mix/separate/combine/invert/…) fuse into a
+handful of kernels; intermediate planes that no target needs are never
+materialized in HBM.
+
+Runtime-variable leaves become program *arguments* so interactive edits skip
+recompilation where possible:
+
+- `Image` nodes: four `[H, W]` planes (decoded host-side at compile time,
+  re-bindable at call time);
+- `Value` nodes: f32 scalars (changing a value re-runs, not re-traces);
+- `InputGray`/`InputRgba`: externally provided planes;
+- `Embed`: the registered slot-data planes.
+
+Nested `Graph` nodes are inlined at trace time (flattened into the same XLA
+program) rather than scheduled as blocking sub-evaluations
+(`/root/reference/src/node/graph.rs:33-48`).
+
+Programs are cached per structure fingerprint (topology + node params +
+input shapes), so incremental re-evaluation of an edited graph is a cache
+hit that only re-runs the compiled executable — the <10 ms interactive path.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import json
+from typing import Callable, Optional
+
+import numpy as np
+
+from .errors import ErrorKind, TexProError
+from .geometry import Size
+from .ids import NodeId, SlotId
+from .node import MixType, NodeTypeKind, ResizeFilter
+from .node_graph import NodeGraph
+from .ops import image_io
+from .ops.mix import _binary
+from .ops.resize import calculate_size, resample_plane
+
+
+class ImgVal:
+    """A symbolic image during tracing: 1 (gray) or 4 (rgba) plane tracers."""
+
+    __slots__ = ("planes",)
+
+    def __init__(self, planes):
+        self.planes = list(planes)
+
+    @property
+    def is_rgba(self) -> bool:
+        return len(self.planes) == 4
+
+    @property
+    def size(self) -> Size:
+        h, w = self.planes[0].shape
+        return Size(w, h)
+
+
+class _SymData:
+    """SlotData shim so `calculate_size` works on tracers."""
+
+    __slots__ = ("node_id", "slot_id", "img")
+
+    def __init__(self, node_id, slot_id, img: ImgVal):
+        self.node_id = node_id
+        self.slot_id = slot_id
+        self.img = img
+
+    def size(self) -> Size:
+        return self.img.size
+
+
+def _ones_like(plane):
+    import jax.numpy as jnp
+
+    return jnp.ones_like(plane)
+
+
+def _zeros(shape):
+    import jax.numpy as jnp
+
+    return jnp.zeros(shape, jnp.float32)
+
+
+def _as_type(img: ImgVal, rgba: bool) -> ImgVal:
+    import jax.numpy as jnp
+
+    if img.is_rgba == rgba:
+        return img
+    if rgba:
+        g = img.planes[0]
+        return ImgVal([g, g, g, _ones_like(g)])
+    r, g, b = img.planes[:3]
+    return ImgVal([((r + g) + b) / jnp.float32(3.0)])
+
+
+def _from_value(size: Size, value: float, rgba: bool) -> ImgVal:
+    import jax.numpy as jnp
+
+    shape = (size.height, size.width)
+    plane = jnp.full(shape, jnp.float32(value), jnp.float32)
+    if rgba:
+        return ImgVal([plane, plane, plane, jnp.ones(shape, jnp.float32)])
+    return ImgVal([plane])
+
+
+class GraphCompiler:
+    """Traces a NodeGraph into a single jittable function."""
+
+    def __init__(self, node_graph: NodeGraph, include_u8: bool = False):
+        self.node_graph = node_graph
+        self.include_u8 = include_u8
+        # argument spec discovered during tracing: list of (key, kind, meta)
+        self.arg_keys: list[str] = []
+
+    # --- topo order ---
+    def _topo_order(self, graph: NodeGraph) -> list:
+        order, visited = [], set()
+
+        def visit(node_id):
+            if node_id in visited:
+                return
+            visited.add(node_id)
+            for parent in graph.get_parents(node_id):
+                visit(parent)
+            order.append(node_id)
+
+        for node in graph.nodes:
+            visit(node.node_id)
+        return order
+
+    # --- symbolic node evaluation (mirrors ops.process_node) ---
+    def _eval_graph(self, graph: NodeGraph, args: dict, prefix: str,
+                    outer_inputs: Optional[dict] = None) -> dict:
+        """Returns {(node_id, slot_id): ImgVal} for every node in `graph`.
+
+        `outer_inputs` maps inner Input-node NodeId → ImgVal (for inlined
+        subgraphs, `graph.rs:25-31`); `prefix` namespaces argument keys of
+        nested graphs.
+        """
+        values: dict = {}
+        ordered_outer = (
+            [outer_inputs[k] for k in sorted(outer_inputs)] if outer_inputs else []
+        )
+
+        for node_id in self._topo_order(graph):
+            node = graph.node(node_id)
+            edges = sorted(
+                (e for e in graph.edges if e.input_id == node_id),
+                key=lambda e: e.input_slot,
+            )
+            inputs = [
+                _SymData(e.output_id, e.output_slot, values[(e.output_id, e.output_slot)])
+                for e in edges
+            ]
+
+            # resize pass (`shared.rs:141-216`)
+            if inputs:
+                size = calculate_size(inputs, edges, node.resize_policy)
+                inputs = [
+                    _SymData(
+                        sd.node_id,
+                        sd.slot_id,
+                        ImgVal(
+                            [resample_plane(p, size, node.resize_filter) for p in sd.img.planes]
+                        )
+                        if sd.size() != size
+                        else sd.img,
+                    )
+                    for sd in inputs
+                ]
+            # re-key to consumer slots (`node_type.rs:250-267`)
+            by_slot = {e.input_slot: sd.img for e, sd in zip(edges, inputs)}
+
+            for slot_id, img in self._emit(node, by_slot, args, prefix, graph, ordered_outer):
+                values[(node_id, slot_id)] = img
+        return values
+
+    def _emit(self, node, by_slot: dict, args, prefix, graph, ordered_outer):
+        import jax.numpy as jnp
+
+        K = NodeTypeKind
+        kind = node.node_type.kind
+        nid = int(node.node_id)
+
+        if kind == K.VALUE:
+            # scalar program argument → 1×1 plane
+            val = args[f"{prefix}value_{nid}"]
+            return [(SlotId(0), ImgVal([jnp.reshape(jnp.asarray(val, jnp.float32), (1, 1))]))]
+
+        if kind == K.IMAGE:
+            planes = args[f"{prefix}image_{nid}"]
+            return [(SlotId(0), ImgVal(list(planes)))]
+
+        if kind in (K.INPUT_GRAY, K.INPUT_RGBA):
+            if kind == K.INPUT_RGBA:
+                if not ordered_outer:
+                    raise TexProError(ErrorKind.NODE_PROCESSING, "InputRgba with no outer input")
+                img = ordered_outer[0]  # reference indexes [0] (`input_rgba.rs:7-13`)
+            else:
+                key = f"{prefix}input_{nid}"
+                if key not in args:
+                    raise TexProError(
+                        ErrorKind.INVALID_BUFFER_COUNT,
+                        f"InputGray node {nid} has no bound input",
+                    )
+                img = args[key]
+            if not isinstance(img, ImgVal):
+                img = ImgVal(list(img))  # externally bound plane tuple
+            return [(SlotId(0), img)]
+
+        if kind in (K.OUTPUT_GRAY, K.OUTPUT_RGBA):
+            if by_slot:
+                return [(SlotId(0), by_slot[min(by_slot)])]
+            if kind == K.OUTPUT_RGBA:
+                z = _zeros((1, 1))
+                return [(SlotId(0), ImgVal([z, z, z, jnp.ones((1, 1), jnp.float32)]))]
+            return [(SlotId(0), ImgVal([_zeros((1, 1))]))]
+
+        if kind == K.MIX:
+            left, right = by_slot.get(SlotId(0)), by_slot.get(SlotId(1))
+            mix_type = node.node_type.payload
+            if left is not None:
+                rgba = left.is_rgba
+                right = (
+                    _as_type(right, rgba)
+                    if right is not None
+                    else _from_value(left.size, 0.0, rgba)
+                )
+            elif right is not None:
+                left = _from_value(right.size, 0.0, right.is_rgba)
+            else:
+                return [(SlotId(0), ImgVal([_zeros((1, 1))]))]
+            op = _binary(mix_type)
+            if left.is_rgba:
+                planes = [op(left.planes[i], right.planes[i]) for i in range(3)]
+                planes.append(_ones_like(planes[0]))
+            else:
+                planes = [op(left.planes[0], right.planes[0])]
+            return [(SlotId(0), ImgVal(planes))]
+
+        if kind == K.HEIGHT_TO_NORMAL:
+            from .ops.height_to_normal import _kernel
+
+            inp = by_slot.get(SlotId(0))
+            if inp is None or inp.is_rgba:
+                raise TexProError(
+                    ErrorKind.INVALID_BUFFER_COUNT, "HeightToNormal needs a Gray input"
+                )
+            outs = _kernel().__wrapped__(inp.planes[0])
+            return [(SlotId(0), ImgVal(list(outs)))]
+
+        if kind == K.SEPARATE_RGBA:
+            inp = by_slot.get(SlotId(0))
+            if inp is not None and inp.is_rgba:
+                return [(SlotId(i), ImgVal([inp.planes[i]])) for i in range(4)]
+            return [(SlotId(i), ImgVal([_zeros((1, 1))])) for i in range(4)]
+
+        if kind == K.COMBINE_RGBA:
+            size = by_slot[min(by_slot)].size if by_slot else Size(1, 1)
+            shape = (size.height, size.width)
+            shared_zero = None
+
+            def color(slot):
+                nonlocal shared_zero
+                img = by_slot.get(SlotId(slot))
+                if img is not None:
+                    return img.planes[0]
+                if shared_zero is None:
+                    shared_zero = _zeros(shape)
+                return shared_zero
+
+            alpha_img = by_slot.get(SlotId(3))
+            alpha = alpha_img.planes[0] if alpha_img is not None else jnp.ones(shape, jnp.float32)
+            return [(SlotId(0), ImgVal([color(0), color(1), color(2), alpha]))]
+
+        if kind == K.GRAPH:
+            nested = node.node_type.payload
+            # outer input slot id n ≡ inner Input node id n (`node_graph.rs:271-313`)
+            outer_map = {NodeId(int(slot)): img for slot, img in by_slot.items()}
+            nested_args = dict(args)
+            # bind inner InputGray nodes from the outer edges
+            for inner_id, img in outer_map.items():
+                nested_args[f"{prefix}g{nid}_input_{int(inner_id)}"] = img
+            nested_prefix = f"{prefix}g{nid}_"
+            nested_values = self._eval_graph(nested, nested_args, nested_prefix, outer_map)
+            outputs = []
+            for output_node_id in nested.output_ids():
+                img = nested_values[(output_node_id, SlotId(0))]
+                outputs.append((SlotId(int(output_node_id)), img))
+            return outputs
+
+        if kind == K.EMBED:
+            planes = args[f"{prefix}embed_{int(node.node_type.payload)}"]
+            return [(SlotId(0), ImgVal(list(planes)))]
+
+        if kind == K.WRITE:
+            return []  # host-side sink; not representable in a fused program
+
+        raise TexProError(ErrorKind.INVALID_NODE_TYPE, f"cannot fuse {node.node_type!r}")
+
+
+class CompiledGraph:
+    """A compiled, reusable evaluation program for a node graph.
+
+    `targets` selects which (node_id, slot_id) outputs to materialize; XLA
+    dead-code-eliminates everything not needed for them.
+    """
+
+    def __init__(
+        self,
+        node_graph: NodeGraph,
+        targets: Optional[list[tuple]] = None,
+        include_u8: bool = False,
+        donate: bool = False,
+    ):
+        import jax
+
+        self.node_graph = node_graph
+        if targets is None:
+            targets = [(nid, SlotId(0)) for nid in node_graph.output_ids()]
+            if not targets:
+                # default: every terminal node's slot-0 output
+                with_children = {e.output_id for e in node_graph.edges}
+                targets = [
+                    (n.node_id, SlotId(0))
+                    for n in node_graph.nodes
+                    if n.node_id not in with_children
+                    and n.node_type.kind != NodeTypeKind.WRITE
+                ]
+        self.targets = [(NodeId(n), SlotId(s)) for n, s in targets]
+        self.include_u8 = include_u8
+
+        self._compiler = GraphCompiler(node_graph, include_u8)
+        self._bindings = self._collect_bindings(node_graph, prefix="")
+
+        def fn(bound_args: dict):
+            values = self._compiler._eval_graph(node_graph, dict(bound_args), "")
+            out = {}
+            for key in self.targets:
+                img = values[key]
+                if include_u8:
+                    out[key] = _u8_export(img)
+                else:
+                    out[key] = tuple(img.planes)
+            return out
+
+        self._raw_fn = fn  # un-jitted traceable fn (vmap/shard composition)
+        self._fn = jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+    # --- default argument binding from node params / files ---
+    def _collect_bindings(self, graph: NodeGraph, prefix: str) -> dict:
+        import jax.numpy as jnp
+
+        bindings: dict = {}
+        K = NodeTypeKind
+        for node in graph.nodes:
+            nid = int(node.node_id)
+            kind = node.node_type.kind
+            if kind == K.VALUE:
+                bindings[f"{prefix}value_{nid}"] = np.float32(node.node_type.payload)
+            elif kind == K.IMAGE:
+                try:
+                    slot_image = image_io.read_slot_image(node.node_type.payload)
+                except TexProError:
+                    slot_image = image_io.magenta_placeholder()
+                bindings[f"{prefix}image_{nid}"] = tuple(
+                    jnp.asarray(p.host_data()) for p in slot_image.planes
+                )
+            elif kind == K.GRAPH:
+                bindings.update(
+                    self._collect_bindings(node.node_type.payload, f"{prefix}g{nid}_")
+                )
+        return bindings
+
+    def bind_embed(self, embedded_slot_data_id, planes) -> None:
+        import jax.numpy as jnp
+
+        self._bindings[f"embed_{int(embedded_slot_data_id)}"] = tuple(
+            jnp.asarray(p) for p in planes
+        )
+
+    def bind_input(self, input_node_id, planes, prefix: str = "") -> None:
+        import jax.numpy as jnp
+
+        self._bindings[f"{prefix}input_{int(input_node_id)}"] = tuple(
+            jnp.asarray(p) for p in planes
+        )
+
+    def set_value(self, node_id, value: float, prefix: str = "") -> None:
+        """Re-bind a Value node without recompiling."""
+        self._bindings[f"{prefix}value_{int(node_id)}"] = np.float32(value)
+
+    def __call__(self, **overrides):
+        args = dict(self._bindings)
+        args.update(overrides)
+        return self._fn(args)
+
+
+def _u8_export(img: ImgVal):
+    import jax.numpy as jnp
+
+    def f32_to_u8(x):
+        c = jnp.clip(x, 0.0, 1.0)
+        v = c * jnp.float32(255.0)
+        v = jnp.where(jnp.isnan(v), jnp.float32(255.0), jnp.minimum(v, jnp.float32(255.0)))
+        return v.astype(jnp.uint8)
+
+    if img.is_rgba:
+        return jnp.stack([f32_to_u8(p) for p in img.planes], axis=-1)
+    v = f32_to_u8(img.planes[0])
+    return jnp.stack([v, v, v, jnp.full_like(v, 255)], axis=-1)
+
+
+def graph_fingerprint(node_graph: NodeGraph, extra: str = "") -> str:
+    """Structure hash for program caching: topology + params + sizes."""
+    blob = json.dumps(node_graph.to_json(), sort_keys=True) + extra
+    return hashlib.blake2b(blob.encode(), digest_size=16).hexdigest()
+
+
+_PROGRAM_CACHE: dict = {}
+
+
+def compile_graph(
+    node_graph: NodeGraph,
+    targets: Optional[list[tuple]] = None,
+    include_u8: bool = False,
+    cache: bool = True,
+) -> CompiledGraph:
+    """Compile (with caching) a node graph into a fused program."""
+    key = None
+    if cache:
+        key = (
+            graph_fingerprint(node_graph, extra=repr(sorted(targets)) if targets else ""),
+            include_u8,
+        )
+        hit = _PROGRAM_CACHE.get(key)
+        if hit is not None:
+            return hit
+    program = CompiledGraph(node_graph, targets, include_u8)
+    if cache:
+        _PROGRAM_CACHE[key] = program
+    return program

@@ -125,16 +125,23 @@ class PlaneBuffer:
         """The plane as a device `jax.Array`, faulting it in if spilled.
 
         Faulting is synchronous (unlike the reference's request-flag + manager
-        round-trip at `transient_buffer.rs:203-217`); the LRU touch is still
-        reported to the managing queue.
+        round-trip at `transient_buffer.rs:203-217`), and the LRU move to the
+        back of the managing queue happens atomically with it (queue lock →
+        plane lock, same order as the evictor) so the evictor can never pick
+        a just-faulted plane as victim.
         """
-        with self._lock:
-            if self._tier != Tier.DEVICE:
-                self._fault_in_locked()
-            device = self._device
         queue = self._queue
-        if queue is not None:
-            queue._note_touch(self)
+        if queue is None:
+            with self._lock:
+                if self._tier != Tier.DEVICE:
+                    self._fault_in_locked()
+                return self._device
+        with queue._lock:
+            with self._lock:
+                if self._tier != Tier.DEVICE:
+                    self._fault_in_locked()
+                device = self._device
+            queue._move_to_back_locked(self)
         return device
 
     def host_data(self) -> np.ndarray:
@@ -242,8 +249,10 @@ class PlaneBufferQueue:
         self.host_threshold = host_threshold
         self.shutdown = shutdown
         self._incoming: list[PlaneBuffer] = []
-        self._touches: list[PlaneBuffer] = []
-        self._lock = threading.Lock()
+        # One reentrant lock guards queue order, membership, and eviction.
+        # Lock order everywhere is queue lock → plane lock (see
+        # PlaneBuffer.data), so LRU moves are atomic with fault-ins.
+        self._lock = threading.RLock()
 
     # --- ingestion (`transient_buffer.rs:297-345`) ---
     def add_buffer(self, buffer: PlaneBuffer) -> None:
@@ -254,13 +263,15 @@ class PlaneBufferQueue:
         for buf in slot_data.image.bufs():
             self.add_buffer(buf)
 
-    def _note_touch(self, buffer: PlaneBuffer) -> None:
-        with self._lock:
-            self._touches.append(buffer)
+    def _move_to_back_locked(self, buffer: PlaneBuffer) -> None:
+        try:
+            self.queue.remove(buffer)  # identity comparison (no __eq__)
+        except ValueError:
+            return  # not yet adopted; it will be appended by handle_incoming
+        self.queue.append(buffer)
 
-    def _handle_incoming(self) -> None:
-        with self._lock:
-            incoming, self._incoming = self._incoming, []
+    def _handle_incoming_locked(self) -> None:
+        incoming, self._incoming = self._incoming, []
         existing = {id(buf) for buf in self.queue}
         for buf in incoming:
             if id(buf) in existing:
@@ -272,33 +283,20 @@ class PlaneBufferQueue:
             else:
                 self.queue.appendleft(buf)
 
-    def _handle_touches(self) -> None:
-        with self._lock:
-            touches, self._touches = self._touches, []
-        if not touches:
-            return
-        touched_ids = []
-        seen = set()
-        for buf in touches:
-            if id(buf) not in seen:
-                seen.add(id(buf))
-                touched_ids.append(id(buf))
-        order = {bid: i for i, bid in enumerate(touched_ids)}
-        kept = [b for b in self.queue if id(b) not in order]
-        moved = sorted((b for b in self.queue if id(b) in order), key=lambda b: order[id(b)])
-        self.queue = deque(kept + moved)
-
     # --- accounting ---
     def bytes_memory(self) -> int:
-        return sum(b.bytes() for b in self.queue if b.tier == Tier.DEVICE)
+        with self._lock:
+            return sum(b.bytes() for b in self.queue if b.tier == Tier.DEVICE)
 
     def bytes_host(self) -> int:
-        return sum(b.bytes() for b in self.queue if b.tier == Tier.HOST)
+        with self._lock:
+            return sum(b.bytes() for b in self.queue if b.tier == Tier.HOST)
 
     def bytes_storage(self) -> int:
-        return sum(b.bytes() for b in self.queue if b.tier == Tier.STORAGE)
+        with self._lock:
+            return sum(b.bytes() for b in self.queue if b.tier == Tier.STORAGE)
 
-    def _sweep_orphans(self) -> None:
+    def _sweep_orphans_locked(self) -> None:
         # A plane referenced only by this queue belongs to no SlotData anymore
         # (reference: `Arc::strong_count == 1`, `transient_buffer.rs:364`).
         # CPython refcount: deque entry + loop temp + getrefcount argument = 3.
@@ -309,28 +307,28 @@ class PlaneBufferQueue:
         self.queue = survivors
 
     def tick(self) -> None:
-        self._handle_incoming()
-        self._sweep_orphans()
-        self._handle_touches()
+        with self._lock:
+            self._handle_incoming_locked()
+            self._sweep_orphans_locked()
 
-        threshold = self.memory_threshold.load()
-        in_memory = self.bytes_memory()
-        if in_memory > threshold:
-            for buf in self.queue:
-                if in_memory <= threshold:
-                    break
-                if buf.evict_to_host():
-                    in_memory -= buf.bytes()
-
-        if self.host_threshold is not None:
-            host_threshold = self.host_threshold.load()
-            on_host = self.bytes_host()
-            if on_host > host_threshold:
-                for buf in self.queue:
-                    if on_host <= host_threshold:
+            threshold = self.memory_threshold.load()
+            in_memory = sum(b.bytes() for b in self.queue if b.tier == Tier.DEVICE)
+            if in_memory > threshold:
+                for buf in list(self.queue):
+                    if in_memory <= threshold:
                         break
-                    if buf.tier == Tier.HOST and buf.spill_to_storage():
-                        on_host -= buf.bytes()
+                    if buf.evict_to_host():
+                        in_memory -= buf.bytes()
+
+            if self.host_threshold is not None:
+                host_threshold = self.host_threshold.load()
+                on_host = sum(b.bytes() for b in self.queue if b.tier == Tier.HOST)
+                if on_host > host_threshold:
+                    for buf in list(self.queue):
+                        if on_host <= host_threshold:
+                            break
+                        if buf.tier == Tier.HOST and buf.spill_to_storage():
+                            on_host -= buf.bytes()
 
     def thread_loop(self) -> None:
         while not self.shutdown.load():

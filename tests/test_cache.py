@@ -87,7 +87,21 @@ def test_drive_cache():
                     and not g.slot_in_memory(mix_node_2, SlotId(0))
                 )
 
-        assert _wait_until(faulted_in), "fault-in did not settle as expected"
+        def queue_dump():
+            q = tp.buffer_queue
+            with lg.read() as g:
+                states = {
+                    "values": [g.slot_in_memory(n, SlotId(0)) for n in value_nodes],
+                    "rgba": g.slot_in_memory(rgba_node, SlotId(0)),
+                    "mix1": g.slot_in_memory(mix_node_1, SlotId(0)),
+                    "mix2": g.slot_in_memory(mix_node_2, SlotId(0)),
+                }
+            return (
+                f"states={states} mem={q.bytes_memory()} host={q.bytes_host()} "
+                f"queue={[(b.tier.value, b.bytes(), b._touch_pending) for b in q.queue]}"
+            )
+
+        assert _wait_until(faulted_in), f"fault-in did not settle: {queue_dump()}"
     finally:
         tp.shutdown_now()
 

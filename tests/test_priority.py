@@ -102,5 +102,37 @@ def test_priority_scheduling():
     # With slots to spare and low priority, the large node finishes last.
     assert not _priority_internal(2, -1)
     # Serialized with high priority: the large node runs first.
+    # (The reference also asserts the max_processing=2 variant, but its
+    # outcome depends on kernels taking ~100 ms on CPU; with fused XLA
+    # kernels finishing in microseconds the ordering is noise, so admission
+    # behavior is asserted deterministically below instead.)
     assert _priority_internal(1, 1)
-    assert _priority_internal(2, 1)
+
+
+def test_admission_control_preemption(tex_pro):
+    """ProcessPackManager: priority-sorted admission, cap, and preemption of
+    the lowest-priority running pack (`process_pack.rs:33-96`)."""
+    from kanter_core_tpu.process_pack import ProcessPack, ProcessPackManager
+
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        nodes = [g.add_node(Node(NodeType.Value(0.0))) for _ in range(4)]
+
+    prios = [0, 2, -3, 5]
+    for node_id, p in zip(nodes, prios):
+        lg.node(node_id).priority.set_priority(p)
+        lg.node(node_id).priority._store_propagated(p)
+
+    manager = ProcessPackManager()
+    manager.max_count = 2
+
+    packs = [ProcessPack(nid, lg.node(nid).priority, lg) for nid in nodes]
+    admitted = manager.update(packs[:3])  # prios 0, 2, -3 → cap 2
+    assert [int(p.node_id) for p in admitted] == [int(nodes[1]), int(nodes[0])]
+
+    # A higher-priority pack preempts the lowest-priority running one,
+    # cancelling its node.
+    admitted2 = manager.update([packs[3]])  # prio 5
+    assert [int(p.node_id) for p in admitted2] == [int(nodes[3])]
+    assert lg.node(nodes[0]).cancel.load()  # prio 0 was preempted
+    assert not lg.node(nodes[3]).cancel.load()
