@@ -115,11 +115,13 @@ def _from_value(size: Size, value: float, rgba: bool) -> ImgVal:
 class GraphCompiler:
     """Traces a NodeGraph into a single jittable function."""
 
-    def __init__(self, node_graph: NodeGraph, include_u8: bool = False):
+    def __init__(self, node_graph: NodeGraph, include_u8: bool = False, preset=None):
         self.node_graph = node_graph
         self.include_u8 = include_u8
-        # argument spec discovered during tracing: list of (key, kind, meta)
-        self.arg_keys: list[str] = []
+        # preset: {(NodeId, SlotId): n_planes} — nodes whose outputs are
+        # already computed (clean boundary of a dirty partition); their
+        # planes are program arguments instead of being re-evaluated.
+        self.preset = dict(preset or {})
 
     # --- topo order ---
     def _topo_order(self, graph: NodeGraph) -> list:
@@ -151,7 +153,16 @@ class GraphCompiler:
             [outer_inputs[k] for k in sorted(outer_inputs)] if outer_inputs else []
         )
 
+        preset_nodes = (
+            {nid for nid, _ in self.preset} if (self.preset and prefix == "") else set()
+        )
+
         for node_id in self._topo_order(graph):
+            if node_id in preset_nodes:
+                for (nid, slot), _count in self.preset.items():
+                    if nid == node_id:
+                        values[(nid, slot)] = ImgVal(list(args[f"preset_{int(nid)}_{int(slot)}"]))
+                continue
             node = graph.node(node_id)
             edges = sorted(
                 (e for e in graph.edges if e.input_id == node_id),
@@ -202,9 +213,12 @@ class GraphCompiler:
 
         if kind in (K.INPUT_GRAY, K.INPUT_RGBA):
             if kind == K.INPUT_RGBA:
-                if not ordered_outer:
+                if ordered_outer:
+                    img = ordered_outer[0]  # reference indexes [0] (`input_rgba.rs:7-13`)
+                elif f"{prefix}input_rgba_first" in args:
+                    img = args[f"{prefix}input_rgba_first"]
+                else:
                     raise TexProError(ErrorKind.NODE_PROCESSING, "InputRgba with no outer input")
-                img = ordered_outer[0]  # reference indexes [0] (`input_rgba.rs:7-13`)
             else:
                 key = f"{prefix}input_{nid}"
                 if key not in args:
@@ -321,11 +335,17 @@ class CompiledGraph:
         targets: Optional[list[tuple]] = None,
         include_u8: bool = False,
         donate: bool = False,
+        preset=None,
+        emit_all: bool = False,
     ):
         import jax
 
         self.node_graph = node_graph
-        if targets is None:
+        self.preset = dict(preset or {})
+        self.emit_all = emit_all
+        if emit_all:
+            targets = []
+        elif targets is None:
             targets = [(nid, SlotId(0)) for nid in node_graph.output_ids()]
             if not targets:
                 # default: every terminal node's slot-0 output
@@ -339,12 +359,35 @@ class CompiledGraph:
         self.targets = [(NodeId(n), SlotId(s)) for n, s in targets]
         self.include_u8 = include_u8
 
-        self._compiler = GraphCompiler(node_graph, include_u8)
+        self._compiler = GraphCompiler(node_graph, include_u8, preset=self.preset)
         self._bindings = self._collect_bindings(node_graph, prefix="")
+
+        preset_node_ids = {nid for nid, _ in self.preset}
+        # emit_all mode: {key: (unique_plane_index, ...)} — plane aliasing
+        # across outputs (SeparateRgba, as_type, Output re-keying) is
+        # preserved by deduplicating identical tracers at trace time, exactly
+        # like the reference's Arc-shared channel planes.
+        self.output_layout: dict = {}
 
         def fn(bound_args: dict):
             values = self._compiler._eval_graph(node_graph, dict(bound_args), "")
             out = {}
+            if self.emit_all:
+                unique: dict = {}  # id(tracer) → (index, tracer)
+                layout: dict = {}
+                for key, img in values.items():
+                    if key[0] in preset_node_ids:
+                        continue
+                    idxs = []
+                    for plane in img.planes:
+                        pid = id(plane)
+                        if pid not in unique:
+                            unique[pid] = (len(unique), plane)
+                        idxs.append(unique[pid][0])
+                    layout[key] = tuple(idxs)
+                self.output_layout = layout
+                ordered = sorted(unique.values(), key=lambda iv: iv[0])
+                return tuple(plane for _, plane in ordered)
             for key in self.targets:
                 img = values[key]
                 if include_u8:
@@ -362,8 +405,11 @@ class CompiledGraph:
 
         bindings: dict = {}
         K = NodeTypeKind
+        preset_node_ids = {int(nid) for nid, _ in self.preset} if prefix == "" else set()
         for node in graph.nodes:
             nid = int(node.node_id)
+            if nid in preset_node_ids:
+                continue  # outputs are provided, don't decode/bind leaves
             kind = node.node_type.kind
             if kind == K.VALUE:
                 bindings[f"{prefix}value_{nid}"] = np.float32(node.node_type.payload)

@@ -43,13 +43,50 @@ class _ThreadMessage:
         self.live_graph = live_graph
 
 
+class _FusedMessage:
+    """Result of a fused-partition evaluation: slot datas per node, in
+    topological commit order."""
+
+    __slots__ = ("node_results", "result", "live_graph")
+
+    def __init__(self, node_results, result, live_graph):
+        self.node_results = node_results  # list[(node_id, list[SlotData])]
+        self.result = result  # None on success, BaseException on failure
+        self.live_graph = live_graph
+
+
+class _FusedPack:
+    """An admission unit covering a whole dirty partition."""
+
+    __slots__ = ("node_id", "priority", "live_graph", "partition")
+
+    def __init__(self, node_id, priority, live_graph, partition):
+        self.node_id = node_id  # the requested node (for admission/priority)
+        self.priority = priority
+        self.live_graph = live_graph
+        self.partition = partition  # list[NodeId], topo order
+
+
+def _contains_write(node) -> bool:
+    """True if the node is (or nests) a Write node — a host-side sink the
+    fused compiler cannot represent."""
+    from .node import NodeTypeKind
+
+    if node.node_type.kind == NodeTypeKind.WRITE:
+        return True
+    if node.node_type.kind == NodeTypeKind.GRAPH:
+        return any(_contains_write(inner) for inner in node.node_type.payload.nodes)
+    return False
+
+
 class Engine:
     TICK_SECONDS = 0.001
 
     def __init__(self, tex_pro):
         self.tex_pro = tex_pro
-        self._results: queue.Queue[_ThreadMessage] = queue.Queue()
+        self._results: queue.Queue = queue.Queue()
         self._wake_cv = threading.Condition(threading.Lock())
+        self._fused_programs: dict = {}  # fingerprint → CompiledGraph
 
     def wake(self) -> None:
         with self._wake_cv:
@@ -72,7 +109,10 @@ class Engine:
                 return  # unexpected admission error → shutdown (engine.rs:188-197)
 
             for pack in admitted:
-                self._dispatch(pack)
+                if isinstance(pack, _FusedPack):
+                    self._dispatch_fused(pack)
+                else:
+                    self._dispatch(pack)
 
             with self._wake_cv:
                 self._wake_cv.wait(timeout=self.TICK_SECONDS)
@@ -88,61 +128,106 @@ class Engine:
             live_graph = message.live_graph
             if not tex_pro.has_live_graph(live_graph):
                 continue
+            if isinstance(message, _FusedMessage):
+                self._commit_fused(message)
+                continue
             with live_graph.write() as lg:
                 node_id = message.node_id
                 if isinstance(message.result, BaseException):
-                    error = message.result
-                    if isinstance(error, TexProError) and error.kind == ErrorKind.CANCELED:
+                    self._commit_error(lg, node_id, message.result)
+                else:
+                    self._commit_success(lg, node_id, message.result)
+
+    def _commit_error(self, lg, node_id, error) -> None:
+        if isinstance(error, TexProError) and error.kind == ErrorKind.CANCELED:
+            try:
+                node = lg.node(node_id)
+            except TexProError:
+                return
+            lg.force_state(node_id, NodeState.DIRTY)
+            node.cancel.store(False)
+        else:
+            lg.fatal_error = error
+            self.tex_pro.shutdown.store(True)
+            lg._notify_state_change()
+
+    def _commit_success(self, lg, node_id, slot_datas) -> None:
+        for slot_data in slot_datas:
+            self.tex_pro.buffer_queue.add_slot_data(slot_data)
+
+        lg.remove_nodes_data(node_id)
+        lg.slot_datas.extend(slot_datas)
+
+        # Without use_cache, evict parents whose children are all done
+        # or in-flight. (This node is still Processing here — order
+        # matters, `engine.rs:58-75`.)
+        if not lg.use_cache:
+            for parent in lg.node_graph.get_parents(node_id):
+                children = lg.node_graph.get_children(parent)
+                if all(
+                    lg.node_state(c) in (NodeState.CLEAN, NodeState.PROCESSING)
+                    for c in children
+                ):
+                    lg.remove_nodes_data(parent)
+
+        # Commit-time cancellation: work finished for a node that was
+        # edited meanwhile is discarded (`engine.rs:77-102`).
+        not_clean = False
+        try:
+            node = lg.node(node_id)
+        except TexProError:
+            not_clean = True  # node removed while processing
+        else:
+            if node.cancel.take() or lg.node_state(node_id) == NodeState.PROCESSING_DIRTY:
+                not_clean = True
+            else:
+                lg.set_state(node_id, NodeState.CLEAN)
+
+        if not_clean:
+            lg.remove_nodes_data(node_id)
+            lg.force_state(node_id, NodeState.DIRTY)
+
+    def _commit_fused(self, message: _FusedMessage) -> None:
+        """Commit a fused partition node by node, in topo order, releasing
+        the graph lock between nodes so observers see incremental progress
+        and per-node cancel/dirty checks apply exactly as in the per-node
+        path."""
+        live_graph = message.live_graph
+        if message.result is not None:
+            error = message.result
+            with live_graph.write() as lg:
+                if isinstance(error, TexProError) and error.kind == ErrorKind.CANCELED:
+                    for node_id, _ in message.node_results:
                         try:
                             node = lg.node(node_id)
                         except TexProError:
                             continue
-                        lg.force_state(node_id, NodeState.DIRTY)
-                        node.cancel.store(False)
-                    else:
-                        lg.fatal_error = error
-                        tex_pro.shutdown.store(True)
-                        lg._notify_state_change()
-                    continue
-
-                slot_datas = message.result
-                for slot_data in slot_datas:
-                    tex_pro.buffer_queue.add_slot_data(slot_data)
-
-                lg.remove_nodes_data(node_id)
-                lg.slot_datas.extend(slot_datas)
-
-                # Without use_cache, evict parents whose children are all done
-                # or in-flight. (This node is still Processing here — order
-                # matters, `engine.rs:58-75`.)
-                if not lg.use_cache:
-                    for parent in lg.node_graph.get_parents(node_id):
-                        children = lg.node_graph.get_children(parent)
-                        if all(
-                            lg.node_state(c) in (NodeState.CLEAN, NodeState.PROCESSING)
-                            for c in children
+                        if lg.node_state(node_id) in (
+                            NodeState.PROCESSING,
+                            NodeState.PROCESSING_DIRTY,
                         ):
-                            lg.remove_nodes_data(parent)
-
-                # Commit-time cancellation: work finished for a node that was
-                # edited meanwhile is discarded (`engine.rs:77-102`).
-                not_clean = False
-                try:
-                    node = lg.node(node_id)
-                except TexProError:
-                    not_clean = True  # node removed while processing
+                            lg.force_state(node_id, NodeState.DIRTY)
+                        node.cancel.store(False)
                 else:
-                    if node.cancel.take() or lg.node_state(node_id) == NodeState.PROCESSING_DIRTY:
-                        not_clean = True
-                    else:
-                        lg.set_state(node_id, NodeState.CLEAN)
+                    lg.fatal_error = error
+                    self.tex_pro.shutdown.store(True)
+                    lg._notify_state_change()
+            return
 
-                if not_clean:
-                    lg.remove_nodes_data(node_id)
-                    lg.force_state(node_id, NodeState.DIRTY)
+        for node_id, slot_datas in message.node_results:
+            with live_graph.write() as lg:
+                self._commit_success(lg, node_id, slot_datas)
 
     # --- frontier selection (`engine.rs:128-183`) ---
-    def _collect_packs(self, live_graph: LiveGraph) -> list[ProcessPack]:
+    def _collect_packs(self, live_graph: LiveGraph) -> list:
+        if (
+            live_graph.fuse_subgraphs
+            and not live_graph.auto_update
+            and live_graph.fatal_error is None
+        ):
+            fused = self._collect_fused_pack(live_graph)
+            if fused is not None:
+                return fused
         if live_graph.auto_update:
             requested = [
                 nid
@@ -170,6 +255,226 @@ class Engine:
                 continue  # node deleted meanwhile
             packs.append(ProcessPack(node_id, node.priority, live_graph))
         return packs
+
+    def _collect_fused_pack(self, live_graph: LiveGraph):
+        """The TPU-native interactive path: the dirty ancestor closure of all
+        requested nodes becomes ONE partition, compiled into a single fused
+        XLA program (SURVEY §2 #2: "topological partition of dirty subgraph →
+        single fused jitted XLA call").
+
+        Returns None to fall back to per-node scheduling (partition touches
+        in-flight or unfusable nodes), or [] / [one _FusedPack].
+        """
+        from .node import NodeTypeKind
+
+        requested = [
+            nid
+            for nid, state in sorted(live_graph.node_states().items())
+            if state in (NodeState.REQUESTED, NodeState.PRIORITISED)
+        ]
+        if not requested:
+            return []
+
+        graph = live_graph.node_graph
+        partition: set = set()
+        stack = list(requested)
+        while stack:
+            node_id = stack.pop()
+            if node_id in partition:
+                continue
+            try:
+                state = live_graph.node_state(node_id)
+            except TexProError:
+                continue
+            if state in (NodeState.PROCESSING, NodeState.PROCESSING_DIRTY):
+                return None  # overlaps in-flight work → per-node this tick
+            if state == NodeState.CLEAN:
+                continue
+            try:
+                node = graph.node(node_id)
+            except TexProError:
+                continue
+            if _contains_write(node):
+                return None  # host-sink nodes can't be fused
+            partition.add(node_id)
+            for parent in graph.get_parents(node_id):
+                try:
+                    pstate = live_graph.node_state(parent)
+                except TexProError:
+                    continue
+                if pstate != NodeState.CLEAN:
+                    stack.append(parent)
+                else:
+                    # clean boundary parent: its data must still exist, else
+                    # recompute it as part of the partition (per-node path
+                    # re-dirties in this case, `engine.rs:266-273`)
+                    for edge in graph.edges:
+                        if edge.input_id == node_id and edge.output_id == parent:
+                            try:
+                                live_graph.slot_data(parent, edge.output_slot)
+                            except TexProError:
+                                stack.append(parent)
+                                partition.discard(parent)
+                                live_graph.set_state(parent, NodeState.DIRTY)
+                                break
+
+        if not partition:
+            return []
+
+        anchor = requested[0]
+        try:
+            priority = live_graph.node(anchor).priority
+        except TexProError:
+            return []
+        return [_FusedPack(anchor, priority, live_graph, sorted(partition))]
+
+    def _dispatch_fused(self, pack: "_FusedPack") -> None:
+        live_graph = pack.live_graph
+        with live_graph.write() as lg:
+            partition = []
+            for node_id in pack.partition:
+                try:
+                    state = lg.node_state(node_id)
+                except TexProError:
+                    continue  # deleted meanwhile
+                if state in (NodeState.PROCESSING, NodeState.PROCESSING_DIRTY, NodeState.CLEAN):
+                    continue
+                partition.append(node_id)
+            if not partition:
+                return
+            for node_id in partition:
+                lg._set_state_raw(node_id, NodeState.PROCESSING)
+                # per-node admission un-cancels each node it admits
+                # (`process_pack.rs:121-129`); do the same for every
+                # partition member, not just the anchor.
+                try:
+                    lg.node(node_id).cancel.store(False)
+                except TexProError:
+                    pass
+
+            snapshot = lg.node_graph.clone()
+            partition_set = set(partition)
+            # clean-boundary slot datas feeding the partition
+            boundary: dict = {}
+            for edge in snapshot.edges:
+                if edge.input_id in partition_set and edge.output_id not in partition_set:
+                    key = (edge.output_id, edge.output_slot)
+                    if key in boundary:
+                        continue
+                    try:
+                        boundary[key] = lg.slot_data(*key)
+                    except TexProError:
+                        # raced an eviction: re-dirty and retry next tick
+                        for node_id in partition:
+                            lg.force_state(node_id, NodeState.DIRTY)
+                        lg.set_state(edge.output_id, NodeState.DIRTY)
+                        return
+            embedded = lg.embedded_slot_datas()
+            input_datas = lg.input_slot_datas()
+
+        # prune the snapshot to partition + preset boundary so unrelated
+        # clean subgraphs are neither traced nor decoded
+        from .node_graph import NodeGraph as _NG
+
+        keep = partition_set | {nid for nid, _ in boundary}
+        pruned = _NG()
+        pruned.nodes = [n for n in snapshot.nodes if n.node_id in keep]
+        pruned.edges = [
+            e for e in snapshot.edges if e.output_id in keep and e.input_id in keep
+        ]
+        snapshot = pruned
+
+        # topo order for commit
+        order = {nid: i for i, nid in enumerate(self._topo_order(snapshot))}
+        partition.sort(key=lambda nid: order.get(nid, 0))
+
+        worker = threading.Thread(
+            target=self._worker_fused,
+            args=(snapshot, partition, boundary, embedded, input_datas, live_graph),
+            daemon=True,
+            name=f"kanter-fused-{len(partition)}",
+        )
+        worker.start()
+
+    @staticmethod
+    def _topo_order(graph) -> list:
+        order, visited = [], set()
+
+        def visit(node_id):
+            if node_id in visited:
+                return
+            visited.add(node_id)
+            for parent in graph.get_parents(node_id):
+                visit(parent)
+            order.append(node_id)
+
+        for node in graph.nodes:
+            visit(node.node_id)
+        return order
+
+    def _worker_fused(
+        self, snapshot, partition, boundary, embedded, input_datas, live_graph
+    ) -> None:
+        from .compiler import CompiledGraph, graph_fingerprint
+        from .node import NodeTypeKind
+        from .slot_data import SlotData
+        from .slot_image import SlotImage
+        from .transient_buffer import plane_from_device
+
+        try:
+            preset = {
+                key: len(slot_data.image.planes) for key, slot_data in boundary.items()
+            }
+            fingerprint = graph_fingerprint(
+                snapshot,
+                extra=repr(sorted((int(n), int(s), c) for (n, s), c in preset.items())),
+            )
+            prog = self._fused_programs.get(fingerprint)
+            if prog is None:
+                prog = CompiledGraph(snapshot, emit_all=True, preset=preset)
+                self._fused_programs[fingerprint] = prog
+
+            overrides = {}
+            for (nid, slot), slot_data in boundary.items():
+                overrides[f"preset_{int(nid)}_{int(slot)}"] = tuple(
+                    buf.data() for buf in slot_data.image.planes
+                )
+            for esd in embedded:
+                overrides[f"embed_{int(esd.slot_data_id)}"] = tuple(
+                    buf.data() for buf in esd.image.planes
+                )
+            if input_datas:
+                overrides["input_rgba_first"] = tuple(
+                    buf.data() for buf in input_datas[0].image.planes
+                )
+                for slot_data in input_datas:
+                    overrides[f"input_{int(slot_data.node_id)}"] = tuple(
+                        buf.data() for buf in slot_data.image.planes
+                    )
+
+            unique_planes = prog(**overrides)
+            # wrap each unique device plane once; aliased outputs share the
+            # PlaneBuffer (reference: Arc-shared channel planes)
+            wrapped = [plane_from_device(p) for p in unique_planes]
+
+            results: dict = {}
+            partition_set = set(partition)
+            for (node_id, slot_id), idxs in prog.output_layout.items():
+                if node_id not in partition_set:
+                    continue
+                image = SlotImage([wrapped[i] for i in idxs])
+                results.setdefault(node_id, []).append(SlotData(node_id, slot_id, image))
+
+            node_results = [
+                (node_id, sorted(results.get(node_id, []), key=lambda sd: sd.slot_id))
+                for node_id in partition
+                # Output nodes are included; Write nodes can't be here.
+            ]
+            message = _FusedMessage(node_results, None, live_graph)
+        except BaseException as e:  # noqa: BLE001
+            message = _FusedMessage([(nid, []) for nid in partition], e, live_graph)
+        self._results.put(message)
+        self.wake()
 
     # --- dispatch (`engine.rs:200-307`) ---
     def _dispatch(self, pack: ProcessPack) -> None:

@@ -60,6 +60,12 @@ class LiveGraph:
         self.priority_propagator = PriorityPropagator()
         self.auto_update = False
         self.use_cache = False
+        # TPU-native fast path: compile the dirty ancestor closure of every
+        # request into ONE fused XLA program instead of per-node dispatches.
+        # Observable semantics (states, change feed, commit-time cancel,
+        # use_cache eviction) are identical; auto_update graphs always use
+        # the per-node path so incremental progress stays visible.
+        self.fuse_subgraphs = True
         self.buffer_queue = buffer_queue
         # set by the engine on a fatal kernel error (reference: engine panic,
         # `engine.rs:111-119`); awaits re-raise it instead of hanging.
