@@ -262,14 +262,14 @@ class GraphCompiler:
             return [(SlotId(0), ImgVal(planes))]
 
         if kind == K.HEIGHT_TO_NORMAL:
-            from .ops.height_to_normal import _kernel
+            from .ops.height_to_normal import h2n_traceable
 
             inp = by_slot.get(SlotId(0))
             if inp is None or inp.is_rgba:
                 raise TexProError(
                     ErrorKind.INVALID_BUFFER_COUNT, "HeightToNormal needs a Gray input"
                 )
-            outs = _kernel().__wrapped__(inp.planes[0])
+            outs = h2n_traceable(inp.planes[0])
             return [(SlotId(0), ImgVal(list(outs)))]
 
         if kind == K.SEPARATE_RGBA:

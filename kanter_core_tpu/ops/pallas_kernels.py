@@ -1,0 +1,189 @@
+"""Pallas TPU kernels for hot ops.
+
+The elementwise node kernels (mix etc.) are left to XLA — it already fuses
+chains of them into single HBM-bound passes (see `compiler.py`). Pallas is
+used where manual data movement beats XLA's lowering:
+
+- `height_to_normal_pallas`: the wrap-stencil normal-map kernel in one pass.
+  The jnp reference implementation materializes two `jnp.roll` copies of the
+  heightmap; here each grid step DMAs one row-tile plus a single halo row
+  from a wrap-padded input and computes all three output planes in VMEM,
+  so HBM traffic is read-once/write-three instead of read-three.
+- `pack_u8_pallas`: fused f32→u8 conversion + RGBA interleave for export.
+
+Numerics note: on TPU, Pallas and XLA lower to the same VPU ops (mul/sub/
+div/sqrt are IEEE), so results match the jnp kernels bit-for-bit; the golden
+tests assert this in interpret mode on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@functools.cache
+def _h2n_kernel(height: int, width: int, tile_rows: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = (_ceil_div(height, tile_rows),)
+
+    def kernel(hpad_hbm, r_ref, g_ref, b_ref):
+        i = pl.program_id(0)
+
+        def body(scratch, sem):
+            # rows [i*T, i*T + T + 8) of the 8-row wrap-padded input: DMA
+            # slices must be 8-row aligned (Mosaic sublane tiling), so the
+            # halo is 8 rows; padded row k corresponds to source row k-8
+            # wrapped, and only the last halo row is actually used.
+            dma = pltpu.make_async_copy(
+                hpad_hbm.at[pl.ds(i * tile_rows, tile_rows + 8), :],
+                scratch,
+                sem,
+            )
+            dma.start()
+            dma.wait()
+
+            h = scratch[8:, :]  # current rows
+            up = scratch[7:-1, :]  # row above (wrapped)
+            left = pltpu.roll(h, 1, 1)  # column x-1 with wrap
+
+            pdx = jnp.float32(1.0) / jnp.float32(width)
+            pdy = jnp.float32(1.0) / jnp.float32(height)
+            zero = jnp.float32(0.0)
+            half = jnp.float32(0.5)
+
+            tz = h - left
+            tnorm = jnp.sqrt((pdx * pdx + zero) + tz * tz)
+            tx, ty, tzn = pdx / tnorm, zero / tnorm, tz / tnorm
+
+            bz = up - h
+            bnorm = jnp.sqrt((zero + pdy * pdy) + bz * bz)
+            bx, by, bzn = zero / bnorm, pdy / bnorm, bz / bnorm
+
+            cx = ty * bzn - tzn * by
+            cy = tzn * bx - tx * bzn
+            cz = tx * by - ty * bx
+            cnorm = jnp.sqrt((cx * cx + cy * cy) + cz * cz)
+
+            r_ref[:, :] = (cx / cnorm) * half + half
+            g_ref[:, :] = (cy / cnorm) * half + half
+            b_ref[:, :] = (cz / cnorm) * half + half
+
+        pl.run_scoped(
+            body,
+            scratch=pltpu.VMEM((tile_rows + 8, width), jnp.float32),
+            sem=pltpu.SemaphoreType.DMA(()),
+        )
+
+    out_spec = pl.BlockSpec(
+        (tile_rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((grid[0] * tile_rows, width), jnp.float32)
+            for _ in range(3)
+        ),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def h2n(h):
+        # wrap-pad 8 rows at the top (aligned halo); row 7 = source last row
+        hpad = jnp.concatenate([h[-8:, :] if height >= 8 else jnp.tile(h, (8, 1))[-8:, :], h], axis=0)
+        # pad rows up to the tile multiple (values don't matter; sliced off)
+        padded_rows = grid[0] * tile_rows + 8
+        if padded_rows > hpad.shape[0]:
+            hpad = jnp.pad(hpad, ((0, padded_rows - hpad.shape[0]), (0, 0)))
+        r, g, b = call(hpad)
+        alpha = jnp.ones((height, width), jnp.float32)
+        return r[:height], g[:height], b[:height], alpha
+
+    return h2n
+
+
+def height_to_normal_pallas(h, tile_rows: int = 64, interpret: bool | None = None):
+    """Pallas one-pass wrap-stencil HeightToNormal. `h` is an `[H, W]` f32
+    plane; returns (r, g, b, alpha) planes."""
+    import jax
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    height, width = h.shape
+    tile_rows = min(tile_rows, height)
+    return _h2n_kernel(height, width, tile_rows, interpret)(h)
+
+
+@functools.cache
+def _pack_u8_kernel(height: int, width: int, tile_rows: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = (_ceil_div(height, tile_rows),)
+
+    def kernel(r_ref, g_ref, b_ref, a_ref, out_ref):
+        def conv(x):
+            c = jnp.clip(x, 0.0, 1.0)
+            v = c * jnp.float32(255.0)
+            v = jnp.where(
+                jnp.isnan(v), jnp.float32(255.0), jnp.minimum(v, jnp.float32(255.0))
+            )
+            # Mosaic has no direct f32→u8 cast; go via i32 (same truncation
+            # toward zero; values are already in [0, 255]).
+            return v.astype(jnp.int32).astype(jnp.uint8)
+
+        # planar (4, T, W) block — the lane dimension stays W-wide and
+        # aligned; the channel interleave happens outside via an XLA
+        # transpose on the u8 result (4× smaller than transposing f32).
+        out_ref[0, :, :] = conv(r_ref[:, :])
+        out_ref[1, :, :] = conv(g_ref[:, :])
+        out_ref[2, :, :] = conv(b_ref[:, :])
+        out_ref[3, :, :] = conv(a_ref[:, :])
+
+    in_spec = pl.BlockSpec((tile_rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (4, tile_rows, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[in_spec] * 4,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((4, grid[0] * tile_rows, width), jnp.uint8),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def pack(r, g, b, a):
+        pad = grid[0] * tile_rows - height
+        if pad:
+            r, g, b, a = (jnp.pad(x, ((0, pad), (0, 0))) for x in (r, g, b, a))
+        planar = call(r, g, b, a)[:, :height]
+        return jnp.moveaxis(planar, 0, -1)  # [H, W, 4] interleaved
+
+    return pack
+
+
+def pack_u8_pallas(r, g, b, a, tile_rows: int = 512, interpret: bool | None = None):
+    """Fused f32→u8 + interleave: 4 `[H, W]` planes → `[H, W, 4]` u8."""
+    import jax
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    height, width = r.shape
+    tile_rows = min(tile_rows, height)
+    return _pack_u8_kernel(height, width, tile_rows, interpret)(r, g, b, a)

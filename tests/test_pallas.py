@@ -1,0 +1,43 @@
+"""Pallas kernel parity tests (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+
+from kanter_core_tpu.ops.height_to_normal import _h2n_jnp
+from kanter_core_tpu.ops.pallas_kernels import height_to_normal_pallas, pack_u8_pallas
+
+
+def test_h2n_pallas_matches_jnp():
+    rng = np.random.default_rng(1)
+    h = rng.random((96, 128), dtype=np.float32)
+    ref = jax.jit(_h2n_jnp)(h)
+    out = height_to_normal_pallas(h, tile_rows=32, interpret=True)
+    for i in range(4):
+        assert np.array_equal(np.asarray(ref[i]), np.asarray(out[i])), f"plane {i}"
+
+
+def test_h2n_pallas_uneven_tiles():
+    rng = np.random.default_rng(2)
+    h = rng.random((50, 128), dtype=np.float32)  # 50 not divisible by 32
+    ref = jax.jit(_h2n_jnp)(h)
+    out = height_to_normal_pallas(h, tile_rows=32, interpret=True)
+    for i in range(3):
+        assert np.array_equal(np.asarray(ref[i]), np.asarray(out[i])), f"plane {i}"
+
+
+def test_pack_u8_pallas():
+    rng = np.random.default_rng(3)
+    planes = [rng.standard_normal((40, 128)).astype(np.float32) * 2 for _ in range(4)]
+    planes[0][0, 0] = np.nan
+    planes[1][0, 1] = np.inf
+    planes[2][0, 2] = -np.inf
+    out = np.asarray(pack_u8_pallas(*planes, tile_rows=16, interpret=True))
+
+    def ref_conv(x):
+        c = np.clip(x, 0.0, 1.0)
+        v = c * np.float32(255.0)
+        v = np.where(np.isnan(v), np.float32(255.0), np.minimum(v, np.float32(255.0)))
+        return v.astype(np.uint8)
+
+    expected = np.stack([ref_conv(p) for p in planes], axis=-1)
+    assert np.array_equal(out, expected)
