@@ -35,24 +35,26 @@ from . import ops
 
 
 class _ThreadMessage:
-    __slots__ = ("node_id", "result", "live_graph")
+    __slots__ = ("node_id", "result", "live_graph", "event")
 
-    def __init__(self, node_id, result, live_graph):
+    def __init__(self, node_id, result, live_graph, event=None):
         self.node_id = node_id
         self.result = result  # list[SlotData] on success, BaseException on failure
         self.live_graph = live_graph
+        self.event = event  # profiling.NodeEvent
 
 
 class _FusedMessage:
     """Result of a fused-partition evaluation: slot datas per node, in
     topological commit order."""
 
-    __slots__ = ("node_results", "result", "live_graph")
+    __slots__ = ("node_results", "result", "live_graph", "events")
 
-    def __init__(self, node_results, result, live_graph):
+    def __init__(self, node_results, result, live_graph, events=None):
         self.node_results = node_results  # list[(node_id, list[SlotData])]
         self.result = result  # None on success, BaseException on failure
         self.live_graph = live_graph
+        self.events = events or {}  # node_id → profiling.NodeEvent
 
 
 class _FusedPack:
@@ -134,11 +136,18 @@ class Engine:
             with live_graph.write() as lg:
                 node_id = message.node_id
                 if isinstance(message.result, BaseException):
-                    self._commit_error(lg, node_id, message.result)
+                    self._commit_error(lg, node_id, message.result, message.event)
                 else:
-                    self._commit_success(lg, node_id, message.result)
+                    self._commit_success(lg, node_id, message.result, message.event)
 
-    def _commit_error(self, lg, node_id, error) -> None:
+    def _commit_error(self, lg, node_id, error, event=None) -> None:
+        if event is not None:
+            outcome = (
+                "canceled"
+                if isinstance(error, TexProError) and error.kind == ErrorKind.CANCELED
+                else "error"
+            )
+            self.tex_pro.timeline.end(event, outcome)
         if isinstance(error, TexProError) and error.kind == ErrorKind.CANCELED:
             try:
                 node = lg.node(node_id)
@@ -151,7 +160,7 @@ class Engine:
             self.tex_pro.shutdown.store(True)
             lg._notify_state_change()
 
-    def _commit_success(self, lg, node_id, slot_datas) -> None:
+    def _commit_success(self, lg, node_id, slot_datas, event=None) -> None:
         for slot_data in slot_datas:
             self.tex_pro.buffer_queue.add_slot_data(slot_data)
 
@@ -186,6 +195,8 @@ class Engine:
         if not_clean:
             lg.remove_nodes_data(node_id)
             lg.force_state(node_id, NodeState.DIRTY)
+        if event is not None:
+            self.tex_pro.timeline.end(event, "discarded" if not_clean else "clean")
 
     def _commit_fused(self, message: _FusedMessage) -> None:
         """Commit a fused partition node by node, in topo order, releasing
@@ -195,6 +206,13 @@ class Engine:
         live_graph = message.live_graph
         if message.result is not None:
             error = message.result
+            for event in message.events.values():
+                self.tex_pro.timeline.end(
+                    event,
+                    "canceled"
+                    if isinstance(error, TexProError) and error.kind == ErrorKind.CANCELED
+                    else "error",
+                )
             with live_graph.write() as lg:
                 if isinstance(error, TexProError) and error.kind == ErrorKind.CANCELED:
                     for node_id, _ in message.node_results:
@@ -216,7 +234,7 @@ class Engine:
 
         for node_id, slot_datas in message.node_results:
             with live_graph.write() as lg:
-                self._commit_success(lg, node_id, slot_datas)
+                self._commit_success(lg, node_id, slot_datas, message.events.get(node_id))
 
     # --- frontier selection (`engine.rs:128-183`) ---
     def _collect_packs(self, live_graph: LiveGraph) -> list:
@@ -388,9 +406,19 @@ class Engine:
         order = {nid: i for i, nid in enumerate(self._topo_order(snapshot))}
         partition.sort(key=lambda nid: order.get(nid, 0))
 
+        events = {}
+        for node_id in partition:
+            try:
+                kind = snapshot.node(node_id).node_type.kind.value
+            except TexProError:
+                kind = "?"
+            events[node_id] = self.tex_pro.timeline.begin(
+                node_id, kind, fused=len(partition)
+            )
+
         worker = threading.Thread(
             target=self._worker_fused,
-            args=(snapshot, partition, boundary, embedded, input_datas, live_graph),
+            args=(snapshot, partition, boundary, embedded, input_datas, live_graph, events),
             daemon=True,
             name=f"kanter-fused-{len(partition)}",
         )
@@ -413,7 +441,7 @@ class Engine:
         return order
 
     def _worker_fused(
-        self, snapshot, partition, boundary, embedded, input_datas, live_graph
+        self, snapshot, partition, boundary, embedded, input_datas, live_graph, events=None
     ) -> None:
         from .compiler import CompiledGraph, graph_fingerprint
         from .node import NodeTypeKind
@@ -470,9 +498,9 @@ class Engine:
                 for node_id in partition
                 # Output nodes are included; Write nodes can't be here.
             ]
-            message = _FusedMessage(node_results, None, live_graph)
+            message = _FusedMessage(node_results, None, live_graph, events)
         except BaseException as e:  # noqa: BLE001
-            message = _FusedMessage([(nid, []) for nid in partition], e, live_graph)
+            message = _FusedMessage([(nid, []) for nid in partition], e, live_graph, events)
         self._results.put(message)
         self.wake()
 
@@ -515,20 +543,21 @@ class Engine:
 
             assert len(edges) == len(input_data), f"NodeType: {node.node_type!r}"
 
+        event = self.tex_pro.timeline.begin(node_id, node.node_type.kind.value)
         worker = threading.Thread(
             target=self._worker,
-            args=(node, input_data, embedded_slot_datas, input_slot_datas, edges, live_graph),
+            args=(node, input_data, embedded_slot_datas, input_slot_datas, edges, live_graph, event),
             daemon=True,
             name=f"kanter-node-{int(node_id)}",
         )
         worker.start()
 
-    def _worker(self, node, input_data, embedded_slot_datas, input_slot_datas, edges, live_graph):
+    def _worker(self, node, input_data, embedded_slot_datas, input_slot_datas, edges, live_graph, event=None):
         try:
             result = ops.process_node(
                 node, input_data, embedded_slot_datas, input_slot_datas, edges, self.tex_pro
             )
         except BaseException as e:  # noqa: BLE001 — commit decides fatality
             result = e
-        self._results.put(_ThreadMessage(node.node_id, result, live_graph))
+        self._results.put(_ThreadMessage(node.node_id, result, live_graph, event))
         self.wake()

@@ -18,6 +18,7 @@ from .ids import NodeId, SlotId
 from .live_graph import LiveGraph, NodeState
 from .node import AtomicFlag
 from .process_pack import ProcessPackManager
+from .profiling import NodeTimeline
 from .slot_data import Size, SlotData
 from .transient_buffer import AtomicUsize, PlaneBufferQueue
 
@@ -38,6 +39,7 @@ class TextureProcessor:
         self._live_graphs_lock = threading.Lock()
         self._process_pack_manager = ProcessPackManager()
         self._ppm_lock = threading.Lock()
+        self.timeline = NodeTimeline()
         self.engine = Engine(self)
 
         self._engine_thread = threading.Thread(
@@ -113,6 +115,18 @@ class TextureProcessor:
     def set_max_processing_nodes(self, count: int) -> None:
         with self._ppm_lock:
             self._process_pack_manager.max_count = int(count)
+
+    def metrics(self) -> dict:
+        """Observability snapshot: buffer-tier bytes, in-flight dispatches,
+        per-node-kind timing summary, fused-program cache size."""
+        return {
+            "bytes_device": self.buffer_queue.bytes_memory(),
+            "bytes_host": self.buffer_queue.bytes_host(),
+            "bytes_storage": self.buffer_queue.bytes_storage(),
+            "processing_node_count": self.processing_node_count(),
+            "fused_programs": len(self.engine._fused_programs),
+            "timeline": self.timeline.summary(),
+        }
 
     # --- blocking getters (`texture_processor.rs:75-105`) ---
     @staticmethod

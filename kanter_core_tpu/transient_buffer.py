@@ -67,9 +67,12 @@ class AtomicUsize:
 
 
 def _hash_plane(salt: int, data: bytes) -> str:
-    h = hashlib.blake2b(salt.to_bytes(16, "little"), digest_size=16)
-    h.update(data)
-    return h.hexdigest()
+    """Salted content hash for spill-file names (verified on reload;
+    reference `transient_buffer.rs:98-133`). Uses the native C++ hash when
+    built, hashlib otherwise."""
+    from . import native
+
+    return native.salted_hash64(data, salt)
 
 
 class PlaneBuffer:

@@ -1,0 +1,67 @@
+"""Native C++ host-kernel tests (with pure-Python fallback parity)."""
+
+import numpy as np
+
+from kanter_core_tpu import native
+
+
+def test_native_builds():
+    # The environment has g++; the library must build and load.
+    assert native.available()
+
+
+def test_salted_hash_properties():
+    rng = np.random.default_rng(0)
+    data = rng.random((256, 256)).astype(np.float32)
+    h1 = native.salted_hash64(data, 12345)
+    h2 = native.salted_hash64(data, 12345)
+    h3 = native.salted_hash64(data, 54321)
+    assert h1 == h2
+    assert h1 != h3
+    mutated = data.copy()
+    mutated[13, 37] += 1e-3
+    assert native.salted_hash64(mutated, 12345) != h1
+    # bytes input path agrees with ndarray path
+    assert native.salted_hash64(data.tobytes(), 12345) == h1
+
+
+def test_pack_rgba_matches_python_semantics():
+    rng = np.random.default_rng(1)
+    planes = [(rng.standard_normal((33, 47)) * 2).astype(np.float32) for _ in range(4)]
+    planes[0][0, 0] = np.nan
+    planes[1][0, 0] = np.inf
+    planes[2][0, 0] = -np.inf
+    out = native.pack_rgba_u8(*planes)
+    ref = native._pack_rgba_py(*planes)
+    assert np.array_equal(out, ref)
+
+
+def test_pack_gray_matches_slot_image():
+    from kanter_core_tpu.slot_image import SlotImage
+
+    rng = np.random.default_rng(2)
+    plane = (rng.standard_normal((16, 16)) * 2).astype(np.float32)
+    ref = SlotImage.Gray(plane.copy()).to_u8()
+    out = native.pack_gray_u8(plane)
+    assert np.array_equal(out, ref)
+
+
+def test_planes_from_u8_matches_deconstruct():
+    from kanter_core_tpu.ops.image_io import deconstruct_image
+
+    rng = np.random.default_rng(3)
+    for channels in (1, 2, 3, 4):
+        pixels = rng.integers(0, 256, size=(9, 7, channels), dtype=np.uint8)
+        ref = deconstruct_image(pixels)
+        out = native.planes_from_u8(pixels)
+        for c in range(4):
+            assert np.array_equal(ref[c], out[c]), channels
+
+
+def test_spill_roundtrip_uses_native_hash(tmp_path):
+    from kanter_core_tpu.transient_buffer import PlaneBuffer
+
+    data = np.random.default_rng(4).random((64, 64)).astype(np.float32)
+    buf = PlaneBuffer(host=data.copy())
+    assert buf.spill_to_storage()
+    assert np.array_equal(buf.host_data(), data)
