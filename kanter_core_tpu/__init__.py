@@ -35,6 +35,8 @@ from .ops.embed import EmbeddedSlotData, EmbeddedSlotDataId
 from .priority import Priority, PriorityPropagator
 from .slot_data import ChannelPixel, SlotData
 from .slot_image import SlotImage
+from . import compiler, native, profiling
+from .compiler import CompiledGraph, compile_graph
 from .texture_processor import TextureProcessor
 from .transient_buffer import AtomicUsize, PlaneBuffer, PlaneBufferQueue, Tier
 
@@ -70,6 +72,11 @@ __all__ = [
     "SlotId",
     "SlotImage",
     "SlotType",
+    "CompiledGraph",
+    "compile_graph",
+    "compiler",
+    "native",
+    "profiling",
     "TexProError",
     "TextureProcessor",
     "Tier",

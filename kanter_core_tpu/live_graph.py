@@ -130,6 +130,14 @@ class LiveGraph:
             self.request(node_id)
             raise TexProError(ErrorKind.NODE_DIRTY)
 
+    def try_buffer_srgba(self, node_id: NodeId, slot_id: SlotId):
+        """Non-blocking sRGB read (`live_graph.rs:127-153`)."""
+        with self._lock:
+            if self.node_state(node_id) == NodeState.CLEAN:
+                return self.slot_data(node_id, slot_id).image.to_u8_srgb()
+            self.request(node_id)
+            raise TexProError(ErrorKind.NODE_DIRTY)
+
     # --- change feed ---
     def changed_consume(self) -> list[NodeId]:
         with self._lock:
