@@ -83,6 +83,7 @@ def _contains_write(node) -> bool:
 
 class Engine:
     TICK_SECONDS = 0.001
+    IDLE_TICK_SECONDS = 0.02  # edits/requests/results wake the loop anyway
 
     def __init__(self, tex_pro):
         self.tex_pro = tex_pro
@@ -116,8 +117,11 @@ class Engine:
                 else:
                     self._dispatch(pack)
 
+            idle = not admitted and self._results.empty()
             with self._wake_cv:
-                self._wake_cv.wait(timeout=self.TICK_SECONDS)
+                self._wake_cv.wait(
+                    timeout=self.IDLE_TICK_SECONDS if idle else self.TICK_SECONDS
+                )
 
     # --- result commit (`engine.rs:34-123`) ---
     def _drain_results(self) -> None:

@@ -67,6 +67,9 @@ class LiveGraph:
         # the per-node path so incremental progress stays visible.
         self.fuse_subgraphs = True
         self.buffer_queue = buffer_queue
+        # engine wake callbacks: edits/requests kick the scheduler instead of
+        # it polling at full rate while idle
+        self._wakers: list = []
         # set by the engine on a fatal kernel error (reference: engine panic,
         # `engine.rs:111-119`); awaits re-raise it instead of hanging.
         self.fatal_error: Optional[BaseException] = None
@@ -85,6 +88,8 @@ class LiveGraph:
     def _notify_state_change(self) -> None:
         with self._state_cv:
             self._state_cv.notify_all()
+        for waker in self._wakers:
+            waker()
 
     # --- blocking waits (`live_graph.rs:164-195`) ---
     @staticmethod
@@ -151,12 +156,20 @@ class LiveGraph:
             state = self.node_state(node_id)
             if state == NodeState.DIRTY:
                 self._node_state[node_id] = NodeState.REQUESTED
+        for waker in self._wakers:
+            waker()
 
     def prioritise(self, node_id: NodeId) -> None:
         with self._lock:
             state = self.node_state(node_id)
             if state in (NodeState.DIRTY, NodeState.REQUESTED):
                 self._node_state[node_id] = NodeState.PRIORITISED
+                changed = True
+            else:
+                changed = False
+        if changed:
+            for waker in self._wakers:
+                waker()
 
     def node_states(self) -> dict[NodeId, NodeState]:
         with self._lock:

@@ -71,11 +71,14 @@ class TextureProcessor:
     # --- live graph management ---
     def new_live_graph(self) -> LiveGraph:
         live_graph = LiveGraph(self.buffer_queue)
+        live_graph._wakers.append(self.engine.wake)
         with self._live_graphs_lock:
             self._live_graphs.append(live_graph)
         return live_graph
 
     def push_live_graph(self, live_graph: LiveGraph) -> None:
+        if self.engine.wake not in live_graph._wakers:
+            live_graph._wakers.append(self.engine.wake)
         with self._live_graphs_lock:
             self._live_graphs.append(live_graph)
         self.engine.wake()

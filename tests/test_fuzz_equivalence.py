@@ -1,0 +1,155 @@
+"""Randomized structural fuzz: the fused engine path, the per-node engine
+path, and the standalone compiler must produce bit-identical pixels for the
+same graph.
+
+Graphs are generated bottom-up from seeded RNGs over all fusable node types
+(Value, Image, all five Mix types, Separate/CombineRgba, HeightToNormal),
+with random slot wiring, resize policies, and filters — so size inference,
+type coercion, plane aliasing, and default-input rules are all exercised on
+irregular shapes.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import HEART_110, HEART_128, IMAGE_1, render_u8
+
+from kanter_core_tpu import (
+    MixType,
+    Node,
+    NodeGraph,
+    NodeType,
+    ResizeFilter,
+    ResizePolicy,
+    Size,
+    SlotId,
+    SlotType,
+    TextureProcessor,
+)
+from kanter_core_tpu.compiler import CompiledGraph
+
+
+def _build_random_graph(seed: int) -> tuple[NodeGraph, list]:
+    rng = np.random.default_rng(seed)
+    graph = NodeGraph()
+    # (node_id, output slots: list[(SlotId, SlotType)])
+    producers: list = []
+
+    def add(node, outputs):
+        node_id = graph.add_node(node)
+        producers.append((node_id, outputs))
+        return node_id
+
+    # seed producers
+    add(Node(NodeType.Value(float(rng.random()))), [(SlotId(0), SlotType.GRAY)])
+    add(
+        Node(NodeType.Image(str(rng.choice([HEART_128, HEART_110, IMAGE_1])))),
+        [(SlotId(0), SlotType.RGBA)],
+    )
+
+    def pick(slot_type, pool=None):
+        """A random producer output compatible with `slot_type`."""
+        options = []
+        for node_id, outputs in (producers if pool is None else pool):
+            for slot_id, st in outputs:
+                if slot_type == SlotType.GRAY_OR_RGBA or st == slot_type:
+                    options.append((node_id, slot_id))
+        if not options:
+            return None
+        return options[rng.integers(len(options))]
+
+    def rand_policy():
+        r = rng.integers(4)
+        if r == 0:
+            return ResizePolicy.MostPixels()
+        if r == 1:
+            return ResizePolicy.LeastPixels()
+        if r == 2:
+            return ResizePolicy.LargestAxes()
+        return ResizePolicy.SpecificSize(Size(int(rng.integers(30, 90)), int(rng.integers(30, 90))))
+
+    def rand_filter():
+        return list(ResizeFilter)[rng.integers(len(ResizeFilter))]
+
+    for _ in range(int(rng.integers(4, 9))):
+        kind = rng.integers(5)
+        pool = list(producers)  # only pre-existing nodes: keeps the DAG acyclic
+        if kind in (0, 1):  # Mix
+            mix = Node(NodeType.Mix(list(MixType)[rng.integers(5)]))
+            mix.resize_policy = rand_policy()
+            mix.resize_filter = rand_filter()
+            mix_id = add(mix, [(SlotId(0), SlotType.GRAY_OR_RGBA)])
+            left = pick(SlotType.GRAY_OR_RGBA, pool)
+            if left is not None and rng.random() < 0.9:
+                graph.connect(left[0], mix_id, left[1], SlotId(0))
+            right = pick(SlotType.GRAY_OR_RGBA, pool)
+            if right is not None and rng.random() < 0.7:
+                graph.connect(right[0], mix_id, right[1], SlotId(1))
+        elif kind == 2:  # CombineRgba
+            node = Node(NodeType.CombineRgba())
+            node.resize_policy = rand_policy()
+            combine_id = add(node, [(SlotId(0), SlotType.RGBA)])
+            for slot in range(4):
+                src = pick(SlotType.GRAY, pool)
+                if src is not None and rng.random() < 0.6:
+                    graph.connect(src[0], combine_id, src[1], SlotId(slot))
+        elif kind == 3:  # SeparateRgba
+            src = pick(SlotType.RGBA, pool)
+            sep_id = add(
+                Node(NodeType.SeparateRgba()),
+                [(SlotId(i), SlotType.GRAY) for i in range(4)],
+            )
+            if src is not None:
+                graph.connect(src[0], sep_id, src[1], SlotId(0))
+        else:  # HeightToNormal — only with a guaranteed gray input
+            src = pick(SlotType.GRAY, pool)
+            if src is None:
+                continue
+            h2n_id = add(Node(NodeType.HeightToNormal()), [(SlotId(0), SlotType.RGBA)])
+            graph.connect(src[0], h2n_id, src[1], SlotId(0))
+
+    # terminal outputs: one per leaf-ish producer kind
+    targets = []
+    gray = pick(SlotType.GRAY)
+    if gray is not None:
+        out = graph.add_node(Node(NodeType.OutputGray("g")))
+        graph.connect(gray[0], out, gray[1], SlotId(0))
+        targets.append(out)
+    rgba = pick(SlotType.RGBA)
+    if rgba is not None:
+        out = graph.add_node(Node(NodeType.OutputRgba("r")))
+        graph.connect(rgba[0], out, rgba[1], SlotId(0))
+        targets.append(out)
+    return graph, targets
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6, 7])
+def test_fused_pernode_compiler_equivalence(seed):
+    graph, targets = _build_random_graph(seed)
+    if not targets:
+        pytest.skip("degenerate graph")
+
+    tp = TextureProcessor(10_000_000)
+    try:
+        results = {}
+        for fused in (True, False):
+            lg = tp.new_live_graph()
+            with lg.write() as g:
+                g.fuse_subgraphs = fused
+                g.set_node_graph(graph.clone())
+            for target in targets:
+                results[(fused, target)] = render_u8(lg, target)
+            tp.remove_live_graph(lg)
+
+        prog = CompiledGraph(
+            graph.clone(), targets=[(t, SlotId(0)) for t in targets], include_u8=True
+        )
+        compiled = prog()
+        for target in targets:
+            fused_px = results[(True, target)]
+            pernode_px = results[(False, target)]
+            comp_px = np.asarray(compiled[(target, SlotId(0))]).reshape(-1)
+            assert np.array_equal(fused_px, pernode_px), f"fused != per-node (seed {seed})"
+            assert np.array_equal(fused_px, comp_px), f"fused != compiler (seed {seed})"
+    finally:
+        tp.shutdown_now()
