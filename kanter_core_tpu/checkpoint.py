@@ -1,0 +1,96 @@
+"""Full checkpoint/resume for live graphs.
+
+The reference persists *topology only* (`export_json`, `node_graph.rs:98-107`);
+resume reloads the JSON with every node Dirty and recomputes everything
+(SURVEY §5). That path exists here too (`NodeGraph.export_json/from_path`).
+
+This module goes further: `save_checkpoint` captures a LiveGraph's topology,
+per-node states, and the computed channel planes (deduplicated — shared
+planes are stored once and re-aliased on load), so `load_checkpoint` resumes
+with Clean nodes still clean and zero recompute. Priorities and cancel flags
+reset on load, matching the reference's `#[serde(skip)]` fields
+(`node/mod.rs:119-122`).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from .ids import NodeId, SlotId
+from .live_graph import LiveGraph, NodeState
+from .node_graph import NodeGraph
+from .slot_data import SlotData
+from .slot_image import SlotImage
+from .transient_buffer import plane_from_host
+
+
+def save_checkpoint(live_graph: LiveGraph, path: str) -> None:
+    with live_graph.read() as lg:
+        graph_json = lg.node_graph.to_json()
+        states = {str(int(nid)): state.value for nid, state in lg.node_states().items()}
+
+        plane_index: dict[int, int] = {}  # id(plane) → array index
+        arrays: list[np.ndarray] = []
+        slots = []
+        for slot_data in lg.slot_datas:
+            plane_ids = []
+            for plane in slot_data.image.planes:
+                key = id(plane)
+                if key not in plane_index:
+                    plane_index[key] = len(arrays)
+                    arrays.append(plane.host_data())
+                plane_ids.append(plane_index[key])
+            slots.append(
+                {
+                    "node_id": int(slot_data.node_id),
+                    "slot_id": int(slot_data.slot_id),
+                    "planes": plane_ids,
+                }
+            )
+
+        meta = {
+            "graph": graph_json,
+            "states": states,
+            "slots": slots,
+            "auto_update": lg.auto_update,
+            "use_cache": lg.use_cache,
+        }
+
+    np.savez_compressed(
+        path,
+        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        **{f"plane_{i}": arr for i, arr in enumerate(arrays)},
+    )
+
+
+def load_checkpoint(tex_pro, path: str) -> LiveGraph:
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["meta"]).decode())
+        planes = {}
+
+        live_graph = tex_pro.new_live_graph()
+        with live_graph.write() as lg:
+            lg.set_node_graph(NodeGraph.from_json(meta["graph"]))
+            lg.auto_update = meta["auto_update"]
+            lg.use_cache = meta["use_cache"]
+
+            def plane(i: int):
+                if i not in planes:
+                    planes[i] = plane_from_host(data[f"plane_{i}"])
+                return planes[i]
+
+            for slot in meta["slots"]:
+                image = SlotImage([plane(i) for i in slot["planes"]])
+                slot_data = SlotData(NodeId(slot["node_id"]), SlotId(slot["slot_id"]), image)
+                lg.slot_datas.append(slot_data)
+                tex_pro.buffer_queue.add_slot_data(slot_data)
+
+            for nid_str, state_name in meta["states"].items():
+                state = NodeState(state_name)
+                # in-flight work is not resumable
+                if state in (NodeState.PROCESSING, NodeState.PROCESSING_DIRTY):
+                    state = NodeState.DIRTY
+                lg._node_state[NodeId(int(nid_str))] = state
+    return live_graph

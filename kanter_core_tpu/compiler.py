@@ -466,10 +466,44 @@ def _u8_export(img: ImgVal):
     return jnp.stack([v, v, v, jnp.full_like(v, 255)], axis=-1)
 
 
+def _normalize_values(graph_json):
+    """Zero out Value payloads: they are program *arguments*, so two graphs
+    differing only in Value constants share one compiled program (the
+    interactive slider-drag case must not retrace per tick)."""
+    out = {"nodes": [], "edges": graph_json["edges"]}
+    for node in graph_json["nodes"]:
+        node_type = node["node_type"]
+        if isinstance(node_type, dict):
+            if "Value" in node_type:
+                node = dict(node, node_type={"Value": 0.0})
+            elif "Graph" in node_type:
+                node = dict(node, node_type={"Graph": _normalize_values(node_type["Graph"])})
+        out["nodes"].append(node)
+    return out
+
+
 def graph_fingerprint(node_graph: NodeGraph, extra: str = "") -> str:
-    """Structure hash for program caching: topology + params + sizes."""
-    blob = json.dumps(node_graph.to_json(), sort_keys=True) + extra
+    """Structure hash for program caching: topology + params + sizes.
+    Value-node constants are excluded (see `_normalize_values`)."""
+    blob = json.dumps(_normalize_values(node_graph.to_json()), sort_keys=True) + extra
     return hashlib.blake2b(blob.encode(), digest_size=16).hexdigest()
+
+
+def collect_value_bindings(node_graph: NodeGraph, prefix: str = "") -> dict:
+    """Current Value payloads as program-argument overrides (recursing into
+    nested graphs)."""
+    bindings = {}
+    for node in node_graph.nodes:
+        kind = node.node_type.kind
+        if kind == NodeTypeKind.VALUE:
+            bindings[f"{prefix}value_{int(node.node_id)}"] = np.float32(node.node_type.payload)
+        elif kind == NodeTypeKind.GRAPH:
+            bindings.update(
+                collect_value_bindings(
+                    node.node_type.payload, f"{prefix}g{int(node.node_id)}_"
+                )
+            )
+    return bindings
 
 
 _PROGRAM_CACHE: dict = {}
@@ -490,6 +524,9 @@ def compile_graph(
         )
         hit = _PROGRAM_CACHE.get(key)
         if hit is not None:
+            # the fingerprint normalizes Value constants away — refresh them
+            # from the graph actually being compiled
+            hit._bindings.update(collect_value_bindings(node_graph))
             return hit
     program = CompiledGraph(node_graph, targets, include_u8)
     if cache:

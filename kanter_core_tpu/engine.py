@@ -447,7 +447,7 @@ class Engine:
     def _worker_fused(
         self, snapshot, partition, boundary, embedded, input_datas, live_graph, events=None
     ) -> None:
-        from .compiler import CompiledGraph, graph_fingerprint
+        from .compiler import CompiledGraph, collect_value_bindings, graph_fingerprint
         from .node import NodeTypeKind
         from .slot_data import SlotData
         from .slot_image import SlotImage
@@ -466,7 +466,9 @@ class Engine:
                 prog = CompiledGraph(snapshot, emit_all=True, preset=preset)
                 self._fused_programs[fingerprint] = prog
 
-            overrides = {}
+            # re-bind Value constants from the live snapshot: the program is
+            # cached across value edits (fingerprint normalizes them out)
+            overrides = collect_value_bindings(snapshot)
             for (nid, slot), slot_data in boundary.items():
                 overrides[f"preset_{int(nid)}_{int(slot)}"] = tuple(
                     buf.data() for buf in slot_data.image.planes

@@ -147,3 +147,51 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_value_edit_reuses_fused_program(tex_pro):
+    """Dragging a Value slider must re-run the cached fused program, never
+    retrace/recompile (fingerprint normalizes Value constants)."""
+    from conftest import render_u8
+
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        val = g.add_node(Node(NodeType.Value(0.25)))
+        comb = g.add_node(Node(NodeType.CombineRgba()))
+        out = g.add_node(Node(NodeType.OutputRgba("out")))
+        g.connect(val, comb, SlotId(0), SlotId(0))
+        g.connect(comb, out, SlotId(0), SlotId(0))
+
+    assert render_u8(lg, out).tolist() == [63, 0, 0, 255]
+
+    for value, red in [(0.5, 127), (1.0, 255), (0.75, 191)]:
+        with lg.write() as g:
+            node = g.node_mut(val)  # marks dirty + cancels, like the reference
+            node.node_type = NodeType.Value(value)
+        assert render_u8(lg, out).tolist() == [red, 0, 0, 255]
+
+    assert len(tex_pro.engine._fused_programs) == 1, "value edits must not recompile"
+
+
+def test_row_sharded_h2n_halo():
+    """Spatial TP: a row-sharded HeightToNormal (wrap stencil) must match the
+    unsharded result — XLA GSPMD inserts the halo exchange for jnp.roll."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+
+    from kanter_core_tpu.ops.height_to_normal import _h2n_jnp
+
+    h = np.random.default_rng(7).random((64, 128), dtype=np.float32)
+    ref = [np.asarray(p) for p in jax.jit(_h2n_jnp)(h)]
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
+    sharded = jax.device_put(h, NamedSharding(mesh, P("rows", None)))
+    out = jax.jit(_h2n_jnp)(sharded)
+    for i in range(4):
+        assert np.array_equal(ref[i], np.asarray(out[i])), f"plane {i}"
+    assert "rows" in str(out[0].sharding)
