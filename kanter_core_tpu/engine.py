@@ -236,8 +236,11 @@ class Engine:
                     lg._notify_state_change()
             return
 
-        for node_id, slot_datas in message.node_results:
-            with live_graph.write() as lg:
+        # One lock acquisition for the whole partition: per-node commit logic
+        # (ordering, cancel checks, eviction) is preserved, but awaiting
+        # readers wake once instead of 65 lock round-trips per re-eval.
+        with live_graph.write() as lg:
+            for node_id, slot_datas in message.node_results:
                 self._commit_success(lg, node_id, slot_datas, message.events.get(node_id))
 
     # --- frontier selection (`engine.rs:128-183`) ---
