@@ -46,6 +46,32 @@ from .ops.mix import _binary
 from .ops.resize import calculate_size, resample_plane
 
 
+def _topo_order(graph) -> list:
+    """Iterative post-order topological sort (parents before children)."""
+    order, done, in_progress = [], set(), set()
+    for root in graph.nodes:
+        if root.node_id in done:
+            continue
+        stack = [(root.node_id, False)]
+        while stack:
+            node_id, expanded = stack.pop()
+            if node_id in done:
+                continue
+            if expanded:
+                in_progress.discard(node_id)
+                done.add(node_id)
+                order.append(node_id)
+                continue
+            if node_id in in_progress:
+                continue  # cycle guard (cannot happen in valid graphs)
+            in_progress.add(node_id)
+            stack.append((node_id, True))
+            for parent in graph.get_parents(node_id):
+                if parent not in done:
+                    stack.append((parent, False))
+    return order
+
+
 class ImgVal:
     """A symbolic image during tracing: 1 (gray) or 4 (rgba) plane tracers."""
 
@@ -123,21 +149,9 @@ class GraphCompiler:
         # planes are program arguments instead of being re-evaluated.
         self.preset = dict(preset or {})
 
-    # --- topo order ---
+    # --- topo order (iterative post-order over parents) ---
     def _topo_order(self, graph: NodeGraph) -> list:
-        order, visited = [], set()
-
-        def visit(node_id):
-            if node_id in visited:
-                return
-            visited.add(node_id)
-            for parent in graph.get_parents(node_id):
-                visit(parent)
-            order.append(node_id)
-
-        for node in graph.nodes:
-            visit(node.node_id)
-        return order
+        return _topo_order(graph)
 
     # --- symbolic node evaluation (mirrors ops.process_node) ---
     def _eval_graph(self, graph: NodeGraph, args: dict, prefix: str,

@@ -433,19 +433,9 @@ class Engine:
 
     @staticmethod
     def _topo_order(graph) -> list:
-        order, visited = [], set()
+        from .compiler import _topo_order
 
-        def visit(node_id):
-            if node_id in visited:
-                return
-            visited.add(node_id)
-            for parent in graph.get_parents(node_id):
-                visit(parent)
-            order.append(node_id)
-
-        for node in graph.nodes:
-            visit(node.node_id)
-        return order
+        return _topo_order(graph)
 
     def _worker_fused(
         self, snapshot, partition, boundary, embedded, input_datas, live_graph, events=None

@@ -192,39 +192,51 @@ class LiveGraph:
 
     def get_closest_processable(self, node_id: NodeId) -> list[NodeId]:
         """Closest ready-to-process ancestors, including self
-        (`live_graph.rs:279-311`)."""
+        (`live_graph.rs:279-311`). Iterative — deep chains must not hit the
+        interpreter recursion limit."""
         with self._lock:
-            closest: list[NodeId] = []
-            dirty, processing = [], []
-            for parent in self.node_graph.get_parents(node_id):
-                state = self.node_state(parent)
-                if state in _PROCESSINGISH:
-                    processing.append(parent)
-                elif state in _DIRTYISH:
-                    dirty.append(parent)
-            if not dirty and not processing:
-                closest.append(node_id)
-            else:
-                for parent in dirty:
-                    closest.extend(self.get_closest_processable(parent))
-            return sorted(set(closest))
+            closest: set[NodeId] = set()
+            visited: set[NodeId] = set()
+            stack = [node_id]
+            while stack:
+                current = stack.pop()
+                if current in visited:
+                    continue
+                visited.add(current)
+                dirty, processing = [], []
+                for parent in self.node_graph.get_parents(current):
+                    state = self.node_state(parent)
+                    if state in _PROCESSINGISH:
+                        processing.append(parent)
+                    elif state in _DIRTYISH:
+                        dirty.append(parent)
+                if not dirty and not processing:
+                    closest.add(current)
+                else:
+                    stack.extend(dirty)
+            return sorted(closest)
 
     def set_state(self, node_id: NodeId, node_state: NodeState) -> None:
         """State write + dirty propagation to children + changed feed
-        (`live_graph.rs:515-537`)."""
+        (`live_graph.rs:515-537`). Iterative dirty propagation."""
         with self._lock:
-            old = self.node_state(node_id)
-            if node_state == old:
-                return
-            if node_state == NodeState.DIRTY:
-                for child in self.node_graph.get_children(node_id):
-                    self.set_state(child, node_state)
-            if node_state == NodeState.DIRTY and old == NodeState.PROCESSING:
-                self._node_state[node_id] = NodeState.PROCESSING_DIRTY
-            else:
-                self._node_state[node_id] = node_state
-            self._changed.add(node_id)
-        self._notify_state_change()
+            changed_any = False
+            stack = [node_id]
+            while stack:
+                current = stack.pop()
+                old = self.node_state(current)
+                if node_state == old:
+                    continue
+                if node_state == NodeState.DIRTY:
+                    stack.extend(self.node_graph.get_children(current))
+                if node_state == NodeState.DIRTY and old == NodeState.PROCESSING:
+                    self._node_state[current] = NodeState.PROCESSING_DIRTY
+                else:
+                    self._node_state[current] = node_state
+                self._changed.add(current)
+                changed_any = True
+        if changed_any:
+            self._notify_state_change()
 
     def force_state(self, node_id: NodeId, node_state: NodeState) -> None:
         """set_state + unconditional write, e.g. ProcessingDirty → Dirty

@@ -340,10 +340,19 @@ class NodeGraph:
         return [NodeId(c) for c in children]
 
     def get_children_recursive(self, node_id: NodeId) -> list[NodeId]:
-        children = self.get_children(node_id)
-        output = list(children)
-        for child in children:
-            output.extend(self.get_children_recursive(child))
+        # Iterative with a visited set: the reference's recursive version
+        # (`node_graph.rs:566-575`) revisits shared descendants (exponential
+        # on diamond graphs) and callers deduplicate anyway.
+        output: list[NodeId] = []
+        visited: set[NodeId] = set()
+        stack = list(self.get_children(node_id))
+        while stack:
+            child = stack.pop()
+            if child in visited:
+                continue
+            visited.add(child)
+            output.append(child)
+            stack.extend(self.get_children(child))
         return output
 
     def get_parents(self, node_id: NodeId) -> list[NodeId]:

@@ -122,15 +122,19 @@ class PriorityPropagator:
                 self._propagate_priority(node_id, priority, node_graph)
 
     def _propagate_priority(self, this_node_id, this_prio: Priority, node_graph) -> None:
-        this_propagated = this_prio.propagated_priority()
-        for parent in node_graph.get_parents(this_node_id):
-            entry = self._prio_of_node_id(parent)
-            if entry is None:
-                continue
-            parent_node_id, parent_prio = entry
-            old = parent_prio._fetch_max_propagated(this_propagated)
-            if old < this_propagated:
-                self._propagate_priority(parent_node_id, parent_prio, node_graph)
-            elif old > this_propagated:
-                self._set_max_prio(parent_prio, node_graph, parent_node_id)
-                self._propagate_priority(parent_node_id, parent_prio, node_graph)
+        # iterative worklist (deep chains must not hit the recursion limit)
+        stack = [(this_node_id, this_prio)]
+        while stack:
+            node_id, prio = stack.pop()
+            propagated = prio.propagated_priority()
+            for parent in node_graph.get_parents(node_id):
+                entry = self._prio_of_node_id(parent)
+                if entry is None:
+                    continue
+                parent_node_id, parent_prio = entry
+                old = parent_prio._fetch_max_propagated(propagated)
+                if old < propagated:
+                    stack.append((parent_node_id, parent_prio))
+                elif old > propagated:
+                    self._set_max_prio(parent_prio, node_graph, parent_node_id)
+                    stack.append((parent_node_id, parent_prio))

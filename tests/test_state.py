@@ -170,3 +170,56 @@ def test_fatal_error_surfaces(tex_pro):
     with pytest.raises(TexProError):
         with LiveGraph.await_clean_read(lg, h2n):
             pass
+
+
+def test_deep_chain_walks_no_recursion_limit(tex_pro):
+    """All graph walks (dirty propagation, frontier, recursive children,
+    topo sort, priority propagation) must handle a 3000-node chain — far
+    beyond the interpreter recursion limit — because they are iterative."""
+    from kanter_core_tpu.graphs import deep_chain_graph
+    from kanter_core_tpu.compiler import _topo_order
+
+    graph, inputs, white, out = deep_chain_graph(depth=3000, nonlinear_every=0)
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        g.fuse_subgraphs = False  # walk-only test; no evaluation
+        g.set_node_graph(graph)
+
+        # dirty propagation from the root reaches every descendant
+        g.set_state(white, NodeState.CLEAN)
+        g.set_state(white, NodeState.DIRTY)
+        assert g.node_state(out) == NodeState.DIRTY
+
+        # frontier walk from the deepest node
+        frontier = g.get_closest_processable(out)
+        assert len(frontier) > 0
+
+        # recursive children + topo order cover the whole chain
+        assert len(set(g.node_graph.get_children_recursive(white))) >= 3000
+        assert len(_topo_order(g.node_graph)) == len(g.node_ids())
+
+        # priority propagation up the full chain
+        g.node(out).priority.set_priority(5)
+        g.propagate_priorities()
+        assert g.node(white).priority.propagated_priority() == 5
+
+
+def test_moderately_deep_chain_evaluates(tex_pro):
+    """End-to-end evaluation of a 192-node chain (fused single program)."""
+    from kanter_core_tpu.graphs import deep_chain_graph
+    import numpy as np
+    from kanter_core_tpu import SlotData, SlotImage
+
+    graph, inputs, white, out = deep_chain_graph(depth=192, nonlinear_every=0)
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        g.set_node_graph(graph)
+        for node in inputs:
+            g.add_input_slot_data(
+                SlotData(node, SlotId(0), SlotImage.Gray(np.full((4, 4), 0.5, np.float32)))
+            )
+    first = render_u8(lg, out)
+    with lg.write() as g:
+        g.node_mut(white).node_type = NodeType.Value(0.25)
+    second = render_u8(lg, out)
+    assert first.shape == second.shape
