@@ -1,0 +1,109 @@
+"""Concurrency stress: concurrent edits + reads must never deadlock,
+corrupt state, or leak errors (the reference leans on Rust's type system
+here — SURVEY §5 "race detection: absent"; we assert it dynamically)."""
+
+import threading
+import time
+
+import numpy as np
+
+from kanter_core_tpu import (
+    ErrorKind,
+    LiveGraph,
+    MixType,
+    Node,
+    NodeState,
+    NodeType,
+    SlotId,
+    TexProError,
+    TextureProcessor,
+)
+
+
+def test_concurrent_edits_and_reads():
+    tp = TextureProcessor(10_000_000)
+    errors: list = []
+    try:
+        lg = tp.new_live_graph()
+        with lg.write() as g:
+            g.use_cache = True
+            values = [g.add_node(Node(NodeType.Value(v / 4))) for v in range(4)]
+            combine = g.add_node(Node(NodeType.CombineRgba()))
+            for i, v in enumerate(values):
+                g.connect(v, combine, SlotId(0), SlotId(i))
+            mix = g.add_node(Node(NodeType.Mix(MixType.ADD)))
+            g.connect(combine, mix, SlotId(0), SlotId(0))
+            out = g.add_node(Node(NodeType.OutputRgba("out")))
+            g.connect(mix, out, SlotId(0), SlotId(0))
+
+        stop = threading.Event()
+
+        def editor(seed):
+            rng = np.random.default_rng(seed)
+            try:
+                while not stop.is_set():
+                    action = rng.integers(3)
+                    with lg.write() as g:
+                        if action == 0:
+                            node = g.node_mut(values[rng.integers(4)])
+                            node.node_type = NodeType.Value(float(rng.random()))
+                        elif action == 1:
+                            src = values[rng.integers(4)]
+                            g.connect(src, combine, SlotId(0), SlotId(int(rng.integers(4))))
+                        else:
+                            g.node(values[rng.integers(4)]).priority.set_priority(
+                                int(rng.integers(-5, 6))
+                            )
+                    time.sleep(0.001)
+            except BaseException as e:  # noqa: BLE001
+                errors.append(e)
+
+        def reader():
+            try:
+                while not stop.is_set():
+                    try:
+                        with lg.read() as g:
+                            g.node_state(out)
+                            pixels = g.try_buffer_rgba(out, SlotId(0))
+                            assert pixels.shape == (4,)
+                    except TexProError as e:
+                        if e.kind not in (ErrorKind.NODE_DIRTY, ErrorKind.NO_SLOT_DATA):
+                            raise
+                    time.sleep(0.0005)
+            except BaseException as e:  # noqa: BLE001
+                errors.append(e)
+
+        def observer():
+            try:
+                while not stop.is_set():
+                    with lg.read() as g:
+                        g.changed_consume()
+                    tp.metrics()
+                    time.sleep(0.002)
+            except BaseException as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=editor, args=(1,), daemon=True),
+            threading.Thread(target=editor, args=(2,), daemon=True),
+            threading.Thread(target=reader, daemon=True),
+            threading.Thread(target=observer, daemon=True),
+        ]
+        for t in threads:
+            t.start()
+        time.sleep(3.0)
+        stop.set()
+        for t in threads:
+            t.join(timeout=10)
+            assert not t.is_alive(), "stress thread failed to stop (deadlock?)"
+
+        assert not errors, f"stress raised: {errors!r}"
+        assert lg.fatal_error is None
+
+        # the system settles: a final read completes and leaves the chain clean
+        with LiveGraph.await_clean_read(lg, out) as g:
+            pixels = g.buffer_rgba(out, SlotId(0))
+            assert pixels.shape == (4,)
+            assert g.node_state(out) == NodeState.CLEAN
+    finally:
+        tp.shutdown_now()
