@@ -323,6 +323,23 @@ class LiveGraph:
                 raise TexProError(ErrorKind.INVALID_NODE_ID)
             return node
 
+    def set_mix_type(self, node_id: NodeId, mix_type) -> None:
+        """Change a Mix node's operator and dirty it (the reference's
+        `NodeGraph::set_mix_type`, `node_graph.rs:48-63`, does not touch
+        states; going through the LiveGraph keeps them consistent)."""
+        with self._lock:
+            self.node_graph.set_mix_type(node_id, mix_type)
+            self.set_state(node_id, NodeState.DIRTY)
+            self.node(node_id).cancel.store(True)
+
+    def set_image_node_path(self, node_id: NodeId, path) -> None:
+        """Change an Image node's source path and dirty it
+        (`node_graph.rs:65-83`)."""
+        with self._lock:
+            self.node_graph.set_image_node_path(node_id, path)
+            self.set_state(node_id, NodeState.DIRTY)
+            self.node(node_id).cancel.store(True)
+
     def set_node_with_id(self, node_id: NodeId, node: Node) -> None:
         with self._lock:
             index = self.node_graph._index_of_node(node_id)

@@ -169,3 +169,22 @@ def test_node_type_discriminant_equality():
     assert NodeType.Value(1.0) == NodeType.Value(2.0)
     assert NodeType.Mix(MixType.ADD) == NodeType.Mix(MixType.POW)
     assert NodeType.Value(1.0) != NodeType.Mix()
+
+
+def test_live_set_mix_type_dirties(tex_pro):
+    from conftest import render_u8
+
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        v = g.add_node(Node(NodeType.Value(0.5)))
+        mix = g.add_node(Node(NodeType.Mix(MixType.ADD)))
+        comb = g.add_node(Node(NodeType.CombineRgba()))
+        out = g.add_node(Node(NodeType.OutputRgba("out")))
+        g.connect(v, mix, SlotId(0), SlotId(0))
+        g.connect(v, mix, SlotId(0), SlotId(1))
+        g.connect(mix, comb, SlotId(0), SlotId(0))
+        g.connect(comb, out, SlotId(0), SlotId(0))
+    assert render_u8(lg, out).tolist() == [255, 0, 0, 255]  # 0.5 + 0.5
+    with lg.write() as g:
+        g.set_mix_type(mix, MixType.MULTIPLY)
+    assert render_u8(lg, out).tolist() == [63, 0, 0, 255]  # 0.5 * 0.5
