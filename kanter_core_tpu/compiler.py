@@ -301,12 +301,24 @@ class GraphCompiler:
                 nonlocal shared_zero
                 img = by_slot.get(SlotId(slot))
                 if img is not None:
+                    if img.is_rgba:
+                        # matches the eager op's fatal error
+                        # (`combine_rgba.rs:22-25`, separate_combine.py)
+                        raise TexProError(
+                            ErrorKind.INVALID_SLOT_TYPE,
+                            "RGBA image connected to a CombineRgba input slot",
+                        )
                     return img.planes[0]
                 if shared_zero is None:
                     shared_zero = _zeros(shape)
                 return shared_zero
 
             alpha_img = by_slot.get(SlotId(3))
+            if alpha_img is not None and alpha_img.is_rgba:
+                raise TexProError(
+                    ErrorKind.INVALID_SLOT_TYPE,
+                    "RGBA image connected to a CombineRgba input slot",
+                )
             alpha = alpha_img.planes[0] if alpha_img is not None else jnp.ones(shape, jnp.float32)
             return [(SlotId(0), ImgVal([color(0), color(1), color(2), alpha]))]
 
@@ -380,8 +392,14 @@ class CompiledGraph:
         # emit_all mode: {key: (unique_plane_index, ...)} — plane aliasing
         # across outputs (SeparateRgba, as_type, Output re-keying) is
         # preserved by deduplicating identical tracers at trace time, exactly
-        # like the reference's Arc-shared channel planes.
-        self.output_layout: dict = {}
+        # like the reference's Arc-shared channel planes. The aliasing
+        # structure can depend on input *shapes* (which operand a resize pass
+        # copies vs aliases), so layouts are kept per shape signature
+        # (`call_with_layout`) — never a single mutable attribute a retrace
+        # could clobber for other shapes/threads.
+        self._layouts: dict = {}  # shape signature → layout dict
+        self._pending_layout: Optional[dict] = None
+        self._trace_lock = __import__("threading").Lock()
 
         def fn(bound_args: dict):
             values = self._compiler._eval_graph(node_graph, dict(bound_args), "")
@@ -399,7 +417,7 @@ class CompiledGraph:
                             unique[pid] = (len(unique), plane)
                         idxs.append(unique[pid][0])
                     layout[key] = tuple(idxs)
-                self.output_layout = layout
+                self._pending_layout = layout
                 ordered = sorted(unique.values(), key=lambda iv: iv[0])
                 return tuple(plane for _, plane in ordered)
             for key in self.targets:
@@ -412,6 +430,47 @@ class CompiledGraph:
 
         self._raw_fn = fn  # un-jitted traceable fn (vmap/shard composition)
         self._fn = jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+    @staticmethod
+    def _shape_signature(args: dict):
+        import jax
+
+        sig = []
+        for key in sorted(args):
+            shapes = tuple(
+                getattr(leaf, "shape", ()) for leaf in jax.tree.leaves(args[key])
+            )
+            sig.append((key, shapes))
+        return tuple(sig)
+
+    def call_with_layout(self, **overrides):
+        """emit_all evaluation returning `(unique_planes, layout)` where
+        `layout` maps `(node_id, slot_id) → (unique_plane_index, ...)` for
+        exactly the shapes of this call."""
+        assert self.emit_all
+        args = dict(self._bindings)
+        args.update(overrides)
+        sig = self._shape_signature(args)
+        layout = self._layouts.get(sig)
+        if layout is not None:
+            return self._fn(args), layout
+        # first call for this shape set: serialize so the trace-recorded
+        # layout is attributed to the right signature
+        with self._trace_lock:
+            layout = self._layouts.get(sig)
+            if layout is not None:
+                return self._fn(args), layout
+            self._pending_layout = None
+            result = self._fn(args)
+            layout = self._pending_layout
+            if layout is None:
+                # executable was already cached under a signature alias
+                # (should not happen; evaluate eagerly as a fallback)
+                raise TexProError(
+                    ErrorKind.GENERIC, "fused program produced no layout for new shapes"
+                )
+            self._layouts[sig] = layout
+            return result, layout
 
     # --- default argument binding from node params / files ---
     def _collect_bindings(self, graph: NodeGraph, prefix: str) -> dict:
@@ -503,6 +562,35 @@ def graph_fingerprint(node_graph: NodeGraph, extra: str = "") -> str:
     return hashlib.blake2b(blob.encode(), digest_size=16).hexdigest()
 
 
+def collect_image_bindings(node_graph: NodeGraph, node_ids=None, prefix: str = "") -> dict:
+    """Freshly decoded planes for Image nodes (optionally restricted to
+    `node_ids` at the top level). A dirtied Image node must re-read its file
+    like the eager op does (`image.rs:11-19`) — cached program bindings hold
+    the pixels from compile time."""
+    import jax.numpy as jnp
+
+    bindings = {}
+    for node in node_graph.nodes:
+        kind = node.node_type.kind
+        if kind == NodeTypeKind.IMAGE:
+            if prefix == "" and node_ids is not None and node.node_id not in node_ids:
+                continue
+            try:
+                slot_image = image_io.read_slot_image(node.node_type.payload)
+            except TexProError:
+                slot_image = image_io.magenta_placeholder()
+            bindings[f"{prefix}image_{int(node.node_id)}"] = tuple(
+                jnp.asarray(p.host_data()) for p in slot_image.planes
+            )
+        elif kind == NodeTypeKind.GRAPH:
+            bindings.update(
+                collect_image_bindings(
+                    node.node_type.payload, None, f"{prefix}g{int(node.node_id)}_"
+                )
+            )
+    return bindings
+
+
 def collect_value_bindings(node_graph: NodeGraph, prefix: str = "") -> dict:
     """Current Value payloads as program-argument overrides (recursing into
     nested graphs)."""
@@ -520,7 +608,10 @@ def collect_value_bindings(node_graph: NodeGraph, prefix: str = "") -> dict:
     return bindings
 
 
-_PROGRAM_CACHE: dict = {}
+from collections import OrderedDict
+
+_PROGRAM_CACHE: OrderedDict = OrderedDict()
+_PROGRAM_CACHE_CAP = 128  # LRU bound: compiled programs pin executables + decoded planes
 
 
 def compile_graph(
@@ -529,7 +620,11 @@ def compile_graph(
     include_u8: bool = False,
     cache: bool = True,
 ) -> CompiledGraph:
-    """Compile (with caching) a node graph into a fused program."""
+    """Compile (with caching) a node graph into a fused program.
+
+    Cache hits return a shallow handle sharing the jitted executable but
+    owning its bindings, so refreshing Value constants for one caller never
+    mutates a handle previously returned to another."""
     key = None
     if cache:
         key = (
@@ -538,11 +633,16 @@ def compile_graph(
         )
         hit = _PROGRAM_CACHE.get(key)
         if hit is not None:
-            # the fingerprint normalizes Value constants away — refresh them
-            # from the graph actually being compiled
-            hit._bindings.update(collect_value_bindings(node_graph))
-            return hit
+            _PROGRAM_CACHE.move_to_end(key)
+            import copy
+
+            handle = copy.copy(hit)
+            handle._bindings = dict(hit._bindings)
+            handle._bindings.update(collect_value_bindings(node_graph))
+            return handle
     program = CompiledGraph(node_graph, targets, include_u8)
     if cache:
         _PROGRAM_CACHE[key] = program
+        while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_CAP:
+            _PROGRAM_CACHE.popitem(last=False)
     return program

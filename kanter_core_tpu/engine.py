@@ -85,11 +85,16 @@ class Engine:
     TICK_SECONDS = 0.001
     IDLE_TICK_SECONDS = 0.02  # edits/requests/results wake the loop anyway
 
+    FUSED_PROGRAM_CACHE_CAP = 64  # LRU bound on retained compiled programs
+
     def __init__(self, tex_pro):
+        from collections import OrderedDict
+
         self.tex_pro = tex_pro
         self._results: queue.Queue = queue.Queue()
         self._wake_cv = threading.Condition(threading.Lock())
-        self._fused_programs: dict = {}  # fingerprint → CompiledGraph
+        self._fused_programs: "OrderedDict" = OrderedDict()  # fingerprint → CompiledGraph
+        self._fused_programs_lock = threading.Lock()
 
     def wake(self) -> None:
         with self._wake_cv:
@@ -118,6 +123,10 @@ class Engine:
                     self._dispatch(pack)
 
             idle = not admitted and self._results.empty()
+            # drop loop locals: a lingering `live_graph`/`pack` reference in
+            # this long-lived frame would defeat the refcount-based orphan GC
+            live_graph = pack = None  # noqa: F841
+            process_packs = admitted = None  # noqa: F841
             with self._wake_cv:
                 self._wake_cv.wait(
                     timeout=self.IDLE_TICK_SECONDS if idle else self.TICK_SECONDS
@@ -346,10 +355,17 @@ class Engine:
         if not partition:
             return []
 
-        anchor = requested[0]
-        try:
-            priority = live_graph.node(anchor).priority
-        except TexProError:
+        # admission priority: the hottest requested node speaks for the
+        # partition (using requested[0] would invert priorities under load)
+        anchor, priority = None, None
+        for node_id in requested:
+            try:
+                prio = live_graph.node(node_id).priority
+            except TexProError:
+                continue
+            if priority is None or prio.propagated_priority() > priority.propagated_priority():
+                anchor, priority = node_id, prio
+        if anchor is None:
             return []
         return [_FusedPack(anchor, priority, live_graph, sorted(partition))]
 
@@ -440,7 +456,12 @@ class Engine:
     def _worker_fused(
         self, snapshot, partition, boundary, embedded, input_datas, live_graph, events=None
     ) -> None:
-        from .compiler import CompiledGraph, collect_value_bindings, graph_fingerprint
+        from .compiler import (
+            CompiledGraph,
+            collect_image_bindings,
+            collect_value_bindings,
+            graph_fingerprint,
+        )
         from .node import NodeTypeKind
         from .slot_data import SlotData
         from .slot_image import SlotImage
@@ -454,14 +475,23 @@ class Engine:
                 snapshot,
                 extra=repr(sorted((int(n), int(s), c) for (n, s), c in preset.items())),
             )
-            prog = self._fused_programs.get(fingerprint)
+            with self._fused_programs_lock:
+                prog = self._fused_programs.get(fingerprint)
+                if prog is not None:
+                    self._fused_programs.move_to_end(fingerprint)
             if prog is None:
                 prog = CompiledGraph(snapshot, emit_all=True, preset=preset)
-                self._fused_programs[fingerprint] = prog
+                with self._fused_programs_lock:
+                    self._fused_programs[fingerprint] = prog
+                    while len(self._fused_programs) > self.FUSED_PROGRAM_CACHE_CAP:
+                        self._fused_programs.popitem(last=False)
 
             # re-bind Value constants from the live snapshot: the program is
-            # cached across value edits (fingerprint normalizes them out)
+            # cached across value edits (fingerprint normalizes them out).
+            # Dirty Image nodes re-decode their files (cached programs hold
+            # compile-time pixels; the eager path re-reads every run).
             overrides = collect_value_bindings(snapshot)
+            overrides.update(collect_image_bindings(snapshot, node_ids=set(partition)))
             for (nid, slot), slot_data in boundary.items():
                 overrides[f"preset_{int(nid)}_{int(slot)}"] = tuple(
                     buf.data() for buf in slot_data.image.planes
@@ -479,14 +509,14 @@ class Engine:
                         buf.data() for buf in slot_data.image.planes
                     )
 
-            unique_planes = prog(**overrides)
+            unique_planes, layout = prog.call_with_layout(**overrides)
             # wrap each unique device plane once; aliased outputs share the
             # PlaneBuffer (reference: Arc-shared channel planes)
             wrapped = [plane_from_device(p) for p in unique_planes]
 
             results: dict = {}
             partition_set = set(partition)
-            for (node_id, slot_id), idxs in prog.output_layout.items():
+            for (node_id, slot_id), idxs in layout.items():
                 if node_id not in partition_set:
                     continue
                 image = SlotImage([wrapped[i] for i in idxs])

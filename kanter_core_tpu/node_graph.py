@@ -118,13 +118,8 @@ class NodeGraph:
         while name_edit in name_list:
             head, sep, number = name_edit.rpartition("_")
             if sep and number.isdigit():
-                try:
-                    number = (int(number) + 1) & 0xFFFFFFFF
-                except ValueError:
-                    number = 0
+                number = (int(number) + 1) & 0xFFFFFFFF  # u32 wrapping_add
                 name_edit = f"{head}_{number}"
-            elif sep:
-                name_edit = f"{name_edit}_0"
             else:
                 name_edit = f"{name_edit}_0"
         return name_edit

@@ -38,8 +38,24 @@ def test_fused_matches_golden():
 
 
 def test_program_cache_hit():
-    main, _, _, _ = _invert_main_graph()
-    assert compile_graph(main) is compile_graph(main)
+    """Cache hits share the jitted executable but own their bindings, so
+    refreshing Value constants for one caller can't change another's handle."""
+    main, ig, gn, _ = _invert_main_graph()
+    prog1 = compile_graph(main)
+    prog2 = compile_graph(main)
+    assert prog1._fn is prog2._fn  # shared executable
+    assert prog1._bindings is not prog2._bindings
+
+    # same structure, different Value constant → same executable, fresh binding
+    inner_value = next(n.node_id for n in ig.nodes if n.node_type.kind == NodeTypeKind.VALUE)
+    main2, ig2, gn2, _ = _invert_main_graph()
+    ig2_value = next(n for n in ig2.nodes if n.node_type.kind == NodeTypeKind.VALUE)
+    ig2_value.node_type = NodeType.Value(0.5)
+    prog3 = compile_graph(main2)
+    assert prog3._fn is prog1._fn
+    key = f"g{int(gn)}_value_{int(inner_value)}"
+    assert float(prog3._bindings[key]) == 0.5
+    assert float(prog1._bindings[key]) == 1.0  # earlier handle untouched
 
 
 def test_value_rebind_without_recompile():
@@ -195,3 +211,74 @@ def test_row_sharded_h2n_halo():
     for i in range(4):
         assert np.array_equal(ref[i], np.asarray(out[i])), f"plane {i}"
     assert "rows" in str(out[0].sharding)
+
+
+def test_image_edit_redecodes(tmp_path, tex_pro):
+    """Dirtying an Image node re-reads the file even when the cached fused
+    program was compiled against old pixels."""
+    from PIL import Image as PILImage
+    from conftest import render_u8
+
+    path = str(tmp_path / "img.png")
+    PILImage.new("RGBA", (8, 8), (10, 20, 30, 255)).save(path)
+
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        img = g.add_node(Node(NodeType.Image(path)))
+        out = g.add_node(Node(NodeType.OutputRgba("out")))
+        g.connect(img, out, SlotId(0), SlotId(0))
+    first = render_u8(lg, out).reshape(8, 8, 4)
+    assert tuple(first[0, 0]) == (10, 20, 30, 255)
+
+    PILImage.new("RGBA", (8, 8), (200, 100, 50, 255)).save(path)
+    with lg.write() as g:
+        g.set_image_node_path(img, path)  # dirties; fingerprint unchanged
+    second = render_u8(lg, out).reshape(8, 8, 4)
+    assert tuple(second[0, 0]) == (200, 100, 50, 255)
+
+
+def test_fused_combine_rgba_input_is_fatal(tex_pro):
+    """An RGBA image wired into a CombineRgba slot errors on the fused path
+    exactly like the eager op (not a silent red-channel pick)."""
+    import pytest
+    from kanter_core_tpu import LiveGraph, TexProError
+    from conftest import IMAGE_1 as IMG
+
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        i1 = g.add_node(Node(NodeType.Image(IMG)))
+        i2 = g.add_node(Node(NodeType.Image(IMG)))
+        mix = g.add_node(Node(NodeType.Mix(MixType.ADD)))  # RGBA out, GrayOrRgba slot
+        comb = g.add_node(Node(NodeType.CombineRgba()))
+        out = g.add_node(Node(NodeType.OutputRgba("out")))
+        g.connect(i1, mix, SlotId(0), SlotId(0))
+        g.connect(i2, mix, SlotId(0), SlotId(1))
+        g.connect(mix, comb, SlotId(0), SlotId(0))  # GrayOrRgba fits Gray
+        g.connect(comb, out, SlotId(0), SlotId(0))
+    with pytest.raises(TexProError):
+        with LiveGraph.await_clean_read(lg, out):
+            pass
+
+
+def test_orphan_live_graph_collected():
+    """Dropping every external reference to a live graph lets the engine's
+    refcount GC collect it (reference: Arc strong count 1)."""
+    import gc
+    import time
+
+    from kanter_core_tpu import TextureProcessor
+
+    tp = TextureProcessor(10_000_000)
+    try:
+        lg = tp.new_live_graph()
+        with lg.write() as g:
+            g.add_node(Node(NodeType.Value(0.5)))
+        assert len(tp.live_graphs_snapshot()) == 1
+        del lg, g
+        gc.collect()
+        deadline = time.time() + 10
+        while time.time() < deadline and tp.live_graphs_snapshot():
+            time.sleep(0.02)
+        assert tp.live_graphs_snapshot() == []
+    finally:
+        tp.shutdown_now()
