@@ -318,3 +318,47 @@ def test_write_node(tmp_path, tex_pro):
         raise AssertionError("Write node never produced a file")
     orig = np.asarray(PILImage.open(IMAGE_1).convert("RGBA"))
     assert np.array_equal(written, orig)
+
+
+def test_triple_nested_graph(tex_pro):
+    """Graphs in graphs in graphs: three inversion levels compose to a single
+    inversion (invert∘invert∘invert) and match the invert golden."""
+    from kanter_core_tpu.graphs import invert_graph
+
+    def wrap(inner: NodeGraph) -> NodeGraph:
+        outer = NodeGraph()
+        inp = outer.add_node(Node(NodeType.InputGray("in")))
+        gnode = outer.add_node(Node(NodeType.Graph(inner)))
+        out = outer.add_node(Node(NodeType.OutputGray("out")))
+        outer.connect(inp, gnode, SlotId(0), inner.input_slot_id_with_name("in"))
+        outer.connect(gnode, out, inner.output_slot_id_with_name("out"), SlotId(0))
+        return outer
+
+    level1 = invert_graph()
+    level2 = wrap(level1)
+
+    # level3 = invert(level2(level1-ish...)): chain three inverts
+    level3 = NodeGraph()
+    inp = level3.add_node(Node(NodeType.InputGray("in")))
+    g_a = level3.add_node(Node(NodeType.Graph(level2)))
+    g_b = level3.add_node(Node(NodeType.Graph(invert_graph())))
+    g_c = level3.add_node(Node(NodeType.Graph(invert_graph())))
+    out = level3.add_node(Node(NodeType.OutputGray("out")))
+    level3.connect(inp, g_a, SlotId(0), level2.input_slot_id_with_name("in"))
+    level3.connect(g_a, g_b, level2.output_slot_id_with_name("out"),
+                   invert_graph().input_slot_id_with_name("in"))
+    level3.connect(g_b, g_c, invert_graph().output_slot_id_with_name("out"),
+                   invert_graph().input_slot_id_with_name("in"))
+    level3.connect(g_c, out, invert_graph().output_slot_id_with_name("out"), SlotId(0))
+
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        image_node = g.add_node(Node(NodeType.Image(IMAGE_2)))
+        separate_node = g.add_node(Node(NodeType.SeparateRgba()))
+        graph_node = g.add_node(Node(NodeType.Graph(level3)))
+        output_node = g.add_node(Node(NodeType.OutputGray("out")))
+        g.connect(image_node, separate_node, SlotId(0), SlotId(0))
+        g.connect(separate_node, graph_node, SlotId(0), level3.input_slot_id_with_name("in"))
+        g.connect(graph_node, output_node, level3.output_slot_id_with_name("out"), SlotId(0))
+    # three inversions == one inversion
+    assert_matches_golden(lg, output_node, "invert_graph_node.png")
