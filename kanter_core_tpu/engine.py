@@ -35,26 +35,28 @@ from . import ops
 
 
 class _ThreadMessage:
-    __slots__ = ("node_id", "result", "live_graph", "event")
+    __slots__ = ("node_id", "result", "live_graph", "event", "recipe")
 
-    def __init__(self, node_id, result, live_graph, event=None):
+    def __init__(self, node_id, result, live_graph, event=None, recipe=None):
         self.node_id = node_id
         self.result = result  # list[SlotData] on success, BaseException on failure
         self.live_graph = live_graph
         self.event = event  # profiling.NodeEvent
+        self.recipe = recipe  # recipe hash for cache fill
 
 
 class _FusedMessage:
     """Result of a fused-partition evaluation: slot datas per node, in
     topological commit order."""
 
-    __slots__ = ("node_results", "result", "live_graph", "events")
+    __slots__ = ("node_results", "result", "live_graph", "events", "recipes")
 
-    def __init__(self, node_results, result, live_graph, events=None):
+    def __init__(self, node_results, result, live_graph, events=None, recipes=None):
         self.node_results = node_results  # list[(node_id, list[SlotData])]
         self.result = result  # None on success, BaseException on failure
         self.live_graph = live_graph
         self.events = events or {}  # node_id → profiling.NodeEvent
+        self.recipes = recipes or {}  # node_id → recipe hash (for cache fill)
 
 
 class _FusedPack:
@@ -151,7 +153,9 @@ class Engine:
                 if isinstance(message.result, BaseException):
                     self._commit_error(lg, node_id, message.result, message.event)
                 else:
-                    self._commit_success(lg, node_id, message.result, message.event)
+                    self._commit_success(
+                        lg, node_id, message.result, message.event, recipe=message.recipe
+                    )
 
     def _commit_error(self, lg, node_id, error, event=None) -> None:
         if event is not None:
@@ -173,7 +177,7 @@ class Engine:
             self.tex_pro.shutdown.store(True)
             lg._notify_state_change()
 
-    def _commit_success(self, lg, node_id, slot_datas, event=None) -> None:
+    def _commit_success(self, lg, node_id, slot_datas, event=None, recipe=None) -> None:
         for slot_data in slot_datas:
             self.tex_pro.buffer_queue.add_slot_data(slot_data)
 
@@ -208,6 +212,11 @@ class Engine:
         if not_clean:
             lg.remove_nodes_data(node_id)
             lg.force_state(node_id, NodeState.DIRTY)
+        elif recipe is not None:
+            lg._recipes[node_id] = recipe
+            self.tex_pro.recipe_cache.put(
+                recipe, [(sd.slot_id, sd.image) for sd in slot_datas]
+            )
         if event is not None:
             self.tex_pro.timeline.end(event, "discarded" if not_clean else "clean")
 
@@ -250,7 +259,13 @@ class Engine:
         # readers wake once instead of 65 lock round-trips per re-eval.
         with live_graph.write() as lg:
             for node_id, slot_datas in message.node_results:
-                self._commit_success(lg, node_id, slot_datas, message.events.get(node_id))
+                self._commit_success(
+                    lg,
+                    node_id,
+                    slot_datas,
+                    message.events.get(node_id),
+                    recipe=message.recipes.get(node_id),
+                )
 
     # --- frontier selection (`engine.rs:128-183`) ---
     def _collect_packs(self, live_graph: LiveGraph) -> list:
@@ -369,6 +384,64 @@ class Engine:
             return []
         return [_FusedPack(anchor, priority, live_graph, sorted(partition))]
 
+    def _memoize_partition(self, lg, partition: list) -> tuple[list, dict]:
+        """Recipe-cache pass over a dirty partition (topo order): nodes whose
+        recipe hash hits the cache are committed instantly without device
+        work; the rest stay in the partition with their recipes attached so
+        the commit can populate the cache. Caller holds the graph lock."""
+        from .recipe_cache import node_recipe
+        from .slot_data import SlotData
+
+        graph = lg.node_graph
+        order = {nid: i for i, nid in enumerate(self._topo_order(graph))}
+        partition = sorted(partition, key=lambda nid: order.get(nid, 0))
+        partition_set = set(partition)
+        recipes: dict = {}
+        remaining: list = []
+
+        for node_id in partition:
+            pairs = []
+            cacheable = True
+            for edge in sorted(
+                (e for e in graph.edges if e.input_id == node_id),
+                key=lambda e: e.input_slot,
+            ):
+                parent = edge.output_id
+                if parent in partition_set:
+                    recipe = recipes.get(parent)
+                else:
+                    try:
+                        clean = lg.node_state(parent) == NodeState.CLEAN
+                    except TexProError:
+                        clean = False
+                    recipe = lg._recipes.get(parent) if clean else None
+                if recipe is None:
+                    cacheable = False
+                    break
+                pairs.append((int(edge.input_slot), int(edge.output_slot), recipe))
+
+            recipe = None
+            if cacheable:
+                try:
+                    node = graph.node(node_id)
+                    recipe = node_recipe(node, pairs, lg)
+                except TexProError:
+                    recipe = None
+            recipes[node_id] = recipe
+
+            hit = self.tex_pro.recipe_cache.get(recipe) if recipe else None
+            if hit is not None:
+                slot_datas = [
+                    SlotData(node_id, slot_id, image) for slot_id, image in hit
+                ]
+                event = self.tex_pro.timeline.begin(
+                    node_id, graph.node(node_id).node_type.kind.value, memoized=True
+                )
+                self._commit_success(lg, node_id, slot_datas, event, recipe=recipe)
+            else:
+                remaining.append(node_id)
+        return remaining, recipes
+
     def _dispatch_fused(self, pack: "_FusedPack") -> None:
         live_graph = pack.live_graph
         with live_graph.write() as lg:
@@ -381,6 +454,9 @@ class Engine:
                 if state in (NodeState.PROCESSING, NodeState.PROCESSING_DIRTY, NodeState.CLEAN):
                     continue
                 partition.append(node_id)
+            recipes: dict = {}
+            if partition and lg.memoize:
+                partition, recipes = self._memoize_partition(lg, partition)
             if not partition:
                 return
             for node_id in partition:
@@ -441,7 +517,7 @@ class Engine:
 
         worker = threading.Thread(
             target=self._worker_fused,
-            args=(snapshot, partition, boundary, embedded, input_datas, live_graph, events),
+            args=(snapshot, partition, boundary, embedded, input_datas, live_graph, events, recipes),
             daemon=True,
             name=f"kanter-fused-{len(partition)}",
         )
@@ -454,7 +530,8 @@ class Engine:
         return _topo_order(graph)
 
     def _worker_fused(
-        self, snapshot, partition, boundary, embedded, input_datas, live_graph, events=None
+        self, snapshot, partition, boundary, embedded, input_datas, live_graph,
+        events=None, recipes=None,
     ) -> None:
         from .compiler import (
             CompiledGraph,
@@ -527,7 +604,7 @@ class Engine:
                 for node_id in partition
                 # Output nodes are included; Write nodes can't be here.
             ]
-            message = _FusedMessage(node_results, None, live_graph, events)
+            message = _FusedMessage(node_results, None, live_graph, events, recipes)
         except BaseException as e:  # noqa: BLE001
             message = _FusedMessage([(nid, []) for nid in partition], e, live_graph, events)
         self._results.put(message)
@@ -572,21 +649,31 @@ class Engine:
 
             assert len(edges) == len(input_data), f"NodeType: {node.node_type!r}"
 
+            recipe = None
+            if lg.memoize:
+                remaining, recipes = self._memoize_partition(lg, [node_id])
+                if not remaining:
+                    return  # committed from the recipe cache
+                recipe = recipes.get(node_id)
+                # _memoize_partition skips nodes that aren't Dirty-ish; it
+                # never touches this node's Processing state
+
         event = self.tex_pro.timeline.begin(node_id, node.node_type.kind.value)
         worker = threading.Thread(
             target=self._worker,
-            args=(node, input_data, embedded_slot_datas, input_slot_datas, edges, live_graph, event),
+            args=(node, input_data, embedded_slot_datas, input_slot_datas, edges, live_graph, event, recipe),
             daemon=True,
             name=f"kanter-node-{int(node_id)}",
         )
         worker.start()
 
-    def _worker(self, node, input_data, embedded_slot_datas, input_slot_datas, edges, live_graph, event=None):
+    def _worker(self, node, input_data, embedded_slot_datas, input_slot_datas, edges,
+                live_graph, event=None, recipe=None):
         try:
             result = ops.process_node(
                 node, input_data, embedded_slot_datas, input_slot_datas, edges, self.tex_pro
             )
         except BaseException as e:  # noqa: BLE001 — commit decides fatality
             result = e
-        self._results.put(_ThreadMessage(node.node_id, result, live_graph, event))
+        self._results.put(_ThreadMessage(node.node_id, result, live_graph, event, recipe))
         self.wake()

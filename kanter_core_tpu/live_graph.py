@@ -66,6 +66,11 @@ class LiveGraph:
         # use_cache eviction) are identical; auto_update graphs always use
         # the per-node path so incremental progress stays visible.
         self.fuse_subgraphs = True
+        # recipe-hash memoization: nodes whose content recipe matches a
+        # previously committed result are served from cache without device
+        # work (see recipe_cache.py)
+        self.memoize = True
+        self._recipes: dict = {}  # NodeId → recipe hash (valid while Clean)
         self.buffer_queue = buffer_queue
         # engine wake callbacks: edits/requests kick the scheduler instead of
         # it polling at full rate while idle
@@ -378,6 +383,7 @@ class LiveGraph:
                 self._changed.add(input_id)
             self.remove_nodes_data(node_id)
             self._node_state.pop(node_id, None)
+            self._recipes.pop(node_id, None)
             return edges
 
     def can_connect(self, output_node, input_node, output_slot, input_slot) -> None:
@@ -439,6 +445,7 @@ class LiveGraph:
             self.node_graph = node_graph
             self.reset_node_states()
             self.slot_datas.clear()
+            self._recipes.clear()
             for node in node_graph.nodes:
                 self.priority_propagator.push_priority(node.node_id, node.priority)
 

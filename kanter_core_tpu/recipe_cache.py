@@ -1,0 +1,135 @@
+"""Recipe-hash memoization: node outputs keyed by content hashes.
+
+BASELINE.json's north star calls for a cache "keyed on node content hashes
+so interactive LiveGraph edits re-evaluate only dirty subgraphs". Dirty-state
+tracking alone re-evaluates everything an edit *touched*; recipe hashing goes
+further — a node whose recipe (op kind, parameters, resize policy/filter,
+and its inputs' recipes, Merkle-style) matches something already computed is
+committed from cache without any device work. Undo/redo, disconnect +
+reconnect, and A/B toggles between two values become O(hash) instead of
+O(recompute).
+
+Recipes of non-deterministic leaves:
+- `Image`: path + file (size, mtime_ns) — editing the file changes the
+  recipe, so stale pixels are never served;
+- `Embed` / `InputGray` / `InputRgba`: the identity of the bound SlotImage
+  (stable while the same data object is registered);
+- `Write`: never cached (host side effect).
+
+Cached planes live in ordinary `PlaneBuffer`s, so the tiered memory manager
+evicts them device→host→disk like any other plane; the cache itself is
+LRU-bounded by entry count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import threading
+from collections import OrderedDict
+from typing import Optional
+
+from .ids import NodeId, SlotId
+from .node import NodeTypeKind, ResizePolicyKind
+
+
+class RecipeCache:
+    def __init__(self, capacity: int = 512):
+        self._entries: OrderedDict[str, list] = OrderedDict()  # hash → [(slot_id, SlotImage)]
+        self._lock = threading.Lock()
+        self.capacity = capacity
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, recipe: str):
+        with self._lock:
+            entry = self._entries.get(recipe)
+            if entry is None:
+                self.misses += 1
+                return None
+            self._entries.move_to_end(recipe)
+            self.hits += 1
+            return list(entry)
+
+    def put(self, recipe: str, outputs: list) -> None:
+        with self._lock:
+            self._entries[recipe] = list(outputs)
+            self._entries.move_to_end(recipe)
+            while len(self._entries) > self.capacity:
+                self._entries.popitem(last=False)
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {"entries": len(self._entries), "hits": self.hits, "misses": self.misses}
+
+
+def _h(*parts) -> str:
+    digest = hashlib.blake2b(digest_size=16)
+    for part in parts:
+        digest.update(repr(part).encode())
+        digest.update(b"\x00")
+    return digest.hexdigest()
+
+
+def node_recipe(node, input_recipes: list, live_graph) -> Optional[str]:
+    """Merkle recipe hash for a node given its inputs' recipes (sorted by
+    input slot). None → not cacheable."""
+    kind = node.node_type.kind
+    K = NodeTypeKind
+
+    if kind == K.WRITE:
+        return None
+
+    policy = node.resize_policy
+    policy_key = (
+        policy.kind.value,
+        int(policy.payload)
+        if policy.kind == ResizePolicyKind.SPECIFIC_SLOT
+        else (policy.payload.width, policy.payload.height)
+        if policy.kind == ResizePolicyKind.SPECIFIC_SIZE
+        else None,
+    )
+    base = (kind.value, policy_key, node.resize_filter.value)
+
+    if kind == K.VALUE:
+        import struct
+
+        return _h(base, struct.pack("<f", node.node_type.payload))
+    if kind == K.IMAGE:
+        path = node.node_type.payload
+        try:
+            st = os.stat(path)
+            stamp = (st.st_size, st.st_mtime_ns)
+        except OSError:
+            stamp = ("missing",)
+        return _h(base, path, stamp)
+    if kind == K.EMBED:
+        esd_id = node.node_type.payload
+        for esd in live_graph.embedded_slot_datas():
+            if esd.slot_data_id == esd_id:
+                return _h(base, int(esd_id), id(esd.image))
+        return None
+    if kind in (K.INPUT_GRAY, K.INPUT_RGBA):
+        datas = live_graph.input_slot_datas()
+        if kind == K.INPUT_RGBA:
+            if not datas:
+                return None
+            return _h(base, id(datas[0].image))
+        for slot_data in datas:
+            if slot_data.node_id == node.node_id:
+                return _h(base, id(slot_data.image))
+        return None
+    if kind == K.GRAPH:
+        import json
+
+        from .compiler import _normalize_values
+
+        # nested Value payloads DO matter for results, so hash the raw JSON
+        inner = json.dumps(node.node_type.payload.to_json(), sort_keys=True)
+        return _h(base, inner, input_recipes)
+    if kind == K.MIX:
+        return _h(base, node.node_type.payload.value, input_recipes)
+    # HeightToNormal, SeparateRgba, CombineRgba, Output*
+    if kind in (K.OUTPUT_GRAY, K.OUTPUT_RGBA):
+        return _h(base, input_recipes)
+    return _h(base, input_recipes)

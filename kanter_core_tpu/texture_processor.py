@@ -40,6 +40,9 @@ class TextureProcessor:
         self._process_pack_manager = ProcessPackManager()
         self._ppm_lock = threading.Lock()
         self.timeline = NodeTimeline()
+        from .recipe_cache import RecipeCache
+
+        self.recipe_cache = RecipeCache()
         self.engine = Engine(self)
 
         self._engine_thread = threading.Thread(
@@ -128,6 +131,7 @@ class TextureProcessor:
             "bytes_storage": self.buffer_queue.bytes_storage(),
             "processing_node_count": self.processing_node_count(),
             "fused_programs": len(self.engine._fused_programs),
+            "recipe_cache": self.recipe_cache.stats(),
             "timeline": self.timeline.summary(),
         }
 

@@ -80,9 +80,12 @@ def _priority_internal(max_processing: int, large_priority: int) -> bool:
                     .with_resize_policy(ResizePolicy.SpecificSize(Size(size, size)))
                 )
 
+            # distinct sizes → distinct recipes, so the memoization cache
+            # cannot serve the siblings from one evaluation (this test is
+            # about scheduling order, not caching)
             small_1 = g.add_node(resize_node(SIZE))
-            small_2 = g.add_node(resize_node(SIZE))
-            large = g.add_node(resize_node(SIZE))
+            small_2 = g.add_node(resize_node(SIZE + 1))
+            large = g.add_node(resize_node(SIZE + 2))
             g.node(large).priority.set_priority(large_priority)
             g.connect(value_node, small_1, SlotId(0), SlotId(0))
             g.connect(value_node, large, SlotId(0), SlotId(0))
