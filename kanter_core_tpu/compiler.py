@@ -29,17 +29,16 @@ hit that only re-runs the compiled executable — the <10 ms interactive path.
 
 from __future__ import annotations
 
-import functools
 import hashlib
 import json
-from typing import Callable, Optional
+from typing import Optional
 
 import numpy as np
 
 from .errors import ErrorKind, TexProError
 from .geometry import Size
 from .ids import NodeId, SlotId
-from .node import MixType, NodeTypeKind, ResizeFilter
+from .node import NodeTypeKind
 from .node_graph import NodeGraph
 from .ops import image_io
 from .ops.mix import _binary

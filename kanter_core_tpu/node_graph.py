@@ -9,7 +9,6 @@ input slot, `node_graph.rs:434`), input/output-node name deduplication
 
 from __future__ import annotations
 
-import copy
 import json
 from typing import Optional
 

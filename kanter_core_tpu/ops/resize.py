@@ -35,7 +35,6 @@ import numpy as np
 from ..errors import ErrorKind, TexProError
 from ..geometry import Size
 from ..node import ResizeFilter, ResizePolicy, ResizePolicyKind
-from ..ids import SlotId
 
 f32 = np.float32
 

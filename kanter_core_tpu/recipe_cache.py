@@ -29,7 +29,6 @@ import threading
 from collections import OrderedDict
 from typing import Optional
 
-from .ids import NodeId, SlotId
 from .node import NodeTypeKind, ResizePolicyKind
 
 
@@ -121,8 +120,6 @@ def node_recipe(node, input_recipes: list, live_graph) -> Optional[str]:
         return None
     if kind == K.GRAPH:
         import json
-
-        from .compiler import _normalize_values
 
         # nested Value payloads DO matter for results, so hash the raw JSON
         inner = json.dumps(node.node_type.payload.to_json(), sort_keys=True)

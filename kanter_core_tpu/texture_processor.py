@@ -15,7 +15,7 @@ from typing import Optional
 from .engine import Engine
 from .errors import ErrorKind, TexProError
 from .ids import NodeId, SlotId
-from .live_graph import LiveGraph, NodeState
+from .live_graph import LiveGraph
 from .node import AtomicFlag
 from .process_pack import ProcessPackManager
 from .profiling import NodeTimeline

@@ -22,7 +22,6 @@ watermark by spilling host→disk.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import random
 import sys
