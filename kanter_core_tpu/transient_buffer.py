@@ -146,6 +146,24 @@ class PlaneBuffer:
             queue._move_to_back_locked(self)
         return device
 
+    def try_data(self):
+        """Non-blocking accessor: the device array if already resident, else
+        raises (reference `try_transient_buffer`, `transient_buffer.rs:219-228`,
+        which also flags the buffer for fault-in — here the flag is an LRU
+        touch so the manager keeps it warm)."""
+        queue = self._queue
+        with self._lock:
+            if self._tier == Tier.DEVICE:
+                device = self._device
+            else:
+                device = None
+        if device is not None:
+            if queue is not None:
+                with queue._lock:
+                    queue._move_to_back_locked(self)
+            return device
+        raise TexProError(ErrorKind.GENERIC, "plane not device-resident")
+
     def host_data(self) -> np.ndarray:
         """The plane as a host ndarray without promoting it to the device."""
         with self._lock:

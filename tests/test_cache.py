@@ -144,3 +144,68 @@ def test_bytes_accounting():
     assert queue.bytes_memory() == 0
     assert queue.bytes_host() == 8 * 8 * 4
     assert not buf.in_memory()
+
+
+def test_try_data_nonblocking():
+    import numpy as np
+    import pytest
+
+    from kanter_core_tpu import ErrorKind, TexProError
+    from kanter_core_tpu.transient_buffer import PlaneBuffer
+
+    buf = PlaneBuffer(host=np.zeros((4, 4), dtype=np.float32))
+    with pytest.raises(TexProError):
+        buf.try_data()  # host tier → not resident
+    buf.data()  # fault in
+    assert buf.try_data() is not None
+
+
+def test_host_threshold_spills_to_disk():
+    """With a host-tier watermark, planes cascade device → host → disk."""
+    import time
+
+    import numpy as np
+
+    from kanter_core_tpu import LiveGraph, Node, NodeType, SlotId, TextureProcessor
+    from kanter_core_tpu.transient_buffer import Tier
+
+    from kanter_core_tpu import MixType, ResizePolicy, Size
+
+    # device tier holds one 8×8 RGBA (1 KiB), host tier one more; the rest
+    # must cascade to disk files
+    tp = TextureProcessor(memory_threshold=1024, host_memory_threshold=1024)
+    try:
+        lg = tp.new_live_graph()
+        with lg.write() as g:
+            g.use_cache = True
+            g.memoize = False
+            val = g.add_node(Node(NodeType.Value(0.5)))
+            comb = Node(NodeType.CombineRgba())
+            comb.resize_policy = ResizePolicy.SpecificSize(Size(8, 8))
+            comb = g.add_node(comb)
+            g.connect(val, comb, SlotId(0), SlotId(0))
+            prev = comb
+            mixes = []
+            for i in range(4):
+                mix = g.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+                g.connect(prev, mix, SlotId(0), SlotId(0))
+                g.connect(prev, mix, SlotId(0), SlotId(1))
+                mixes.append(mix)
+                prev = mix
+        with LiveGraph.await_clean_read(lg, prev):
+            pass
+
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if tp.buffer_queue.bytes_storage() > 0:
+                break
+            time.sleep(0.02)
+        assert tp.buffer_queue.bytes_storage() > 0, "nothing spilled to disk"
+
+        # spilled data survives the round trip: 0.5^16 at the chain end,
+        # and the combine's 0.5 planes fault back from disk
+        with lg.read() as g:
+            pixels = g.buffer_rgba(comb, SlotId(0))
+        assert pixels.tolist()[:4] == [127, 0, 0, 255]
+    finally:
+        tp.shutdown_now()

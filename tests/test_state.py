@@ -223,3 +223,51 @@ def test_moderately_deep_chain_evaluates(tex_pro):
         g.node_mut(white).node_type = NodeType.Value(0.25)
     second = render_u8(lg, out)
     assert first.shape == second.shape
+
+
+def test_midflight_edit_discards_commit(tex_pro, monkeypatch):
+    """An edit while a node is Processing cancels/dirties it; the engine
+    discards the stale result at commit and re-evaluates with the new
+    topology (`engine.rs:77-102`)."""
+    import threading
+
+    import kanter_core_tpu.ops as ops_mod
+
+    slow_started = threading.Event()
+    release = threading.Event()
+    real_process_node = ops_mod.process_node
+
+    def slow_process_node(node, *args, **kwargs):
+        from kanter_core_tpu.node import NodeTypeKind
+
+        if node.node_type.kind == NodeTypeKind.MIX:
+            slow_started.set()
+            release.wait(timeout=20)
+        return real_process_node(node, *args, **kwargs)
+
+    monkeypatch.setattr(ops_mod, "process_node", slow_process_node)
+    # the engine module imported `ops` as a module ref, so patching the
+    # attribute on the module is seen by workers
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        g.fuse_subgraphs = False  # per-node path exercises commit-time cancel
+        g.memoize = False
+        a = g.add_node(Node(NodeType.Value(0.25)))
+        b = g.add_node(Node(NodeType.Value(0.75)))
+        mix = g.add_node(Node(NodeType.Mix(MixType.ADD)))
+        out = g.add_node(Node(NodeType.OutputGray("out")))
+        g.connect(a, mix, SlotId(0), SlotId(0))
+        g.connect(mix, out, SlotId(0), SlotId(0))
+        g.request(out)
+
+    assert slow_started.wait(timeout=20), "mix never started processing"
+    # edit while in flight: swap the input to `b` — sets cancel + dirties
+    with lg.write() as g:
+        g.connect(b, mix, SlotId(0), SlotId(0))
+    release.set()
+
+    pixels = render_u8(lg, out)
+    assert pixels.tolist() == [191, 191, 191, 255]  # 0.75, not 0.25
+
+    outcomes = tex_pro.timeline.counters()
+    assert outcomes.get("discarded", 0) >= 1
