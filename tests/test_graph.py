@@ -188,3 +188,60 @@ def test_live_set_mix_type_dirties(tex_pro):
     with lg.write() as g:
         g.set_mix_type(mix, MixType.MULTIPLY)
     assert render_u8(lg, out).tolist() == [63, 0, 0, 255]  # 0.5 * 0.5
+
+
+def test_try_connect_and_can_connect():
+    """try_connect refuses an occupied slot with SLOT_OCCUPIED
+    (`node_graph.rs:376-413`)."""
+    graph = NodeGraph()
+    v1 = graph.add_node(Node(NodeType.Value(0.0)))
+    v2 = graph.add_node(Node(NodeType.Value(1.0)))
+    mix = graph.add_node(Node(NodeType.Mix()))
+    graph.try_connect(v1, mix, SlotId(0), SlotId(0))
+    with pytest.raises(TexProError) as exc:
+        graph.can_connect(v2, mix, SlotId(0), SlotId(0))
+    assert exc.value.kind == ErrorKind.SLOT_OCCUPIED
+    with pytest.raises(TexProError):
+        graph.try_connect(v2, mix, SlotId(0), SlotId(0))
+    assert len(graph.edges) == 1
+
+
+def test_remove_edge_and_connected_edges():
+    graph = NodeGraph()
+    v = graph.add_node(Node(NodeType.Value(0.0)))
+    mix = graph.add_node(Node(NodeType.Mix()))
+    edge = graph.connect(v, mix, SlotId(0), SlotId(0))
+    assert graph.connected_edges(mix, Side.INPUT, SlotId(0)) == [edge]
+    assert graph.slot_occupied(mix, Side.INPUT, SlotId(0))
+    removed = graph.remove_edge(edge)
+    assert removed == edge
+    with pytest.raises(TexProError) as exc:
+        graph.remove_edge(edge)
+    assert exc.value.kind == ErrorKind.INVALID_EDGE
+    with pytest.raises(TexProError) as exc:
+        graph.connected_edges(mix, Side.INPUT, SlotId(0))
+    assert exc.value.kind == ErrorKind.SLOT_NOT_OCCUPIED
+
+
+def test_disconnect_slot_errors():
+    graph = NodeGraph()
+    v = graph.add_node(Node(NodeType.Value(0.0)))
+    with pytest.raises(TexProError) as exc:
+        graph.disconnect_slot(v, Side.OUTPUT, SlotId(0))
+    assert exc.value.kind == ErrorKind.SLOT_NOT_OCCUPIED
+
+
+def test_add_node_with_id_conflict():
+    graph = NodeGraph()
+    v = graph.add_node(Node(NodeType.Value(0.0)))
+    with pytest.raises(TexProError) as exc:
+        graph.add_node_with_id(Node(NodeType.Value(1.0), node_id=v))
+    assert exc.value.kind == ErrorKind.INVALID_NODE_ID
+
+
+def test_set_mix_type_wrong_node():
+    graph = NodeGraph()
+    v = graph.add_node(Node(NodeType.Value(0.0)))
+    with pytest.raises(TexProError) as exc:
+        graph.set_mix_type(v, MixType.POW)
+    assert exc.value.kind == ErrorKind.INVALID_NODE_ID
