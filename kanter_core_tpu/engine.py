@@ -217,6 +217,10 @@ class Engine:
             self.tex_pro.recipe_cache.put(
                 recipe, [(sd.slot_id, sd.image) for sd in slot_datas]
             )
+        else:
+            # a clean commit without a recipe must not leave an outdated
+            # recipe behind — later memoize passes would trust it
+            lg._recipes.pop(node_id, None)
         if event is not None:
             self.tex_pro.timeline.end(event, "discarded" if not_clean else "clean")
 
@@ -393,18 +397,22 @@ class Engine:
         from .slot_data import SlotData
 
         graph = lg.node_graph
-        order = {nid: i for i, nid in enumerate(self._topo_order(graph))}
-        partition = sorted(partition, key=lambda nid: order.get(nid, 0))
+        if len(partition) > 1:
+            order = {nid: i for i, nid in enumerate(self._topo_order(graph))}
+            partition = sorted(partition, key=lambda nid: order.get(nid, 0))
         partition_set = set(partition)
         recipes: dict = {}
         remaining: list = []
+
+        edges_by_input: dict = {}
+        for edge in graph.edges:
+            edges_by_input.setdefault(edge.input_id, []).append(edge)
 
         for node_id in partition:
             pairs = []
             cacheable = True
             for edge in sorted(
-                (e for e in graph.edges if e.input_id == node_id),
-                key=lambda e: e.input_slot,
+                edges_by_input.get(node_id, ()), key=lambda e: e.input_slot
             ):
                 parent = edge.output_id
                 if parent in partition_set:
@@ -437,6 +445,10 @@ class Engine:
                 event = self.tex_pro.timeline.begin(
                     node_id, graph.node(node_id).node_type.kind.value, memoized=True
                 )
+                # mimic a real dispatch: mark Processing so _commit_success's
+                # use_cache=False parent-eviction ordering (this node counts
+                # as in-flight) and ProcessingDirty semantics hold
+                lg._set_state_raw(node_id, NodeState.PROCESSING)
                 self._commit_success(lg, node_id, slot_datas, event, recipe=recipe)
             else:
                 remaining.append(node_id)
@@ -454,6 +466,16 @@ class Engine:
                 if state in (NodeState.PROCESSING, NodeState.PROCESSING_DIRTY, NodeState.CLEAN):
                     continue
                 partition.append(node_id)
+            # per-node admission un-cancels each node it admits
+            # (`process_pack.rs:121-129`); do the same for every partition
+            # member — BEFORE the memoize pass, or a lingering edit-cancel
+            # flag makes _commit_success discard a legitimate cache hit and
+            # strand the request.
+            for node_id in partition:
+                try:
+                    lg.node(node_id).cancel.store(False)
+                except TexProError:
+                    pass
             recipes: dict = {}
             if partition and lg.memoize:
                 partition, recipes = self._memoize_partition(lg, partition)
@@ -461,13 +483,6 @@ class Engine:
                 return
             for node_id in partition:
                 lg._set_state_raw(node_id, NodeState.PROCESSING)
-                # per-node admission un-cancels each node it admits
-                # (`process_pack.rs:121-129`); do the same for every
-                # partition member, not just the anchor.
-                try:
-                    lg.node(node_id).cancel.store(False)
-                except TexProError:
-                    pass
 
             snapshot = lg.node_graph.clone()
             partition_set = set(partition)

@@ -70,6 +70,23 @@ def _h(*parts) -> str:
     return digest.hexdigest()
 
 
+def _nested_content_stamp(graph) -> tuple:
+    """File stamps of every Image node inside a (possibly nested) subgraph."""
+    stamps = []
+    for node in graph.nodes:
+        kind = node.node_type.kind
+        if kind == NodeTypeKind.IMAGE:
+            path = node.node_type.payload
+            try:
+                st = os.stat(path)
+                stamps.append((int(node.node_id), st.st_size, st.st_mtime_ns))
+            except OSError:
+                stamps.append((int(node.node_id), "missing"))
+        elif kind == NodeTypeKind.GRAPH:
+            stamps.append((int(node.node_id), _nested_content_stamp(node.node_type.payload)))
+    return tuple(stamps)
+
+
 def node_recipe(node, input_recipes: list, live_graph) -> Optional[str]:
     """Merkle recipe hash for a node given its inputs' recipes (sorted by
     input slot). None → not cacheable."""
@@ -106,24 +123,26 @@ def node_recipe(node, input_recipes: list, live_graph) -> Optional[str]:
         esd_id = node.node_type.payload
         for esd in live_graph.embedded_slot_datas():
             if esd.slot_data_id == esd_id:
-                return _h(base, int(esd_id), id(esd.image))
+                return _h(base, int(esd_id), esd.image.uid)
         return None
     if kind in (K.INPUT_GRAY, K.INPUT_RGBA):
         datas = live_graph.input_slot_datas()
         if kind == K.INPUT_RGBA:
             if not datas:
                 return None
-            return _h(base, id(datas[0].image))
+            return _h(base, datas[0].image.uid)
         for slot_data in datas:
             if slot_data.node_id == node.node_id:
-                return _h(base, id(slot_data.image))
+                return _h(base, slot_data.image.uid)
         return None
     if kind == K.GRAPH:
         import json
 
-        # nested Value payloads DO matter for results, so hash the raw JSON
+        # nested Value payloads DO matter for results, so hash the raw JSON;
+        # nested Image files matter too — stamp their content like top-level
+        # Image nodes, so rewriting a file inside a subgraph changes the recipe
         inner = json.dumps(node.node_type.payload.to_json(), sort_keys=True)
-        return _h(base, inner, input_recipes)
+        return _h(base, inner, _nested_content_stamp(node.node_type.payload), input_recipes)
     if kind == K.MIX:
         return _h(base, node.node_type.payload.value, input_recipes)
     # HeightToNormal, SeparateRgba, CombineRgba, Output*

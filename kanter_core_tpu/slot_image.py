@@ -104,15 +104,26 @@ def _as_plane(obj) -> PlaneBuffer:
     return plane_from_device(obj)  # assume jax.Array
 
 
+import itertools
+import threading
+
+_uid_counter = itertools.count(1)
+_uid_lock = threading.Lock()
+
+
 class SlotImage:
     """Gray (1 plane) or Rgba (4 planes, `[r, g, b, a]`)."""
 
-    __slots__ = ("planes",)
+    __slots__ = ("planes", "uid")
 
     def __init__(self, planes: list[PlaneBuffer]):
         if len(planes) not in (1, 4):
             raise TexProError(ErrorKind.INVALID_BUFFER_COUNT)
         self.planes = planes
+        # stable identity token for recipe hashing — unlike id(), never
+        # reused after garbage collection
+        with _uid_lock:
+            self.uid = next(_uid_counter)
 
     # --- constructors (`slot_image.rs:28-102`) ---
     @staticmethod

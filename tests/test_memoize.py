@@ -114,3 +114,93 @@ def test_image_recipe_tracks_file(tmp_path, tex_pro):
     second = render_u8(lg, out)
     assert tuple(second.reshape(4, 4, 4)[0, 0]) == (99, 88, 77, 255)
     assert not np.array_equal(first, second)
+
+
+def test_nested_image_edit_changes_graph_recipe(tmp_path, tex_pro):
+    """Rewriting an Image file INSIDE a subgraph must invalidate the Graph
+    node's recipe (nested content is stamped, not just the JSON)."""
+    from PIL import Image as PILImage
+
+    from kanter_core_tpu import NodeGraph
+
+    path = str(tmp_path / "nested.png")
+    PILImage.new("RGBA", (4, 4), (10, 20, 30, 255)).save(path)
+
+    inner = NodeGraph()
+    img = inner.add_node(Node(NodeType.Image(path)))
+    iout = inner.add_node(Node(NodeType.OutputRgba("out")))
+    inner.connect(img, iout, SlotId(0), SlotId(0))
+
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        gn = g.add_node(Node(NodeType.Graph(inner)))
+        out = g.add_node(Node(NodeType.OutputRgba("out")))
+        g.connect(gn, out, inner.output_slot_id_with_name("out"), SlotId(0))
+    first = render_u8(lg, out)
+    assert tuple(first.reshape(4, 4, 4)[0, 0]) == (10, 20, 30, 255)
+
+    import time
+
+    time.sleep(0.01)
+    PILImage.new("RGBA", (4, 4), (99, 88, 77, 255)).save(path)
+    with lg.write() as g:
+        g.set_state(gn, __import__("kanter_core_tpu").NodeState.DIRTY)
+    second = render_u8(lg, out)
+    assert tuple(second.reshape(4, 4, 4)[0, 0]) == (99, 88, 77, 255)
+
+
+def test_memoized_hit_survives_edit_cancel_flag(tex_pro):
+    """An edit's cancel flag must not discard a subsequent legitimate cache
+    hit and strand a fire-and-forget request()."""
+    import time
+
+    from kanter_core_tpu import NodeState
+
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        g.use_cache = True
+        val = g.add_node(Node(NodeType.Value(0.5)))
+        comb = g.add_node(Node(NodeType.CombineRgba()))
+        g.connect(val, comb, SlotId(0), SlotId(0))
+    render_u8(lg, comb)  # fills the cache
+
+    with lg.write() as g:
+        out = g.add_node(Node(NodeType.OutputRgba("out")))
+        g.connect(comb, out, SlotId(0), SlotId(0))
+        # reconnect sets comb.cancel = True
+        g.connect(val, comb, SlotId(0), SlotId(0))
+        g.request(out)  # fire and forget — no await to re-prioritise
+
+    deadline = time.time() + 15
+    while time.time() < deadline:
+        with lg.read() as g:
+            if g.node_state(out) == NodeState.CLEAN:
+                break
+        time.sleep(0.01)
+    with lg.read() as g:
+        assert g.node_state(out) == NodeState.CLEAN, "request was stranded"
+        assert g.buffer_rgba(out, SlotId(0)).tolist() == [127, 0, 0, 255]
+
+
+def test_no_stale_recipe_after_memoize_toggle(tex_pro):
+    """Commits made while memoize=False must clear the node's old recipe so
+    re-enabling memoization can't serve pre-toggle pixels."""
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        g.use_cache = True
+        val = g.add_node(Node(NodeType.Value(0.5)))
+        comb = g.add_node(Node(NodeType.CombineRgba()))
+        g.connect(val, comb, SlotId(0), SlotId(0))
+    assert render_u8(lg, comb).tolist() == [127, 0, 0, 255]
+
+    with lg.write() as g:
+        g.memoize = False
+        g.node_mut(val).node_type = NodeType.Value(0.9)
+    assert render_u8(lg, comb).tolist() == [229, 0, 0, 255]
+
+    with lg.write() as g:
+        g.memoize = True
+        # dirty only comb: its recipe derives from val's stored recipe
+        g.disconnect_slot(val, Side.OUTPUT, SlotId(0))
+        g.connect(val, comb, SlotId(0), SlotId(0))
+    assert render_u8(lg, comb).tolist() == [229, 0, 0, 255]
