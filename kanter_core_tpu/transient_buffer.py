@@ -350,6 +350,24 @@ class PlaneBufferQueue:
                         if buf.tier == Tier.HOST and buf.spill_to_storage():
                             on_host -= buf.bytes()
 
+    def dump(self) -> str:
+        """Debug listing of every managed plane and its tier (reference:
+        `Display for TransientBufferQueue`, `transient_buffer.rs:257-285`)."""
+        with self._lock:
+            lines = [
+                f"Thres: {self.memory_threshold.load()}",
+                f"Devic: {sum(b.bytes() for b in self.queue if b.tier == Tier.DEVICE)}",
+                f"Host : {sum(b.bytes() for b in self.queue if b.tier == Tier.HOST)}",
+                f"Stora: {sum(b.bytes() for b in self.queue if b.tier == Tier.STORAGE)}",
+            ]
+            tags = {Tier.DEVICE: "DEV", Tier.HOST: "HST", Tier.STORAGE: "STO"}
+            for buf in self.queue:
+                lines.append(f"{tags[buf.tier]} {buf.bytes():>10} {buf.size} 0x{id(buf):x}")
+            return "\n".join(lines)
+
+    def __str__(self) -> str:
+        return self.dump()
+
     def thread_loop(self) -> None:
         while not self.shutdown.load():
             self.tick()

@@ -107,3 +107,33 @@ def test_concurrent_edits_and_reads():
             assert g.node_state(out) == NodeState.CLEAN
     finally:
         tp.shutdown_now()
+
+
+def test_profiling_device_trace(tmp_path):
+    """device_trace captures an XLA profile directory; annotate nests."""
+    import os
+
+    import jax.numpy as jnp
+
+    from kanter_core_tpu import profiling
+
+    log_dir = str(tmp_path / "trace")
+    with profiling.device_trace(log_dir):
+        with profiling.annotate("test-phase"):
+            (jnp.ones((32, 32)) * 2).block_until_ready()
+    assert any(os.scandir(log_dir)), "no trace artifacts written"
+
+
+def test_buffer_queue_dump():
+    import numpy as np
+
+    from kanter_core_tpu.node import AtomicFlag
+    from kanter_core_tpu.transient_buffer import AtomicUsize, PlaneBuffer, PlaneBufferQueue
+
+    queue = PlaneBufferQueue(AtomicUsize(1000), AtomicFlag(False))
+    buf = PlaneBuffer(host=np.zeros((2, 2), dtype=np.float32))
+    queue.add_buffer(buf)
+    queue.tick()
+    dump = str(queue)
+    assert "Thres: 1000" in dump
+    assert "HST" in dump and "16" in dump
