@@ -52,6 +52,13 @@ class ProcessPackManager:
 
         while process_packs:
             pack = process_packs.pop()  # highest priority first
+            # one slot per (graph, node): a re-request of a node whose stale
+            # pack still lingers replaces it instead of stacking duplicates
+            # until the cap deadlocks admission
+            for i, existing in enumerate(self.process_packs):
+                if existing.live_graph is pack.live_graph and existing.node_id == pack.node_id:
+                    del self.process_packs[i]
+                    break
             if len(self.process_packs) < self.max_count:
                 if not self._insert_by_priority(pack):
                     continue  # node deleted
@@ -76,6 +83,13 @@ class ProcessPackManager:
         return output_packs
 
     def _remove_clean(self) -> None:
+        # The reference removes only Clean packs (`process_pack.rs:98-117`),
+        # which leaks slots when a node is committed and immediately
+        # re-dirtied by the next edit before a scheduler tick observes the
+        # Clean state — after max_count such cycles the manager is full of
+        # dead packs and admission deadlocks. A pack whose node is Dirty is
+        # equally settled (its dispatch finished or was discarded), so it
+        # frees its slot too.
         for i in reversed(range(len(self.process_packs))):
             pack = self.process_packs[i]
             try:
@@ -83,7 +97,7 @@ class ProcessPackManager:
             except TexProError:
                 del self.process_packs[i]
                 continue
-            if state == NodeState.CLEAN:
+            if state in (NodeState.CLEAN, NodeState.DIRTY):
                 del self.process_packs[i]
 
     def _insert_by_priority(self, pack: ProcessPack) -> bool:

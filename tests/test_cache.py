@@ -209,3 +209,34 @@ def test_host_threshold_spills_to_disk():
         assert pixels.tolist()[:4] == [127, 0, 0, 255]
     finally:
         tp.shutdown_now()
+
+
+def test_eviction_churn_with_edits():
+    """Tiny device budget + repeated edits: memoized and recomputed commits
+    interleave with eviction; pixels stay correct throughout."""
+    from kanter_core_tpu import LiveGraph, MixType, Node, NodeType, SlotId, TextureProcessor
+
+    tp = TextureProcessor(memory_threshold=32)  # two 1×1 RGBA images
+    try:
+        lg = tp.new_live_graph()
+        with lg.write() as g:
+            g.use_cache = True
+            val = g.add_node(Node(NodeType.Value(0.5)))
+            comb = g.add_node(Node(NodeType.CombineRgba()))
+            mix = g.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+            out = g.add_node(Node(NodeType.OutputRgba("out")))
+            g.connect(val, comb, SlotId(0), SlotId(0))
+            g.connect(comb, mix, SlotId(0), SlotId(0))
+            g.connect(comb, mix, SlotId(0), SlotId(1))
+            g.connect(mix, out, SlotId(0), SlotId(0))
+
+        for i in range(20):
+            value = 0.1 + (i % 5) * 0.2  # cycles → memoize hits after round 1
+            with lg.write() as g:
+                g.node_mut(val).node_type = NodeType.Value(value)
+            expected = int(value * value * 255)  # truncating cast
+            with LiveGraph.await_clean_read(lg, out) as g:
+                pixels = g.buffer_rgba(out, SlotId(0))
+            assert pixels.tolist()[:1] == [expected], (i, value)
+    finally:
+        tp.shutdown_now()

@@ -125,6 +125,8 @@ def test_admission_control_preemption(tex_pro):
     for node_id, p in zip(nodes, prios):
         lg.node(node_id).priority.set_priority(p)
         lg.node(node_id).priority._store_propagated(p)
+        lg.request(node_id)  # in-flight-eligible state; settled (Dirty/Clean)
+        # packs are purged by the manager
 
     manager = ProcessPackManager()
     manager.max_count = 2

@@ -271,3 +271,17 @@ def test_midflight_edit_discards_commit(tex_pro, monkeypatch):
 
     outcomes = tex_pro.timeline.counters()
     assert outcomes.get("discarded", 0) >= 1
+
+
+def test_await_slot_data_size(tex_pro):
+    from kanter_core_tpu import ResizePolicy, TextureProcessor
+
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        val = g.add_node(Node(NodeType.Value(0.5)))
+        comb = Node(NodeType.CombineRgba())
+        comb.resize_policy = ResizePolicy.SpecificSize(Size(17, 9))
+        comb = g.add_node(comb)
+        g.connect(val, comb, SlotId(0), SlotId(0))
+    size = TextureProcessor.await_slot_data_size(lg, comb, SlotId(0))
+    assert size == Size(17, 9)
