@@ -1,0 +1,108 @@
+"""Randomized interactive soak: apply random edit batches to a live graph,
+render through the engine, and validate every render against a freshly
+compiled (uncached) evaluation of the same topology — the engine's dirty
+tracking, fusion, memoization, cancellation, and eviction must never change
+pixels. Run: python scripts/soak.py [iters] [seed]"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if jax.default_backend() != "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from kanter_core_tpu import (
+    LiveGraph,
+    MixType,
+    Node,
+    NodeType,
+    ResizePolicy,
+    Side,
+    Size,
+    SlotId,
+    SlotType,
+    TextureProcessor,
+)
+from kanter_core_tpu.compiler import CompiledGraph
+
+ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 120
+SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+
+
+def main():
+    rng = np.random.default_rng(SEED)
+    tp = TextureProcessor(memory_threshold=int(rng.integers(64, 4096)))
+    lg = tp.new_live_graph()
+
+    values, mixes, combines = [], [], []
+    with lg.write() as g:
+        g.use_cache = bool(rng.integers(2))
+        for v in range(4):
+            values.append(g.add_node(Node(NodeType.Value(float(rng.random())))))
+        for m in range(4):
+            mixes.append(g.add_node(Node(NodeType.Mix(MixType.ADD))))
+        comb = g.add_node(Node(NodeType.CombineRgba()))
+        comb_node = g.node_graph._node_with_id_mut(comb)
+        comb_node.resize_policy = ResizePolicy.SpecificSize(Size(16, 16))
+        combines.append(comb)
+        out = g.add_node(Node(NodeType.OutputRgba("out")))
+        # initial wiring
+        g.connect(values[0], mixes[0], SlotId(0), SlotId(0))
+        g.connect(values[1], mixes[0], SlotId(0), SlotId(1))
+        g.connect(mixes[0], comb, SlotId(0), SlotId(0))
+        g.connect(comb, out, SlotId(0), SlotId(0))
+
+    sources = values + mixes  # gray-or-rgba producers for mix inputs
+
+    for i in range(ITERS):
+        n_edits = int(rng.integers(1, 4))
+        with lg.write() as g:
+            for _ in range(n_edits):
+                action = rng.integers(5)
+                if action == 0:
+                    node = values[rng.integers(len(values))]
+                    g.node_mut(node).node_type = NodeType.Value(float(rng.random()))
+                elif action == 1:
+                    mix = mixes[rng.integers(len(mixes))]
+                    g.set_mix_type(mix, list(MixType)[rng.integers(5)])
+                elif action == 2:
+                    # rewire a mix input from an earlier source (acyclic:
+                    # only allow sources added before the mix)
+                    mix = mixes[rng.integers(len(mixes))]
+                    pool = [s for s in sources if s < mix]
+                    if pool:
+                        src = pool[rng.integers(len(pool))]
+                        g.connect(src, mix, SlotId(0), SlotId(int(rng.integers(2))))
+                elif action == 3:
+                    mix = mixes[rng.integers(len(mixes))]
+                    try:
+                        g.disconnect_slot(mix, Side.INPUT, SlotId(int(rng.integers(2))))
+                    except Exception:
+                        pass
+                else:
+                    src = values[rng.integers(len(values))]
+                    g.connect(src, comb, SlotId(0), SlotId(int(rng.integers(4))))
+            snapshot = g.node_graph.clone()
+
+        with LiveGraph.await_clean_read(lg, out) as g:
+            engine_px = g.buffer_rgba(out, SlotId(0))
+
+        prog = CompiledGraph(snapshot, targets=[(out, SlotId(0))], include_u8=True)
+        truth = np.asarray(prog()[(out, SlotId(0))]).reshape(-1)
+        if not np.array_equal(engine_px, truth):
+            diff = int((engine_px != truth).sum())
+            raise SystemExit(f"MISMATCH at iter {i}: {diff} bytes differ (seed {SEED})")
+        if (i + 1) % 20 == 0:
+            print(f"iter {i + 1}/{ITERS} ok; cache={tp.recipe_cache.stats()}", flush=True)
+
+    print(f"SOAK PASS: {ITERS} iterations, seed {SEED}")
+    tp.shutdown_now()
+
+
+if __name__ == "__main__":
+    main()
