@@ -326,10 +326,18 @@ class PlaneBufferQueue:
                 survivors.append(buf)
         self.queue = survivors
 
-    def tick(self) -> None:
+    def tick(self) -> bool:
+        """One manager pass. Returns True if it did any work (used by the
+        thread loop to back off while idle instead of burning a core on
+        1 kHz full-queue scans, the reference's fixed cadence,
+        `transient_buffer.rs:409`)."""
+        worked = False
         with self._lock:
+            before = len(self.queue)
+            worked |= bool(self._incoming)
             self._handle_incoming_locked()
             self._sweep_orphans_locked()
+            worked |= len(self.queue) != before
 
             threshold = self.memory_threshold.load()
             in_memory = sum(b.bytes() for b in self.queue if b.tier == Tier.DEVICE)
@@ -339,6 +347,7 @@ class PlaneBufferQueue:
                         break
                     if buf.evict_to_host():
                         in_memory -= buf.bytes()
+                        worked = True
 
             if self.host_threshold is not None:
                 host_threshold = self.host_threshold.load()
@@ -349,6 +358,8 @@ class PlaneBufferQueue:
                             break
                         if buf.tier == Tier.HOST and buf.spill_to_storage():
                             on_host -= buf.bytes()
+                            worked = True
+        return worked
 
     def dump(self) -> str:
         """Debug listing of every managed plane and its tier (reference:
@@ -368,7 +379,9 @@ class PlaneBufferQueue:
     def __str__(self) -> str:
         return self.dump()
 
+    IDLE_TICK_SECONDS = 0.02
+
     def thread_loop(self) -> None:
         while not self.shutdown.load():
-            self.tick()
-            time.sleep(self.TICK_SECONDS)
+            worked = self.tick()
+            time.sleep(self.TICK_SECONDS if worked else self.IDLE_TICK_SECONDS)
