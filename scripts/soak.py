@@ -42,6 +42,9 @@ def main():
     values, mixes, combines = [], [], []
     with lg.write() as g:
         g.use_cache = bool(rng.integers(2))
+        g.fuse_subgraphs = bool(rng.integers(2))
+        g.memoize = bool(rng.integers(2))
+        print(f"mode: fuse={g.fuse_subgraphs} memoize={g.memoize} use_cache={g.use_cache}")
         for v in range(4):
             values.append(g.add_node(Node(NodeType.Value(float(rng.random())))))
         for m in range(4):
@@ -63,7 +66,7 @@ def main():
         n_edits = int(rng.integers(1, 4))
         with lg.write() as g:
             for _ in range(n_edits):
-                action = rng.integers(5)
+                action = rng.integers(6)
                 if action == 0:
                     node = values[rng.integers(len(values))]
                     g.node_mut(node).node_type = NodeType.Value(float(rng.random()))
@@ -84,9 +87,21 @@ def main():
                         g.disconnect_slot(mix, Side.INPUT, SlotId(int(rng.integers(2))))
                     except Exception:
                         pass
-                else:
+                elif action == 4:
                     src = values[rng.integers(len(values))]
                     g.connect(src, comb, SlotId(0), SlotId(int(rng.integers(4))))
+                else:
+                    # resize policy/filter edits on a mix node
+                    from kanter_core_tpu import ResizeFilter
+
+                    mix = mixes[rng.integers(len(mixes))]
+                    node = g.node_mut(mix)
+                    if rng.integers(2):
+                        node.resize_policy = ResizePolicy.SpecificSize(
+                            Size(int(rng.integers(2, 24)), int(rng.integers(2, 24)))
+                        )
+                    else:
+                        node.resize_filter = list(ResizeFilter)[rng.integers(5)]
             snapshot = g.node_graph.clone()
 
         with LiveGraph.await_clean_read(lg, out) as g:

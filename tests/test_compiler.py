@@ -119,7 +119,7 @@ def test_batched_graph_vmap():
     result = bg(**{key: (batch,)})
     plane = np.asarray(result[(out, SlotId(0))][0])
     assert plane.shape == (4, 32, 32)
-    assert np.allclose(plane, 1.0 - batch)
+    assert np.array_equal(plane, np.float32(1.0) - batch)
 
 
 def test_sharded_batch_eval():
@@ -151,8 +151,9 @@ def test_sharded_batch_eval():
     result = bg(**{key: (sharded,)})
     plane = result[(out, SlotId(0))][0]
     assert plane.shape == (8, 32, 32)
-    assert np.allclose(np.asarray(plane), 1.0 - batch)
-    # output stays sharded over the batch axis
+    # multi-chip execution is BIT-IDENTICAL to single-host math (SURVEY §4's
+    # multi-node analog: sharded == single-device)
+    assert np.array_equal(np.asarray(plane), np.float32(1.0) - batch)
     assert "batch" in str(plane.sharding)
 
 
@@ -282,3 +283,48 @@ def test_orphan_live_graph_collected():
         assert tp.live_graphs_snapshot() == []
     finally:
         tp.shutdown_now()
+
+
+def test_sharded_matches_unsharded_golden():
+    """The invert pipeline evaluated with batch-sharded inputs over 8 devices
+    is bit-identical to the unsharded single-device evaluation (the
+    reference's 'multi-node' test analog, SURVEY §4)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from kanter_core_tpu.parallel import BatchedGraph, make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+
+    from kanter_core_tpu.graphs import invert_graph
+
+    graph = invert_graph()
+    inner_in = graph.input_slot_id_with_name("in")
+    out = graph.output_ids()[0]
+
+    # wrap: InputGray at the top level binds via input_<id> program args
+    outer = NodeGraph()
+    gin = outer.add_node(Node(NodeType.InputGray("in")))
+    gnode = outer.add_node(Node(NodeType.Graph(graph)))
+    gout = outer.add_node(Node(NodeType.OutputGray("out")))
+    outer.connect(gin, gnode, SlotId(0), inner_in)
+    outer.connect(gnode, gout, graph.output_slot_id_with_name("out"), SlotId(0))
+
+    key = f"input_{int(gin)}"
+    batch = np.random.default_rng(3).random((8, 48, 48), dtype=np.float32)
+
+    # unsharded single-device reference
+    bg_plain = BatchedGraph(outer, batch_keys={key}, targets=[(gout, SlotId(0))])
+    plain = np.asarray(bg_plain(**{key: (batch,)})[(gout, SlotId(0))][0])
+
+    mesh = make_mesh(8)
+    bg_sharded = BatchedGraph(
+        outer, batch_keys={key}, targets=[(gout, SlotId(0))], mesh=mesh
+    )
+    sharded_batch = bg_sharded.shard_batch_arg(batch)
+    sharded = np.asarray(bg_sharded(**{key: (sharded_batch,)})[(gout, SlotId(0))][0])
+
+    assert np.array_equal(plain, sharded)
