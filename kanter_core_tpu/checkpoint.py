@@ -5,11 +5,12 @@ resume reloads the JSON with every node Dirty and recomputes everything
 (SURVEY §5). That path exists here too (`NodeGraph.export_json/from_path`).
 
 This module goes further: `save_checkpoint` captures a LiveGraph's topology,
-per-node states, and the computed channel planes (deduplicated — shared
-planes are stored once and re-aliased on load), so `load_checkpoint` resumes
-with Clean nodes still clean and zero recompute. Priorities and cancel flags
-reset on load, matching the reference's `#[serde(skip)]` fields
-(`node/mod.rs:119-122`).
+per-node states, engine flags, input/embedded slot data registrations, and
+the computed channel planes (deduplicated — shared planes are stored once
+and re-aliased on load), so `load_checkpoint` resumes with Clean nodes still
+clean and zero recompute, and Input/Embed nodes can reprocess. Priorities
+and cancel flags reset on load, matching the reference's `#[serde(skip)]`
+fields (`node/mod.rs:119-122`).
 """
 
 from __future__ import annotations
@@ -33,29 +34,52 @@ def save_checkpoint(live_graph: LiveGraph, path: str) -> None:
 
         plane_index: dict[int, int] = {}  # id(plane) → array index
         arrays: list[np.ndarray] = []
-        slots = []
-        for slot_data in lg.slot_datas:
+
+        def image_planes(image):
             plane_ids = []
-            for plane in slot_data.image.planes:
+            for plane in image.planes:
                 key = id(plane)
                 if key not in plane_index:
                     plane_index[key] = len(arrays)
                     arrays.append(plane.host_data())
                 plane_ids.append(plane_index[key])
-            slots.append(
-                {
-                    "node_id": int(slot_data.node_id),
-                    "slot_id": int(slot_data.slot_id),
-                    "planes": plane_ids,
-                }
-            )
+            return plane_ids
+
+        slots = [
+            {
+                "node_id": int(sd.node_id),
+                "slot_id": int(sd.slot_id),
+                "planes": image_planes(sd.image),
+            }
+            for sd in lg.slot_datas
+        ]
+        input_slots = [
+            {
+                "node_id": int(sd.node_id),
+                "slot_id": int(sd.slot_id),
+                "planes": image_planes(sd.image),
+            }
+            for sd in lg.input_slot_datas()
+        ]
+        embedded = [
+            {
+                "id": int(esd.slot_data_id),
+                "slot_id": int(esd.slot_id),
+                "planes": image_planes(esd.image),
+            }
+            for esd in lg.embedded_slot_datas()
+        ]
 
         meta = {
             "graph": graph_json,
             "states": states,
             "slots": slots,
+            "input_slots": input_slots,
+            "embedded": embedded,
             "auto_update": lg.auto_update,
             "use_cache": lg.use_cache,
+            "fuse_subgraphs": lg.fuse_subgraphs,
+            "memoize": lg.memoize,
         }
 
     np.savez_compressed(
@@ -75,6 +99,8 @@ def load_checkpoint(tex_pro, path: str) -> LiveGraph:
             lg.set_node_graph(NodeGraph.from_json(meta["graph"]))
             lg.auto_update = meta["auto_update"]
             lg.use_cache = meta["use_cache"]
+            lg.fuse_subgraphs = meta.get("fuse_subgraphs", True)
+            lg.memoize = meta.get("memoize", True)
 
             def plane(i: int):
                 if i not in planes:
@@ -86,6 +112,26 @@ def load_checkpoint(tex_pro, path: str) -> LiveGraph:
                 slot_data = SlotData(NodeId(slot["node_id"]), SlotId(slot["slot_id"]), image)
                 lg.slot_datas.append(slot_data)
                 tex_pro.buffer_queue.add_slot_data(slot_data)
+
+            for slot in meta.get("input_slots", []):
+                lg.add_input_slot_data(
+                    SlotData(
+                        NodeId(slot["node_id"]),
+                        SlotId(slot["slot_id"]),
+                        SlotImage([plane(i) for i in slot["planes"]]),
+                    )
+                )
+            from .ops.embed import EmbeddedSlotDataId
+
+            for entry in meta.get("embedded", []):
+                lg.embed_slot_data_with_id(
+                    SlotData(
+                        NodeId(0),
+                        SlotId(entry["slot_id"]),
+                        SlotImage([plane(i) for i in entry["planes"]]),
+                    ),
+                    EmbeddedSlotDataId(entry["id"]),
+                )
 
             for nid_str, state_name in meta["states"].items():
                 state = NodeState(state_name)

@@ -177,18 +177,20 @@ class GraphCompiler:
                         values[(nid, slot)] = ImgVal(list(args[f"preset_{int(nid)}_{int(slot)}"]))
                 continue
             node = graph.node(node_id)
-            edges = sorted(
-                (e for e in graph.edges if e.input_id == node_id),
-                key=lambda e: e.input_slot,
-            )
+            # The eager path gathers inputs in edge INSERTION order and only
+            # sorts the edge list (`node_type.rs:229-236`), so MostPixels/
+            # LeastPixels pixel-count ties resolve by insertion order — the
+            # traced path must match exactly (fused == per-node bit parity).
+            edges_ins = [e for e in graph.edges if e.input_id == node_id]
+            edges_sorted = sorted(edges_ins, key=lambda e: e.input_slot)
             inputs = [
                 _SymData(e.output_id, e.output_slot, values[(e.output_id, e.output_slot)])
-                for e in edges
+                for e in edges_ins
             ]
 
             # resize pass (`shared.rs:141-216`)
             if inputs:
-                size = calculate_size(inputs, edges, node.resize_policy)
+                size = calculate_size(inputs, edges_sorted, node.resize_policy)
                 inputs = [
                     _SymData(
                         sd.node_id,
@@ -201,8 +203,14 @@ class GraphCompiler:
                     )
                     for sd in inputs
                 ]
-            # re-key to consumer slots (`node_type.rs:250-267`)
-            by_slot = {e.input_slot: sd.img for e, sd in zip(edges, inputs)}
+            # re-key to consumer slots (`node_type.rs:250-267`): first input
+            # matching the edge's producer key, like `assign_slot_ids`
+            by_slot = {}
+            for edge in edges_sorted:
+                for sd in inputs:
+                    if sd.node_id == edge.output_id and sd.slot_id == edge.output_slot:
+                        by_slot[edge.input_slot] = sd.img
+                        break
 
             for slot_id, img in self._emit(node, by_slot, args, prefix, graph, ordered_outer):
                 values[(node_id, slot_id)] = img
@@ -526,11 +534,7 @@ class CompiledGraph:
 def _u8_export(img: ImgVal):
     import jax.numpy as jnp
 
-    def f32_to_u8(x):
-        c = jnp.clip(x, 0.0, 1.0)
-        v = c * jnp.float32(255.0)
-        v = jnp.where(jnp.isnan(v), jnp.float32(255.0), jnp.minimum(v, jnp.float32(255.0)))
-        return v.astype(jnp.uint8)
+    from .ops.common import f32_to_u8  # the one canonical conversion
 
     if img.is_rgba:
         return jnp.stack([f32_to_u8(p) for p in img.planes], axis=-1)

@@ -225,10 +225,9 @@ class Engine:
             self.tex_pro.timeline.end(event, "discarded" if not_clean else "clean")
 
     def _commit_fused(self, message: _FusedMessage) -> None:
-        """Commit a fused partition node by node, in topo order, releasing
-        the graph lock between nodes so observers see incremental progress
-        and per-node cancel/dirty checks apply exactly as in the per-node
-        path."""
+        """Commit a fused partition node by node in topo order, under ONE
+        graph-lock acquisition (readers wake once per partition); per-node
+        cancel/dirty checks apply exactly as in the per-node path."""
         live_graph = message.live_graph
         if message.result is not None:
             error = message.result

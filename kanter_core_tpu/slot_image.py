@@ -28,12 +28,7 @@ def _jitted_converters():
     import jax
     import jax.numpy as jnp
 
-    def f32_to_u8(x):
-        # clamp(0,1) * 255, NaN → 255 (Rust f32::min semantics), truncating cast
-        c = jnp.clip(x, 0.0, 1.0)
-        v = c * jnp.float32(255.0)
-        v = jnp.where(jnp.isnan(v), jnp.float32(255.0), jnp.minimum(v, jnp.float32(255.0)))
-        return v.astype(jnp.uint8)
+    from .ops.common import f32_to_u8  # the one canonical conversion
 
     def srgb_to_linear(x):
         # reference formula at `slot_data.rs:100-109` (applied by `to_u8_srgb`

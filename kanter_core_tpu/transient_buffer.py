@@ -28,7 +28,7 @@ import sys
 import tempfile
 import threading
 import time
-from collections import deque
+from collections import OrderedDict
 from enum import Enum
 from typing import Optional
 
@@ -264,7 +264,9 @@ class PlaneBufferQueue:
     TICK_SECONDS = 0.001
 
     def __init__(self, memory_threshold: AtomicUsize, shutdown, host_threshold: Optional[AtomicUsize] = None):
-        self.queue: deque[PlaneBuffer] = deque()
+        # id(buf) → buf, ordered front (coldest) → back (hottest): O(1)
+        # LRU moves on every plane touch instead of O(n) deque scans
+        self._entries: "OrderedDict[int, PlaneBuffer]" = OrderedDict()
         self.memory_threshold = memory_threshold
         self.host_threshold = host_threshold
         self.shutdown = shutdown
@@ -283,48 +285,51 @@ class PlaneBufferQueue:
         for buf in slot_data.image.bufs():
             self.add_buffer(buf)
 
+    @property
+    def queue(self) -> list:
+        """Snapshot of managed planes, coldest first (introspection/tests)."""
+        with self._lock:
+            return list(self._entries.values())
+
     def _move_to_back_locked(self, buffer: PlaneBuffer) -> None:
-        try:
-            self.queue.remove(buffer)  # identity comparison (no __eq__)
-        except ValueError:
-            return  # not yet adopted; it will be appended by handle_incoming
-        self.queue.append(buffer)
+        if id(buffer) in self._entries:
+            self._entries.move_to_end(id(buffer))
+        # else: not yet adopted; handle_incoming will append it
 
     def _handle_incoming_locked(self) -> None:
         incoming, self._incoming = self._incoming, []
-        existing = {id(buf) for buf in self.queue}
         for buf in incoming:
-            if id(buf) in existing:
+            if id(buf) in self._entries:
                 continue
-            existing.add(id(buf))
             buf._queue = self
-            if buf.in_memory():
-                self.queue.append(buf)
-            else:
-                self.queue.appendleft(buf)
+            self._entries[id(buf)] = buf
+            if not buf.in_memory():
+                self._entries.move_to_end(id(buf), last=False)  # coldest end
 
     # --- accounting ---
     def bytes_memory(self) -> int:
         with self._lock:
-            return sum(b.bytes() for b in self.queue if b.tier == Tier.DEVICE)
+            return sum(b.bytes() for b in self._entries.values() if b.tier == Tier.DEVICE)
 
     def bytes_host(self) -> int:
         with self._lock:
-            return sum(b.bytes() for b in self.queue if b.tier == Tier.HOST)
+            return sum(b.bytes() for b in self._entries.values() if b.tier == Tier.HOST)
 
     def bytes_storage(self) -> int:
         with self._lock:
-            return sum(b.bytes() for b in self.queue if b.tier == Tier.STORAGE)
+            return sum(b.bytes() for b in self._entries.values() if b.tier == Tier.STORAGE)
 
     def _sweep_orphans_locked(self) -> None:
         # A plane referenced only by this queue belongs to no SlotData anymore
         # (reference: `Arc::strong_count == 1`, `transient_buffer.rs:364`).
-        # CPython refcount: deque entry + loop temp + getrefcount argument = 3.
-        survivors = deque()
-        for buf in self.queue:
-            if sys.getrefcount(buf) > 3:
-                survivors.append(buf)
-        self.queue = survivors
+        # CPython refcount: dict value + loop temp + getrefcount argument = 3.
+        dead = [
+            key
+            for key, buf in self._entries.items()
+            if sys.getrefcount(buf) <= 3
+        ]
+        for key in dead:
+            del self._entries[key]
 
     def tick(self) -> bool:
         """One manager pass. Returns True if it did any work (used by the
@@ -333,16 +338,18 @@ class PlaneBufferQueue:
         `transient_buffer.rs:409`)."""
         worked = False
         with self._lock:
-            before = len(self.queue)
+            before = len(self._entries)
             worked |= bool(self._incoming)
             self._handle_incoming_locked()
             self._sweep_orphans_locked()
-            worked |= len(self.queue) != before
+            worked |= len(self._entries) != before
 
             threshold = self.memory_threshold.load()
-            in_memory = sum(b.bytes() for b in self.queue if b.tier == Tier.DEVICE)
+            in_memory = sum(
+                b.bytes() for b in self._entries.values() if b.tier == Tier.DEVICE
+            )
             if in_memory > threshold:
-                for buf in list(self.queue):
+                for buf in list(self._entries.values()):
                     if in_memory <= threshold:
                         break
                     if buf.evict_to_host():
@@ -351,9 +358,11 @@ class PlaneBufferQueue:
 
             if self.host_threshold is not None:
                 host_threshold = self.host_threshold.load()
-                on_host = sum(b.bytes() for b in self.queue if b.tier == Tier.HOST)
+                on_host = sum(
+                    b.bytes() for b in self._entries.values() if b.tier == Tier.HOST
+                )
                 if on_host > host_threshold:
-                    for buf in list(self.queue):
+                    for buf in list(self._entries.values()):
                         if on_host <= host_threshold:
                             break
                         if buf.tier == Tier.HOST and buf.spill_to_storage():
@@ -365,14 +374,15 @@ class PlaneBufferQueue:
         """Debug listing of every managed plane and its tier (reference:
         `Display for TransientBufferQueue`, `transient_buffer.rs:257-285`)."""
         with self._lock:
+            entries = list(self._entries.values())
             lines = [
                 f"Thres: {self.memory_threshold.load()}",
-                f"Devic: {sum(b.bytes() for b in self.queue if b.tier == Tier.DEVICE)}",
-                f"Host : {sum(b.bytes() for b in self.queue if b.tier == Tier.HOST)}",
-                f"Stora: {sum(b.bytes() for b in self.queue if b.tier == Tier.STORAGE)}",
+                f"Devic: {sum(b.bytes() for b in entries if b.tier == Tier.DEVICE)}",
+                f"Host : {sum(b.bytes() for b in entries if b.tier == Tier.HOST)}",
+                f"Stora: {sum(b.bytes() for b in entries if b.tier == Tier.STORAGE)}",
             ]
             tags = {Tier.DEVICE: "DEV", Tier.HOST: "HST", Tier.STORAGE: "STO"}
-            for buf in self.queue:
+            for buf in entries:
                 lines.append(f"{tags[buf.tier]} {buf.bytes():>10} {buf.size} 0x{id(buf):x}")
             return "\n".join(lines)
 

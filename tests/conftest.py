@@ -37,18 +37,17 @@ HEART_110 = os.path.join(REFERENCE_DATA, "heart_110.png")
 CLOUDS = os.path.join(REFERENCE_DATA, "clouds.png")
 INVERT_GRAPH_JSON = os.path.join(REFERENCE_DATA, "invert_graph.json")
 
-TIMEOUT_SECONDS = 60
+TIMEOUT_SECONDS = 120  # generous: remote-tunnel stalls can freeze I/O for tens of seconds
 
 
 @pytest.fixture(autouse=True)
 def _watchdog():
-    """Deadlock guard: dump all stacks and abort the test process if a test
-    exceeds the budget (reference: `#[timeout(20_000)]` on every test)."""
-    timer = threading.Timer(TIMEOUT_SECONDS, faulthandler.dump_traceback)
-    timer.daemon = True
-    timer.start()
+    """Deadlock guard: dump all stacks AND abort if a test exceeds the
+    budget, so deadlocks fail instead of hanging (reference:
+    `#[timeout(20_000)]` on every test)."""
+    faulthandler.dump_traceback_later(TIMEOUT_SECONDS, exit=True)
     yield
-    timer.cancel()
+    faulthandler.cancel_dump_traceback_later()
 
 
 @pytest.fixture

@@ -71,3 +71,46 @@ def test_topology_checkpoint_resumes_dirty(tmp_path, tex_pro):
     with lg.write() as g:
         g.set_node_graph(reloaded)
         assert all(s == NodeState.DIRTY for s in g.node_states().values())
+
+
+def test_checkpoint_preserves_inputs_and_embeds(tmp_path, tex_pro):
+    """Input/Embed registrations and engine flags survive a checkpoint, so
+    restored graphs can reprocess those nodes after edits."""
+    import numpy as np
+
+    from kanter_core_tpu import EmbeddedSlotDataId, SlotData, SlotImage, SlotId, NodeId
+
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        g.use_cache = True
+        g.memoize = False
+        gin = g.add_node(Node(NodeType.InputGray("in")))
+        emb = g.add_node(Node(NodeType.Embed(EmbeddedSlotDataId(7))))
+        mix = g.add_node(Node(NodeType.Mix(MixType.ADD)))
+        out = g.add_node(Node(NodeType.OutputRgba("out")))
+        g.connect(gin, mix, SlotId(0), SlotId(0))
+        g.connect(emb, mix, SlotId(0), SlotId(1))
+        g.connect(mix, out, SlotId(0), SlotId(0))
+
+        plane = np.full((4, 4), 0.25, np.float32)
+        g.add_input_slot_data(SlotData(gin, SlotId(0), SlotImage.Gray(plane)))
+        rgba = SlotImage.Rgba([np.full((4, 4), v, np.float32) for v in (0.5, 0.25, 0.125, 1.0)])
+        g.embed_slot_data_with_id(SlotData(NodeId(0), SlotId(0), rgba), EmbeddedSlotDataId(7))
+
+    first = render_u8(lg, out)
+
+    path = str(tmp_path / "io.npz")
+    save_checkpoint(lg, path)
+    restored = load_checkpoint(tex_pro, path)
+    with restored.read() as g:
+        assert g.node_state(out) == NodeState.CLEAN
+        assert not g.memoize and g.use_cache
+
+    # dirty everything: Input/Embed nodes must reprocess from the restored
+    # registrations (previously this fatally shut the processor down)
+    with restored.write() as g:
+        for nid in g.node_ids():
+            g.set_state(nid, NodeState.DIRTY)
+        g.force_state(gin, NodeState.DIRTY)
+    second = render_u8(restored, out)
+    assert np.array_equal(first, second)

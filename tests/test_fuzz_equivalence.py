@@ -79,12 +79,15 @@ def _build_random_graph(seed: int) -> tuple[NodeGraph, list]:
             mix.resize_policy = rand_policy()
             mix.resize_filter = rand_filter()
             mix_id = add(mix, [(SlotId(0), SlotType.GRAY_OR_RGBA)])
-            left = pick(SlotType.GRAY_OR_RGBA, pool)
-            if left is not None and rng.random() < 0.9:
-                graph.connect(left[0], mix_id, left[1], SlotId(0))
-            right = pick(SlotType.GRAY_OR_RGBA, pool)
-            if right is not None and rng.random() < 0.7:
-                graph.connect(right[0], mix_id, right[1], SlotId(1))
+            # randomize slot wiring ORDER: resize-policy pixel-count ties
+            # resolve by edge insertion order, which must stay path-parity
+            wiring = [(SlotId(0), 0.9), (SlotId(1), 0.7)]
+            if rng.random() < 0.5:
+                wiring.reverse()
+            for slot, prob in wiring:
+                src = pick(SlotType.GRAY_OR_RGBA, pool)
+                if src is not None and rng.random() < prob:
+                    graph.connect(src[0], mix_id, src[1], slot)
         elif kind == 2:  # CombineRgba
             node = Node(NodeType.CombineRgba())
             node.resize_policy = rand_policy()
@@ -153,3 +156,42 @@ def test_fused_pernode_compiler_equivalence(seed):
             assert np.array_equal(fused_px, comp_px), f"fused != compiler (seed {seed})"
     finally:
         tp.shutdown_now()
+
+
+def test_resize_tie_break_parity(tex_pro):
+    """MostPixels pixel-count ties resolve by edge INSERTION order (the
+    reference gathers inputs before sorting edges, `node_type.rs:229-236`);
+    the fused/compiled path must match the per-node path exactly."""
+    def build():
+        g = NodeGraph()
+        v = g.add_node(Node(NodeType.Value(0.5)))
+        a = Node(NodeType.CombineRgba())
+        a.resize_policy = ResizePolicy.SpecificSize(Size(4, 2))
+        a = g.add_node(a)
+        b = Node(NodeType.CombineRgba())
+        b.resize_policy = ResizePolicy.SpecificSize(Size(2, 4))
+        b = g.add_node(b)
+        g.connect(v, a, SlotId(0), SlotId(0))
+        g.connect(v, b, SlotId(0), SlotId(0))
+        mix = g.add_node(Node(NodeType.Mix(MixType.ADD)))
+        out = g.add_node(Node(NodeType.OutputRgba("out")))
+        g.connect(b, mix, SlotId(0), SlotId(1))  # slot 1 inserted FIRST
+        g.connect(a, mix, SlotId(0), SlotId(0))
+        g.connect(mix, out, SlotId(0), SlotId(0))
+        return g, out
+
+    results = {}
+    for fused in (True, False):
+        graph, out = build()
+        lg = tex_pro.new_live_graph()
+        with lg.write() as g:
+            g.fuse_subgraphs = fused
+            g.set_node_graph(graph)
+        results[fused] = render_u8(lg, out)
+        tex_pro.remove_live_graph(lg)
+    assert np.array_equal(results[True], results[False])
+
+    graph, out = build()
+    prog = CompiledGraph(graph, targets=[(out, SlotId(0))], include_u8=True)
+    comp = np.asarray(prog()[(out, SlotId(0))]).reshape(-1)
+    assert np.array_equal(comp, results[False])
