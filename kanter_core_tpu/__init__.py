@@ -35,7 +35,7 @@ from .ops.embed import EmbeddedSlotData, EmbeddedSlotDataId
 from .priority import Priority, PriorityPropagator
 from .slot_data import ChannelPixel, SlotData
 from .slot_image import SlotImage
-from . import compiler, native, profiling
+from . import checkpoint, compiler, graphs, models, native, profiling
 from .compiler import CompiledGraph, compile_graph
 from .texture_processor import TextureProcessor
 from .transient_buffer import AtomicUsize, PlaneBuffer, PlaneBufferQueue, Tier
@@ -72,9 +72,12 @@ __all__ = [
     "SlotId",
     "SlotImage",
     "SlotType",
+    "checkpoint",
     "CompiledGraph",
     "compile_graph",
     "compiler",
+    "graphs",
+    "models",
     "native",
     "profiling",
     "TexProError",
