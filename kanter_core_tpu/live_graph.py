@@ -75,6 +75,10 @@ class LiveGraph:
         # engine wake callbacks: edits/requests kick the scheduler instead of
         # it polling at full rate while idle
         self._wakers: list = []
+        # the owning processor's shutdown flag (set on registration):
+        # blocking waits fail fast instead of spinning forever once the
+        # engine is gone (the reference's await loops hang after shutdown)
+        self._shutdown = None
         # set by the engine on a fatal kernel error (reference: engine panic,
         # `engine.rs:111-119`); awaits re-raise it instead of hanging.
         self.fatal_error: Optional[BaseException] = None
@@ -118,6 +122,11 @@ class LiveGraph:
                     raise live_graph.fatal_error
                 if live_graph.node_state(node_id) == NodeState.CLEAN:
                     return
+                shutdown = live_graph._shutdown
+                if shutdown is not None and shutdown.load():
+                    raise TexProError(
+                        ErrorKind.GENERIC, "TextureProcessor has shut down"
+                    )
                 live_graph.prioritise(node_id)
             with live_graph._state_cv:
                 live_graph._state_cv.wait(timeout=0.002)

@@ -58,6 +58,8 @@ class TextureProcessor:
     def shutdown_now(self) -> None:
         self.shutdown.store(True)
         self.engine.wake()
+        for live_graph in self.live_graphs_snapshot():
+            live_graph._notify_state_change()  # wake any blocked awaits
 
     def __enter__(self) -> "TextureProcessor":
         return self
@@ -75,6 +77,7 @@ class TextureProcessor:
     def new_live_graph(self) -> LiveGraph:
         live_graph = LiveGraph(self.buffer_queue)
         live_graph._wakers.append(self.engine.wake)
+        live_graph._shutdown = self.shutdown
         with self._live_graphs_lock:
             self._live_graphs.append(live_graph)
         return live_graph
@@ -82,6 +85,7 @@ class TextureProcessor:
     def push_live_graph(self, live_graph: LiveGraph) -> None:
         if self.engine.wake not in live_graph._wakers:
             live_graph._wakers.append(self.engine.wake)
+        live_graph._shutdown = self.shutdown
         with self._live_graphs_lock:
             self._live_graphs.append(live_graph)
         self.engine.wake()

@@ -285,3 +285,20 @@ def test_await_slot_data_size(tex_pro):
         g.connect(val, comb, SlotId(0), SlotId(0))
     size = TextureProcessor.await_slot_data_size(lg, comb, SlotId(0))
     assert size == Size(17, 9)
+
+
+def test_await_after_shutdown_raises():
+    """Blocking waits fail fast once the processor shuts down, instead of
+    spinning forever like the reference's await loops."""
+    from kanter_core_tpu import TextureProcessor
+
+    tp = TextureProcessor(10_000_000)
+    lg = tp.new_live_graph()
+    with lg.write() as g:
+        v = g.add_node(Node(NodeType.Value(0.5)))
+        out = g.add_node(Node(NodeType.OutputGray("out")))
+        g.connect(v, out, SlotId(0), SlotId(0))
+    tp.shutdown_now()
+    with pytest.raises(TexProError):
+        with LiveGraph.await_clean_read(lg, out):
+            pass
