@@ -37,7 +37,38 @@ import numpy as np
 from .errors import ErrorKind, TexProError
 from .geometry import Size
 
-_CACHE_DIR = os.path.join(tempfile.gettempdir(), "kanter_tpu_cache")
+# per-process spill directory: files are deleted on reload/drop, but a
+# crashed process can't clean up after itself — stale sibling directories
+# whose owning pid is gone are swept on startup (`_sweep_stale_spill_dirs`)
+_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "kanter_tpu_cache")
+_CACHE_DIR = os.path.join(_CACHE_ROOT, str(os.getpid()))
+
+
+def _sweep_stale_spill_dirs() -> None:
+    try:
+        entries = os.listdir(_CACHE_ROOT)
+    except OSError:
+        return
+    for name in entries:
+        if not name.isdigit() or name == str(os.getpid()):
+            continue
+        try:
+            os.kill(int(name), 0)
+            continue  # owner still alive
+        except ProcessLookupError:
+            pass
+        except OSError:
+            continue
+        stale = os.path.join(_CACHE_ROOT, name)
+        try:
+            for f in os.listdir(stale):
+                try:
+                    os.remove(os.path.join(stale, f))
+                except OSError:
+                    pass
+            os.rmdir(stale)
+        except OSError:
+            pass
 
 BYTES_PER_PIXEL = 4  # f32 channel plane (`slot_data.rs:32`)
 
@@ -264,6 +295,7 @@ class PlaneBufferQueue:
     TICK_SECONDS = 0.001
 
     def __init__(self, memory_threshold: AtomicUsize, shutdown, host_threshold: Optional[AtomicUsize] = None):
+        _sweep_stale_spill_dirs()
         # id(buf) → buf, ordered front (coldest) → back (hottest): O(1)
         # LRU moves on every plane touch instead of O(n) deque scans
         self._entries: "OrderedDict[int, PlaneBuffer]" = OrderedDict()
