@@ -137,3 +137,37 @@ def test_buffer_queue_dump():
     dump = str(queue)
     assert "Thres: 1000" in dump
     assert "HST" in dump and "16" in dump
+
+
+def test_timeline_outcomes_visible(tex_pro):
+    """The observability timeline records clean, memoized, and discarded
+    outcomes with per-kind stats."""
+    from conftest import render_u8
+
+    from kanter_core_tpu import MixType, Node, NodeType, Side, SlotId
+
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        g.use_cache = True
+        val = g.add_node(Node(NodeType.Value(0.5)))
+        comb = g.add_node(Node(NodeType.CombineRgba()))
+        g.connect(val, comb, SlotId(0), SlotId(0))
+    render_u8(lg, comb)
+    with lg.write() as g:
+        g.disconnect_slot(val, Side.OUTPUT, SlotId(0))
+        g.connect(val, comb, SlotId(0), SlotId(0))
+    render_u8(lg, comb)
+
+    counters = tex_pro.timeline.counters()
+    assert counters.get("clean", 0) >= 2
+    events = tex_pro.timeline.events()
+    assert any(e.extra.get("memoized") for e in events)
+    summary = tex_pro.metrics()["timeline"]["per_kind_ms"]
+    assert "CombineRgba" in summary and summary["CombineRgba"]["count"] >= 1
+
+
+def test_models_package():
+    from kanter_core_tpu import models
+
+    graph = models.invert_graph()
+    assert len(graph.nodes) == 4
