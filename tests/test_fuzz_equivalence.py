@@ -195,3 +195,35 @@ def test_resize_tie_break_parity(tex_pro):
     prog = CompiledGraph(graph, targets=[(out, SlotId(0))], include_u8=True)
     comp = np.asarray(prog()[(out, SlotId(0))]).reshape(-1)
     assert np.array_equal(comp, results[False])
+
+
+def test_top_level_input_nodes_parity(tex_pro):
+    """Top-level InputGray/InputRgba nodes (bound via add_input_slot_data)
+    evaluate identically on the fused and per-node paths."""
+    from kanter_core_tpu import SlotData, SlotImage
+
+    rng = np.random.default_rng(11)
+    gray_plane = rng.random((24, 24), dtype=np.float32)
+    rgba_planes = [rng.random((24, 24), dtype=np.float32) for _ in range(4)]
+
+    def build_and_render(fused):
+        graph = NodeGraph()
+        gin = graph.add_node(Node(NodeType.InputGray("g")))
+        rin = graph.add_node(Node(NodeType.InputRgba("r")))
+        mix = graph.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+        out = graph.add_node(Node(NodeType.OutputRgba("out")))
+        graph.connect(rin, mix, SlotId(0), SlotId(0))
+        graph.connect(gin, mix, SlotId(0), SlotId(1))
+        graph.connect(mix, out, SlotId(0), SlotId(0))
+
+        lg = tex_pro.new_live_graph()
+        with lg.write() as g:
+            g.fuse_subgraphs = fused
+            g.set_node_graph(graph)
+            g.add_input_slot_data(SlotData(rin, SlotId(0), SlotImage.Rgba(list(rgba_planes))))
+            g.add_input_slot_data(SlotData(gin, SlotId(0), SlotImage.Gray(gray_plane)))
+        pixels = render_u8(lg, out)
+        tex_pro.remove_live_graph(lg)
+        return pixels
+
+    assert np.array_equal(build_and_render(True), build_and_render(False))
