@@ -9,6 +9,7 @@ HeightToNormal wrap stencil's `jnp.roll` becomes a collective-permute halo
 exchange automatically).
 """
 
+from .session import BatchedLiveSession
 from .sharded import (
     BatchedGraph,
     make_mesh,
@@ -16,4 +17,10 @@ from .sharded import (
     shard_planes_rows,
 )
 
-__all__ = ["BatchedGraph", "make_mesh", "shard_planes_batch", "shard_planes_rows"]
+__all__ = [
+    "BatchedGraph",
+    "BatchedLiveSession",
+    "make_mesh",
+    "shard_planes_batch",
+    "shard_planes_rows",
+]

@@ -1,0 +1,90 @@
+"""BatchedLiveSession: interactive editing over N canvases at once.
+
+The engine's LiveGraph tracks one canvas per plane; production workloads
+(BASELINE config 5: "16×4k canvases batched") want the same interactive
+editing loop over a whole batch. This session object keeps a `NodeGraph`,
+tracks edits by structure fingerprint, and evaluates through a vmapped
+fused program (`BatchedGraph`): value/input edits re-run the cached
+executable; structural edits recompile once and reuse thereafter (programs
+are cached per fingerprint like the engine's).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..compiler import collect_value_bindings, graph_fingerprint
+from ..ids import NodeId, SlotId
+from ..node_graph import NodeGraph
+from .sharded import BatchedGraph
+
+
+class BatchedLiveSession:
+    def __init__(
+        self,
+        node_graph: NodeGraph,
+        batch_input_ids: list[NodeId],
+        targets: Optional[list[tuple]] = None,
+        mesh=None,
+    ):
+        self.node_graph = node_graph
+        self.batch_input_ids = [NodeId(n) for n in batch_input_ids]
+        self.targets = targets
+        self.mesh = mesh
+        self._inputs: dict[str, tuple] = {}
+        self._programs: dict[str, BatchedGraph] = {}
+        self._dirty = True
+        self._last_result = None
+
+    # --- edits ---
+    def set_input(self, input_node_id: NodeId, stacked_planes) -> None:
+        """Bind a `[B, H, W]`-stacked gray plane batch to an InputGray node."""
+        import jax
+
+        key = f"input_{int(input_node_id)}"
+        value = jax.device_put(np.asarray(stacked_planes, dtype=np.float32))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            value = jax.device_put(value, NamedSharding(self.mesh, P("batch", None, None)))
+        self._inputs[key] = (value,)
+        self._dirty = True
+
+    def set_value(self, node_id: NodeId, value: float) -> None:
+        node = self.node_graph._node_with_id_mut(NodeId(node_id))
+        from ..node import NodeType, NodeTypeKind
+
+        if node is None or node.node_type.kind != NodeTypeKind.VALUE:
+            raise ValueError("set_value targets a Value node")
+        node.node_type = NodeType.Value(value)
+        self._dirty = True
+
+    def edit(self, fn) -> None:
+        """Arbitrary structural edit: `fn(node_graph)`; recompiles lazily."""
+        fn(self.node_graph)
+        self._dirty = True
+
+    # --- evaluation ---
+    def render(self) -> dict:
+        """{(node_id, slot_id): [B, ...] planes} for the targets."""
+        if not self._dirty and self._last_result is not None:
+            return self._last_result
+        fingerprint = graph_fingerprint(self.node_graph)
+        program = self._programs.get(fingerprint)
+        if program is None:
+            batch_keys = {f"input_{int(n)}" for n in self.batch_input_ids}
+            program = BatchedGraph(
+                self.node_graph.clone(),
+                batch_keys=batch_keys,
+                targets=self.targets,
+                mesh=self.mesh,
+            )
+            self._programs[fingerprint] = program
+        overrides = dict(self._inputs)
+        for key, value in collect_value_bindings(self.node_graph).items():
+            overrides[key] = value
+        self._last_result = program(**overrides)
+        self._dirty = False
+        return self._last_result

@@ -33,12 +33,27 @@ from .node import NodeTypeKind, ResizePolicyKind
 
 
 class RecipeCache:
-    def __init__(self, capacity: int = 512):
+    """LRU bounded by entry count AND pinned bytes: cached planes stay
+    evictable to host/disk by the tier manager, but the cache must not pin
+    unbounded host memory (512 entries of 4k RGBA would be ~0.5 TB)."""
+
+    def __init__(self, capacity: int = 512, byte_budget: int = 1 << 30):
         self._entries: OrderedDict[str, list] = OrderedDict()  # hash → [(slot_id, SlotImage)]
+        self._entry_bytes: dict[str, int] = {}
+        self._total_bytes = 0
         self._lock = threading.Lock()
         self.capacity = capacity
+        self.byte_budget = byte_budget
         self.hits = 0
         self.misses = 0
+
+    @staticmethod
+    def _bytes_of(outputs: list) -> int:
+        unique = {}
+        for _, image in outputs:
+            for plane in image.planes:
+                unique[id(plane)] = plane.bytes()
+        return sum(unique.values())
 
     def get(self, recipe: str):
         with self._lock:
@@ -50,16 +65,32 @@ class RecipeCache:
             self.hits += 1
             return list(entry)
 
+    def _evict_lru_locked(self) -> None:
+        key, _ = self._entries.popitem(last=False)
+        self._total_bytes -= self._entry_bytes.pop(key, 0)
+
     def put(self, recipe: str, outputs: list) -> None:
         with self._lock:
+            if recipe in self._entries:
+                self._total_bytes -= self._entry_bytes.pop(recipe, 0)
+                del self._entries[recipe]
+            nbytes = self._bytes_of(outputs)
             self._entries[recipe] = list(outputs)
-            self._entries.move_to_end(recipe)
-            while len(self._entries) > self.capacity:
-                self._entries.popitem(last=False)
+            self._entry_bytes[recipe] = nbytes
+            self._total_bytes += nbytes
+            while len(self._entries) > self.capacity or (
+                self._total_bytes > self.byte_budget and len(self._entries) > 1
+            ):
+                self._evict_lru_locked()
 
     def stats(self) -> dict:
         with self._lock:
-            return {"entries": len(self._entries), "hits": self.hits, "misses": self.misses}
+            return {
+                "entries": len(self._entries),
+                "bytes": self._total_bytes,
+                "hits": self.hits,
+                "misses": self.misses,
+            }
 
 
 def _h(*parts) -> str:

@@ -354,11 +354,13 @@ class PlaneBufferQueue:
     def _sweep_orphans_locked(self) -> None:
         # A plane referenced only by this queue belongs to no SlotData anymore
         # (reference: `Arc::strong_count == 1`, `transient_buffer.rs:364`).
-        # CPython refcount: dict value + loop temp + getrefcount argument = 3.
+        # CPython refcount via direct dict access: dict value + getrefcount
+        # argument = 2. (Iterating .items() would add a tuple reference and
+        # make every plane look alive.)
         dead = [
             key
-            for key, buf in self._entries.items()
-            if sys.getrefcount(buf) <= 3
+            for key in list(self._entries)
+            if sys.getrefcount(self._entries[key]) <= 2
         ]
         for key in dead:
             del self._entries[key]

@@ -328,3 +328,45 @@ def test_sharded_matches_unsharded_golden():
     sharded = np.asarray(bg_sharded(**{key: (sharded_batch,)})[(gout, SlotId(0))][0])
 
     assert np.array_equal(plain, sharded)
+
+
+def test_batched_live_session():
+    """Interactive batched editing: value edits re-run the cached vmapped
+    program; structural edits recompile once; results track the edits."""
+    import jax
+
+    from kanter_core_tpu.parallel import BatchedLiveSession, make_mesh
+
+    graph = NodeGraph()
+    gin = graph.add_node(Node(NodeType.InputGray("in")))
+    gain = graph.add_node(Node(NodeType.Value(1.0)))
+    mix = graph.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+    out = graph.add_node(Node(NodeType.OutputGray("out")))
+    graph.connect(gin, mix, SlotId(0), SlotId(0))
+    graph.connect(gain, mix, SlotId(0), SlotId(1))
+    graph.connect(mix, out, SlotId(0), SlotId(0))
+
+    mesh = make_mesh(8) if len(jax.devices()) >= 8 else None
+    session = BatchedLiveSession(graph, [gin], targets=[(out, SlotId(0))], mesh=mesh)
+
+    batch = np.random.default_rng(0).random((8, 16, 16), dtype=np.float32)
+    session.set_input(gin, batch)
+    first = np.asarray(session.render()[(out, SlotId(0))][0])
+    assert first.shape == (8, 16, 16)
+    assert np.array_equal(first, batch * np.float32(1.0))
+
+    session.set_value(gain, 0.5)
+    half = np.asarray(session.render()[(out, SlotId(0))][0])
+    assert np.array_equal(half, batch * np.float32(0.5))
+    assert len(session._programs) == 1  # value edits reuse the program
+
+    # structural edit: invert instead of scale
+    def rewire(g):
+        g.set_mix_type(mix, MixType.SUBTRACT)
+
+    session.edit(rewire)
+    session.set_value(gain, 1.0)
+    inverted = np.asarray(session.render()[(out, SlotId(0))][0])
+    # mix = input - gain? wiring: left=input, right=gain → input - 1.0
+    assert np.array_equal(inverted, batch - np.float32(1.0))
+    assert len(session._programs) == 2  # one recompile for the new structure

@@ -171,3 +171,43 @@ def test_models_package():
 
     graph = models.invert_graph()
     assert len(graph.nodes) == 4
+
+
+def test_bounded_growth_under_sustained_edits():
+    """Caches and queues stay bounded over sustained interactive editing:
+    program caches ≤ their LRU caps, recipe cache ≤ capacity, and the plane
+    queue doesn't accumulate orphans."""
+    from conftest import render_u8
+
+    from kanter_core_tpu import MixType, Node, NodeType, SlotId, TextureProcessor
+
+    tp = TextureProcessor(10_000_000)
+    try:
+        tp.recipe_cache.capacity = 16  # small LRU → planes must not pile up
+        lg = tp.new_live_graph()
+        with lg.write() as g:
+            val = g.add_node(Node(NodeType.Value(0.5)))
+            comb = g.add_node(Node(NodeType.CombineRgba()))
+            mix = g.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+            out = g.add_node(Node(NodeType.OutputRgba("out")))
+            g.connect(val, comb, SlotId(0), SlotId(0))
+            g.connect(comb, mix, SlotId(0), SlotId(0))
+            g.connect(comb, mix, SlotId(0), SlotId(1))
+            g.connect(mix, out, SlotId(0), SlotId(0))
+
+        for i in range(120):
+            with lg.write() as g:
+                g.node_mut(val).node_type = NodeType.Value(0.001 * i)
+            render_u8(lg, out)
+
+        import time
+
+        time.sleep(0.5)  # let the orphan sweep settle
+        assert len(tp.engine._fused_programs) <= tp.engine.FUSED_PROGRAM_CACHE_CAP
+        stats = tp.recipe_cache.stats()
+        assert stats["entries"] <= tp.recipe_cache.capacity
+        # plane queue: live planes are bounded by slot_datas + the recipe
+        # LRU, not by edit count — orphans from 120 edits must be swept
+        assert len(tp.buffer_queue.queue) < 300, len(tp.buffer_queue.queue)
+    finally:
+        tp.shutdown_now()
