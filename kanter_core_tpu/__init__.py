@@ -12,6 +12,35 @@ scalar per-pixel loops on CPU threads.
 Public surface mirrors the reference's `lib.rs` re-exports.
 """
 
+import os as _os
+
+
+def _configure_persistent_jit_cache() -> None:
+    """Persistent XLA compilation cache: interactive sessions recompile
+    nothing a previous session already compiled (verified to work through
+    the remote-TPU tunnel). Opt out with KANTER_JIT_CACHE_DIR=0; redirect
+    with KANTER_JIT_CACHE_DIR=<path>."""
+    value = _os.environ.get("KANTER_JIT_CACHE_DIR", "")
+    if value == "0":
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return  # respect an existing configuration
+    path = value or _os.path.join(
+        _os.path.expanduser("~"), ".cache", "kanter_core_tpu", "jit"
+    )
+    try:
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:  # noqa: BLE001 — caching is best-effort
+        pass
+
+
+_configure_persistent_jit_cache()
+
 from .edge import Edge
 from .errors import ErrorKind, TexProError
 from .geometry import Size
