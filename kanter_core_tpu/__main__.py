@@ -1,0 +1,126 @@
+"""Command-line interface: render and inspect graph JSON files.
+
+The reference is a library with no CLI; this gives the standalone framework
+a direct way to execute the serde-compatible graph files it shares with the
+reference (`data/invert_graph.json` format).
+
+    python -m kanter_core_tpu render graph.json --input in=height.png \\
+        --output out=result.png [--value <node_id>=0.5] [--srgb]
+    python -m kanter_core_tpu info graph.json
+    python -m kanter_core_tpu bench  # one-line JSON benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _cmd_info(args) -> int:
+    from .node_graph import NodeGraph
+
+    graph = NodeGraph.from_path(args.graph)
+    print(f"{args.graph}: {len(graph.nodes)} nodes, {len(graph.edges)} edges")
+    for node in graph.nodes:
+        print(f"  [{int(node.node_id)}] {node.node_type!r}  "
+              f"policy={node.resize_policy.kind.value} filter={node.resize_filter.value}")
+    inputs = ", ".join(f"{s.name}#{int(s.slot_id)}" for s in graph.input_slots())
+    outputs = ", ".join(f"{s.name}#{int(s.slot_id)}" for s in graph.output_slots())
+    print(f"  inputs:  {inputs or '(none)'}")
+    print(f"  outputs: {outputs or '(none)'}")
+    return 0
+
+
+def _cmd_render(args) -> int:
+    import numpy as np
+
+    from .ids import NodeId, SlotId
+    from .live_graph import LiveGraph
+    from .node import Node, NodeType
+    from .node_graph import NodeGraph
+    from .ops.image_io import read_slot_image, save_rgba_png
+    from .slot_data import SlotData
+    from .texture_processor import TextureProcessor
+
+    graph = NodeGraph.from_path(args.graph)
+
+    with TextureProcessor(args.memory_threshold) as tex_pro:
+        live_graph = tex_pro.new_live_graph()
+        with live_graph.write() as lg:
+            lg.set_node_graph(graph)
+
+            for spec in args.input or []:
+                name, _, path = spec.partition("=")
+                slot = graph.input_slot_id_with_name(name)
+                if slot is None:
+                    print(f"error: no input named {name!r}", file=sys.stderr)
+                    return 2
+                image = read_slot_image(path)
+                if graph.node(NodeId(int(slot))).node_type.kind.value == "InputGray":
+                    image = image.as_type(False)
+                lg.add_input_slot_data(SlotData(NodeId(int(slot)), SlotId(0), image))
+
+            for spec in args.value or []:
+                node_id, _, value = spec.partition("=")
+                lg.node_mut(NodeId(int(node_id))).node_type = NodeType.Value(float(value))
+
+        status = 0
+        for spec in args.output or []:
+            name, _, path = spec.partition("=")
+            slot = graph.output_slot_id_with_name(name)
+            if slot is None:
+                print(f"error: no output named {name!r}", file=sys.stderr)
+                return 2
+            node_id = NodeId(int(slot))
+            with LiveGraph.await_clean_read(live_graph, node_id) as lg:
+                pixels = (
+                    lg.buffer_srgba(node_id, SlotId(0))
+                    if args.srgb
+                    else lg.buffer_rgba(node_id, SlotId(0))
+                )
+                size = lg.slot_data_size(node_id, SlotId(0))
+            save_rgba_png(path, pixels, size)
+            print(f"wrote {path} ({size})")
+        return status
+
+
+def _cmd_bench(_args) -> int:
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "kanter_bench",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"),
+    )
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    module.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="kanter_core_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_info = sub.add_parser("info", help="describe a graph JSON file")
+    p_info.add_argument("graph")
+    p_info.set_defaults(fn=_cmd_info)
+
+    p_render = sub.add_parser("render", help="evaluate a graph JSON file")
+    p_render.add_argument("graph")
+    p_render.add_argument("--input", action="append", metavar="NAME=IMAGE.png")
+    p_render.add_argument("--output", action="append", metavar="NAME=OUT.png")
+    p_render.add_argument("--value", action="append", metavar="NODE_ID=FLOAT")
+    p_render.add_argument("--srgb", action="store_true", help="export via sRGB conversion")
+    p_render.add_argument("--memory-threshold", type=int, default=1 << 31)
+    p_render.set_defaults(fn=_cmd_render)
+
+    p_bench = sub.add_parser("bench", help="run the one-line JSON benchmark")
+    p_bench.set_defaults(fn=_cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

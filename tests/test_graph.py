@@ -245,3 +245,24 @@ def test_set_mix_type_wrong_node():
     with pytest.raises(TexProError) as exc:
         graph.set_mix_type(v, MixType.POW)
     assert exc.value.kind == ErrorKind.INVALID_NODE_ID
+
+
+def test_cli_info_and_render(tmp_path):
+    from kanter_core_tpu.__main__ import main
+
+    assert main(["info", INVERT_GRAPH_JSON]) == 0
+
+    out_path = str(tmp_path / "cli.png")
+    rc = main([
+        "render", INVERT_GRAPH_JSON,
+        "--input", "in=/root/reference/data/heart_256.png",
+        "--output", f"out={out_path}",
+    ])
+    assert rc == 0
+    from PIL import Image as PILImage
+
+    rendered = np.asarray(PILImage.open(out_path))
+    golden = np.asarray(
+        PILImage.open("/root/reference/data/test_compare/invert_graph_node_import.png")
+    )
+    assert rendered.shape == golden.shape
