@@ -72,7 +72,7 @@ def _build_random_graph(seed: int) -> tuple[NodeGraph, list]:
         return list(ResizeFilter)[rng.integers(len(ResizeFilter))]
 
     for _ in range(int(rng.integers(4, 9))):
-        kind = rng.integers(5)
+        kind = rng.integers(6)
         pool = list(producers)  # only pre-existing nodes: keeps the DAG acyclic
         if kind in (0, 1):  # Mix
             mix = Node(NodeType.Mix(list(MixType)[rng.integers(5)]))
@@ -104,12 +104,24 @@ def _build_random_graph(seed: int) -> tuple[NodeGraph, list]:
             )
             if src is not None:
                 graph.connect(src[0], sep_id, src[1], SlotId(0))
-        else:  # HeightToNormal — only with a guaranteed gray input
+        elif kind == 4:  # HeightToNormal — only with a guaranteed gray input
             src = pick(SlotType.GRAY, pool)
             if src is None:
                 continue
             h2n_id = add(Node(NodeType.HeightToNormal()), [(SlotId(0), SlotType.RGBA)])
             graph.connect(src[0], h2n_id, src[1], SlotId(0))
+        else:  # nested Graph node (the invert subgraph), gray in → gray out
+            from kanter_core_tpu.graphs import invert_graph
+
+            src = pick(SlotType.GRAY, pool)
+            if src is None:
+                continue
+            inner = invert_graph()
+            gnode_id = add(
+                Node(NodeType.Graph(inner)),
+                [(inner.output_slot_id_with_name("out"), SlotType.GRAY)],
+            )
+            graph.connect(src[0], gnode_id, src[1], inner.input_slot_id_with_name("in"))
 
     # terminal outputs: one per leaf-ish producer kind
     targets = []
