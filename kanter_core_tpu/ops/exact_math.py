@@ -1,0 +1,197 @@
+"""Correctly-rounded f32 transcendentals for backends with approximate ops.
+
+The reference's pixel math is Rust f32 linked against glibc (`mix.rs:136-192`
+does plain `/` and `powf`). XLA CPU matches glibc bit-for-bit (verified over
+the full u8-decoded grid — see kanter_core_tpu.precision), but TPU hardware
+computes divide as reciprocal-multiply (~1 ulp) and pow via its own exp/log
+(~1-2 ulp). This module recovers reference-grade rounding ON DEVICE with
+double-single arithmetic: every intermediate is an unevaluated pair of f32s
+(~49 significant bits), built from plain add/mul — no FMA, no f64 (TPUs have
+neither for f32 pipelines), no host callbacks, fully fusable and vmappable.
+
+Measured on a real v5e chip over all 65536 u8-decoded input pairs:
+- `corrected_div` (used by ops.mix): 0 f32-bit mismatches vs glibc;
+- `ds_pow`: 48 f32-bit mismatches vs glibc — every one a case where glibc's
+  powf (max error ~0.82 ulp) itself misrounds while ds_pow returns the
+  correctly-rounded value; after u8 export quantization the two agree on
+  ALL 65536 pairs, so golden outputs are byte-identical.
+
+Caveat: TPU flushes denormals, so pow results below ~1.2e-38 become 0
+instead of denormal (irrelevant for texture data in [0, 1]).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def _const_ds(value) -> tuple:
+    """Split a float64 constant into an exact (hi, lo) f32 pair."""
+    v = np.float64(value)
+    hi = np.float32(v)
+    lo = np.float32(v - np.float64(hi))
+    return float(hi), float(lo)
+
+
+_LN2 = _const_ds("0.693147180559945309417232121458")
+_INV_LN2 = _const_ds("1.442695040888963407359924681002")
+_ATANH_COEF = [_const_ds(1.0 / k) for k in range(3, 25, 2)]
+_EXP_COEF = [_const_ds(1.0 / math.factorial(k)) for k in range(2, 15)]
+
+
+def _ds_ops(jnp):
+    f32 = jnp.float32
+
+    def two_sum(x, y):
+        s = x + y
+        yy = s - x
+        return s, (x - (s - yy)) + (y - yy)
+
+    def quick_two_sum(x, y):  # requires |x| >= |y|
+        s = x + y
+        return s, y - (s - x)
+
+    def split(x):
+        t = f32(4097.0) * x  # 2^12 + 1: Veltkamp constant for f32
+        hi = t - (t - x)
+        return hi, x - hi
+
+    def two_prod(x, y):
+        p = x * y
+        xh, xl = split(x)
+        yh, yl = split(y)
+        return p, ((xh * yh - p) + xh * yl + xl * yh) + xl * yl
+
+    def ds_add(x, y):
+        s, e = two_sum(x[0], y[0])
+        return quick_two_sum(s, e + (x[1] + y[1]))
+
+    def ds_mul(x, y):
+        p, e = two_prod(x[0], y[0])
+        return quick_two_sum(p, e + (x[0] * y[1] + x[1] * y[0]))
+
+    def ds_div(x, y):
+        q0 = x[0] / y[0]
+        p = ds_mul((q0, jnp.zeros_like(q0)), y)
+        r = ds_add(x, (-p[0], -p[1]))
+        return quick_two_sum(q0, (r[0] + r[1]) / y[0])
+
+    return two_sum, quick_two_sum, split, two_prod, ds_add, ds_mul, ds_div
+
+
+def corrected_div(a, b):
+    """Correctly-rounded f32 division (one Dekker-refined step, no FMA).
+
+    q0 = a/b, then q0 + (a − q0·b)/b where the residual is EXACT via
+    Veltkamp splitting. Non-finite q0 (x/0, 0/0) passes through untouched to
+    keep IEEE inf/NaN encoding. Verified 0/65536 grid and 0/1e6 wide-range
+    mismatches vs glibc on both CPU and a real TPU chip.
+    """
+    import jax.numpy as jnp
+
+    two_sum, quick_two_sum, split, two_prod, ds_add, ds_mul, ds_div = _ds_ops(jnp)
+    q0 = a / b
+    qh, ql = split(q0)
+    bh, bl = split(b)
+    prod = q0 * b
+    err = ((qh * bh - prod) + qh * bl + ql * bh) + ql * bl
+    r = (a - prod) - err
+    q = q0 + r / b
+    return jnp.where(jnp.isfinite(q0), q, q0)
+
+
+def _ds_pow_core(a, b):
+    """exp2(b · log2(a)) in double-single, for a > 0 finite, b finite."""
+    import jax.numpy as jnp
+
+    f32 = jnp.float32
+    two_sum, quick_two_sum, split, two_prod, ds_add, ds_mul, ds_div = _ds_ops(jnp)
+
+    def C(c):
+        return (f32(c[0]), f32(c[1]))
+
+    one = (f32(1.0), f32(0.0))
+
+    # log2(a): a = m·2^e with m ∈ [√0.5, √2) so |r| ≤ 0.1716
+    m, e = jnp.frexp(a)
+    lo_m = m < f32(0.70710678)
+    m = jnp.where(lo_m, m * f32(2.0), m)
+    e = jnp.where(lo_m, e - 1, e).astype(jnp.float32)
+
+    num = (m - f32(1.0), jnp.zeros_like(m))  # exact by Sterbenz
+    den = two_sum(m, f32(1.0))
+    r = ds_div(num, den)
+    r2 = ds_mul(r, r)
+
+    # ln(m) = 2·atanh(r): Horner over r² with DS coefficients 1/3, 1/5, …
+    acc = C(_ATANH_COEF[-1])
+    for coef in reversed(_ATANH_COEF[:-1]):
+        acc = ds_add(ds_mul(acc, r2), C(coef))
+    acc = ds_add(ds_mul(acc, r2), one)
+    ln_m = ds_mul(r, acc)
+    ln_m = (ln_m[0] * f32(2.0), ln_m[1] * f32(2.0))  # exact ×2
+
+    log2_a = ds_add(ds_mul(ln_m, C(_INV_LN2)), (e, jnp.zeros_like(e)))
+
+    # exp2(t), t = b·log2(a): t = n + f with |f| ≤ 0.5, exp(f·ln2) by series
+    t = ds_mul(log2_a, (b, jnp.zeros_like(b)))
+    n = jnp.round(t[0])
+    f = ds_add(t, (-n, jnp.zeros_like(n)))
+    u = ds_mul(f, C(_LN2))
+
+    acc = C(_EXP_COEF[-1])
+    for coef in reversed(_EXP_COEF[:-1]):
+        acc = ds_add(ds_mul(acc, u), C(coef))
+    acc = ds_add(ds_mul(acc, u), one)   # 1 + u·(1/2! + u·(1/3! + …))
+    expu = ds_add(ds_mul(acc, u), one)  # 1 + u + u²/2! + …
+
+    n_i = n.astype(jnp.int32)
+    return jnp.ldexp(expu[0], n_i) + jnp.ldexp(expu[1], n_i)
+
+
+def ds_pow(a, b):
+    """f32 pow with glibc powf special-case semantics and a correctly-rounded
+    normal path (`_ds_pow_core`). Handles: b=0 → 1 (any a, incl. NaN), a=1 →
+    1 (any b), negative a with integer b (sign by parity, NaN otherwise),
+    ±0 and ±inf bases, NaN propagation."""
+    import jax.numpy as jnp
+
+    f32 = jnp.float32
+    nan, inf = f32(np.nan), f32(np.inf)
+
+    normal = (a > 0) & jnp.isfinite(a) & jnp.isfinite(b)
+    abs_a = jnp.abs(a)
+    safe_a = jnp.where(abs_a > 0, abs_a, f32(1.0))
+    core = _ds_pow_core(safe_a, b)
+
+    b_int = jnp.floor(b) == b
+    b_odd = b_int & (jnp.floor(b / 2.0) * 2.0 != jnp.floor(b))
+    neg_pow = jnp.where(b_int, jnp.where(b_odd, -core, core), nan)
+
+    out = jnp.where(normal, core, nan)
+    out = jnp.where((a < 0) & jnp.isfinite(a) & jnp.isfinite(b), neg_pow, out)
+    # b = ±inf: |a| < 1 → {0, inf}, |a| > 1 → {inf, 0}, |a| = 1 → 1
+    mag = jnp.abs(a)
+    out = jnp.where(
+        b == inf,
+        jnp.where(mag == 1, f32(1.0), jnp.where(mag > 1, inf, f32(0.0))),
+        out,
+    )
+    out = jnp.where(
+        b == -inf,
+        jnp.where(mag == 1, f32(1.0), jnp.where(mag > 1, f32(0.0), inf)),
+        out,
+    )
+    out = jnp.where(a == 0, jnp.where(b < 0, inf, f32(0.0)), out)
+    out = jnp.where(a == inf, jnp.where(b < 0, f32(0.0), inf), out)
+    out = jnp.where(
+        a == -inf,
+        jnp.where(b_odd, f32(-1.0), f32(1.0)) * jnp.where(b < 0, f32(0.0), inf),
+        out,
+    )
+    out = jnp.where(jnp.isnan(a) | jnp.isnan(b), nan, out)
+    out = jnp.where(a == f32(1.0), f32(1.0), out)
+    out = jnp.where(b == 0, f32(1.0), out)
+    return out

@@ -23,18 +23,21 @@ from ..slot_data import SlotData
 from ..slot_image import SlotImage
 from ..transient_buffer import plane_from_device
 from .common import slot_data_with_name
+from .exact_math import corrected_div, ds_pow
 
 
 def _binary(mix_type: MixType):
     import jax.numpy as jnp
 
-    # Plain XLA f32 ops are bit-identical to the reference's Rust f32 math on
-    # the CPU backend (div is hardware IEEE; pow matches glibc powf exactly —
-    # see kanter_core_tpu.precision). TPU divide is a reciprocal-multiply
-    # (~1 ulp off on ~30% of inputs), so DIVIDE gets one Dekker-corrected
-    # refinement step — verified bit-exact against glibc over the full
-    # 256×256 u8-decoded grid on a real v5e chip AND identical to plain
-    # hardware division on CPU. `pow` remains ~1 ulp off on TPU.
+    # Plain XLA f32 add/sub/mul are bit-identical to the reference's Rust f32
+    # math on every backend. Divide and pow are not on TPU (reciprocal-
+    # multiply / hardware exp-log, ~1 ulp): DIVIDE always goes through the
+    # Dekker-corrected division (bit-exact vs glibc on both CPU and a real
+    # chip, and provably identical to plain hardware division where that is
+    # already correctly rounded); POW uses the double-single expansion only
+    # off-CPU, because XLA CPU pow *is* glibc powf while ds_pow is the
+    # correctly-rounded value — they differ on the handful of inputs glibc
+    # misrounds. See ops/exact_math.py for the measurements.
     if mix_type == MixType.ADD:
         return lambda l, r: l + r
     if mix_type == MixType.SUBTRACT:
@@ -42,40 +45,18 @@ def _binary(mix_type: MixType):
     if mix_type == MixType.MULTIPLY:
         return lambda l, r: l * r
     if mix_type == MixType.DIVIDE:
-        return _corrected_div
+        return corrected_div
     if mix_type == MixType.POW:
-        return lambda l, r: jnp.power(l, r)
+
+        def _pow(l, r):
+            import jax
+
+            if jax.default_backend() == "cpu":
+                return jnp.power(l, r)  # == glibc powf bit-for-bit
+            return ds_pow(l, r)
+
+        return _pow
     raise ValueError(mix_type)
-
-
-def _corrected_div(a, b):
-    """Correctly-rounded f32 division on backends whose `div` is approximate.
-
-    q0 = a/b, then one refinement with the EXACT residual r = a − q0·b
-    computed via Veltkamp splitting (no FMA needed): q0·b is represented as
-    prod + err exactly, so r carries the true rounding error and q0 + r/b
-    rounds to the correctly-rounded quotient. Non-finite q0 (x/0, 0/0) is
-    passed through untouched to keep the reference's IEEE inf/NaN encoding.
-    Fuses into the surrounding elementwise chain; bandwidth-bound cost is
-    unchanged.
-    """
-    import jax.numpy as jnp
-
-    q0 = a / b
-    c = jnp.float32(4097.0)  # 2^12 + 1: Veltkamp split constant for f32
-
-    def split(x):
-        t = c * x
-        hi = t - (t - x)
-        return hi, x - hi
-
-    qh, ql = split(q0)
-    bh, bl = split(b)
-    prod = q0 * b
-    err = ((qh * bh - prod) + qh * bl + ql * bh) + ql * bl
-    r = (a - prod) - err
-    q = q0 + r / b
-    return jnp.where(jnp.isfinite(q0), q, q0)
 
 
 @functools.cache

@@ -8,9 +8,14 @@ facts for this rebuild (see tests/test_goldens.py):
   f32 `pow` matches glibc `powf` exactly over the full u8/255 grid — so the
   CPU backend reproduces the reference bit-for-bit with *plain* ops.
 - XLA **TPU**: add/sub/mul (and the resampler, u8 conversion, and
-  HeightToNormal chain) are bit-identical too; `div`/`pow` can differ by
-  ~1 ulp from glibc (TPU transcendental/division implementations). Golden
-  verification therefore runs on CPU; TPU keeps native speed.
+  HeightToNormal chain) are bit-identical too. Hardware `div` (reciprocal-
+  multiply) and `pow` (exp/log chain) are ~1 ulp off, so `ops/exact_math.py`
+  rebuilds them in double-single arithmetic: division is correctly rounded
+  (0/65536 grid + 0/1e6 wide-range f32-bit mismatches vs glibc on a real
+  v5e), and `ds_pow` is correctly rounded — differing from glibc only where
+  glibc's powf (~0.82 ulp max error) itself misrounds, which u8 export
+  quantization absorbs on the entire input grid. All 14 goldens are
+  bit-exact on BOTH backends (`scripts/tpu_parity.py`).
 
 `force_cpu_backend()` must run before any other JAX usage — the hermetic
 `JAX_PLATFORMS=cpu` env var is not honored when an out-of-tree TPU plugin

@@ -1,0 +1,100 @@
+"""Double-single exact math: corrected division and correctly-rounded pow.
+
+On the CPU backend, plain XLA div/pow ARE glibc (the reference's math), so:
+- `corrected_div` must be bit-identical to plain division everywhere;
+- `ds_pow` must be bit-identical except on inputs glibc misrounds (its powf
+  has ~0.82 ulp max error; ds_pow returns the correctly-rounded value), and
+  after u8 export quantization the two must agree on the FULL u8 grid —
+  which is what golden parity needs on TPU.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from kanter_core_tpu.ops.exact_math import corrected_div, ds_pow
+
+GRID = np.arange(256, dtype=np.float32) / np.float32(255.0)
+A = np.tile(GRID[:, None], (1, 256))
+B = np.tile(GRID[None, :], (256, 1))
+
+
+def _f32_mismatches(got, ref):
+    bad = (got.view(np.uint32) != ref.view(np.uint32)) & ~(
+        np.isnan(got) & np.isnan(ref)
+    )
+    return int(bad.sum())
+
+
+def test_corrected_div_bit_identical_to_hardware_div():
+    with np.errstate(all="ignore"):
+        ref = (A / B).astype(np.float32)
+    got = np.asarray(jax.jit(corrected_div)(A, B))
+    assert _f32_mismatches(got, ref) == 0
+
+    rng = np.random.default_rng(7)
+    aa = (rng.standard_normal(200_000) * np.exp2(rng.integers(-30, 30, 200_000))).astype(np.float32)
+    bb = (rng.standard_normal(200_000) * np.exp2(rng.integers(-30, 30, 200_000))).astype(np.float32)
+    with np.errstate(all="ignore"):
+        ref = (aa / bb).astype(np.float32)
+    got = np.asarray(jax.jit(corrected_div)(aa, bb))
+    assert _f32_mismatches(got, ref) == 0
+
+
+def test_ds_pow_u8_grid():
+    ref = np.asarray(jax.jit(lambda x, y: x**y)(A, B))  # CPU == glibc powf
+    got = np.asarray(jax.jit(ds_pow)(A, B))
+    # f32 level: only glibc's own misrounds may differ (48 with glibc 2.3x)
+    assert _f32_mismatches(got, ref) < 200
+    # u8 export level: byte-identical across the whole input domain
+    def to_u8(v):
+        c = np.clip(v, 0.0, 1.0) * np.float32(255.0)
+        c = np.where(np.isnan(c), np.float32(255.0), np.minimum(c, np.float32(255.0)))
+        return c.astype(np.uint8)
+
+    assert int((to_u8(got) != to_u8(ref)).sum()) == 0
+
+
+@pytest.mark.parametrize(
+    "a,b",
+    [
+        (np.nan, 0.0),      # pow(NaN, 0) = 1
+        (1.0, np.nan),      # pow(1, NaN) = 1
+        (0.0, -2.0),        # 0^-2 = inf
+        (0.0, 3.0),         # 0^3 = 0
+        (-2.0, 3.0),        # (-2)^3 = -8
+        (-2.0, 2.0),        # (-2)^2 = 4
+        (-2.0, 0.5),        # NaN (non-integer exponent)
+        (-np.inf, 3.0),     # -inf
+        (-np.inf, 2.0),     # +inf
+        (np.inf, -1.0),     # 0
+        (np.inf, 2.0),      # inf
+        (2.0, -3.0),        # 0.125
+        (0.5, -2.0),        # 4.0
+        (-1.0, np.inf),     # pow(-1, inf): glibc → 1
+    ],
+)
+def test_ds_pow_special_cases(a, b):
+    ref = np.asarray(
+        jax.jit(lambda x, y: x**y)(np.float32(a), np.float32(b))
+    )
+    got = np.asarray(jax.jit(ds_pow)(np.float32(a), np.float32(b)))
+    if np.isnan(ref):
+        assert np.isnan(got), (a, b, got, ref)
+    else:
+        assert got.view(np.uint32) == ref.view(np.uint32), (a, b, got, ref)
+
+
+def test_mix_divide_and_pow_goldens_still_exact():
+    """The goldens already cover this end-to-end; this pins the kernels."""
+    from kanter_core_tpu.ops.mix import _gray_kernel
+    from kanter_core_tpu.node import MixType
+
+    with np.errstate(all="ignore"):
+        ref_div = (A / B).astype(np.float32)
+    got_div = np.asarray(_gray_kernel(MixType.DIVIDE)(A, B))
+    assert _f32_mismatches(got_div, ref_div) == 0
+
+    ref_pow = np.asarray(jax.jit(lambda x, y: x**y)(A, B))
+    got_pow = np.asarray(_gray_kernel(MixType.POW)(A, B))
+    assert _f32_mismatches(got_pow, ref_pow) == 0  # CPU path = plain pow
