@@ -30,6 +30,14 @@ def _jitted_converters():
 
     from .ops.common import f32_to_u8  # the one canonical conversion
 
+    # glibc-rounding div/pow on backends whose hardware ops are ~1 ulp off
+    # (see ops/exact_math.py); XLA CPU's plain ops ARE glibc already.
+    if jax.default_backend() == "cpu":
+        _div = lambda a, b: a / b  # noqa: E731
+        _pow = jnp.power
+    else:
+        from .ops.exact_math import corrected_div as _div, ds_pow as _pow
+
     def srgb_to_linear(x):
         # reference formula at `slot_data.rs:100-109` (applied by `to_u8_srgb`
         # despite the method's name, `slot_image.rs:172-175`)
@@ -38,8 +46,11 @@ def _jitted_converters():
             x,
             jnp.where(
                 x <= jnp.float32(0.04045),
-                x / jnp.float32(12.92),
-                jnp.power((x + jnp.float32(0.055)) / jnp.float32(1.055), jnp.float32(2.4)),
+                _div(x, jnp.full_like(x, 12.92)),
+                _pow(
+                    _div(x + jnp.float32(0.055), jnp.full_like(x, 1.055)),
+                    jnp.full_like(x, 2.4),
+                ),
             ),
         )
 
@@ -50,7 +61,8 @@ def _jitted_converters():
             jnp.where(
                 x <= jnp.float32(0.0031308),
                 x * jnp.float32(12.92),
-                jnp.float32(1.055) * jnp.power(x, jnp.float32(1.0 / 2.4)) - jnp.float32(0.055),
+                jnp.float32(1.055) * _pow(x, jnp.full_like(x, 1.0 / 2.4))
+                - jnp.float32(0.055),
             ),
         )
 
