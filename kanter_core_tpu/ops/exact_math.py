@@ -102,6 +102,55 @@ def corrected_div(a, b):
     return jnp.where(jnp.isfinite(q0), q, q0)
 
 
+def nc_mul(x, y):
+    """Non-contractible f32 multiply: exactly fl(x·y), immune to FMA fusion.
+
+    XLA:CPU (via LLVM) contracts `a*b + c` into fma(a, b, c) — ONE rounding,
+    where the reference's Rust (no fast-math) and numpy do TWO. TPU does not
+    contract, so plain mul+add already matches the reference there. This
+    helper forces the separately-rounded product everywhere: the product
+    additionally feeds a Dekker error term and returns `p + (err − err)`.
+    Strict FP semantics protect the construction — a compiler may fold
+    neither `err − err → 0` (NaN/inf operands) nor `p + 0.0 → p` (signed
+    zero), and the consumer add sees an fadd result, not an fmul, so the
+    contraction pattern never matches. Verified 0/1e6 mismatches vs numpy's
+    two-rounding `a*b + c` on XLA:CPU.
+    """
+    import jax.numpy as jnp
+
+    f32 = jnp.float32
+    p = x * y
+    t = f32(4097.0) * x
+    xh = t - (t - x)
+    xl = x - xh
+    t = f32(4097.0) * y
+    yh = t - (t - y)
+    yl = y - yh
+    err = ((xh * yh - p) + xh * yl + xl * yh) + xl * yl
+    return p + (err - err)
+
+
+def corrected_sqrt(x):
+    """Correctly-rounded f32 sqrt (TPU hardware sqrt is ~1 ulp off on ~40%
+    of inputs). One Newton refinement with the EXACT residual x − s0² via
+    Veltkamp splitting: s = s0 + (x − s0²)/(2·s0). Correct rounding follows
+    because √x is never exactly at an f32 rounding midpoint (a classical
+    result: a midpoint squared needs 2p+2 mantissa bits). Non-finite or
+    zero s0 (x ≤ 0, inf, NaN) passes through untouched.
+    """
+    import jax.numpy as jnp
+
+    s0 = jnp.sqrt(x)
+    sh_t = jnp.float32(4097.0) * s0
+    sh = sh_t - (sh_t - s0)
+    sl = s0 - sh
+    prod = s0 * s0
+    err = ((sh * sh - prod) + sh * sl + sl * sh) + sl * sl
+    r = (x - prod) - err
+    s = s0 + r / (s0 + s0)
+    return jnp.where(jnp.isfinite(s0) & (s0 > 0), s, s0)
+
+
 def _ds_pow_core(a, b):
     """exp2(b · log2(a)) in double-single, for a > 0 finite, b finite."""
     import jax.numpy as jnp

@@ -9,8 +9,11 @@ forced to 1 (`from_buffers_rgb`).
 The reference's per-pixel scalar loop (its only cancellation-aware kernel)
 becomes a fused stencil; cancellation here happens at dispatch granularity
 instead of per pixel. Operation order matches nalgebra's
-`norm = sqrt((x² + y²) + z²)` and componentwise divide, so results are
-bit-identical (sqrt and divide are correctly rounded everywhere).
+`norm = sqrt((x² + y²) + z²)` and componentwise divide. On CPU plain
+sqrt/div are correctly rounded already; TPU hardware is ~1 ulp off on both,
+so the normalizations go through `ops/exact_math.corrected_{sqrt,div}` —
+making the f32 planes (not just the u8 export) bit-identical across
+backends.
 
 Two implementations, identical bit-for-bit on TPU (verified at 2048²):
 - `_h2n_jnp`: `jnp.roll`-based, used on CPU and for unaligned shapes;
@@ -32,7 +35,16 @@ from .common import slot_data_with_name
 
 def _h2n_jnp(h):
     """jnp reference implementation (bit-exact vs the Rust scalar loop)."""
+    import jax
     import jax.numpy as jnp
+
+    from .exact_math import nc_mul
+
+    if jax.default_backend() == "cpu":
+        _div = lambda a, b: a / b  # noqa: E731 — already correctly rounded
+        _sqrt = jnp.sqrt
+    else:
+        from .exact_math import corrected_div as _div, corrected_sqrt as _sqrt
 
     height, width = h.shape
     pdx = jnp.float32(1.0) / jnp.float32(width)
@@ -43,24 +55,29 @@ def _h2n_jnp(h):
 
     # tangent = normalize([pdx, 0, h - left])
     tz = h - left
-    tnorm = jnp.sqrt((pdx * pdx + jnp.float32(0.0)) + tz * tz)
-    tx, ty, tzn = pdx / tnorm, jnp.float32(0.0) / tnorm, tz / tnorm
+    tnorm = _sqrt((pdx * pdx + jnp.float32(0.0)) + nc_mul(tz, tz))
+    tx, ty, tzn = _div(pdx, tnorm), _div(jnp.float32(0.0), tnorm), _div(tz, tnorm)
 
     # bitangent = normalize([0, pdy, up - h])
     bz = up - h
-    bnorm = jnp.sqrt((jnp.float32(0.0) + pdy * pdy) + bz * bz)
-    bx, by, bzn = jnp.float32(0.0) / bnorm, pdy / bnorm, bz / bnorm
+    bnorm = _sqrt((jnp.float32(0.0) + pdy * pdy) + nc_mul(bz, bz))
+    bx, by, bzn = _div(jnp.float32(0.0), bnorm), _div(pdy, bnorm), _div(bz, bnorm)
 
     # normal = normalize(cross(tangent, bitangent))
-    cx = ty * bzn - tzn * by
-    cy = tzn * bx - tx * bzn
-    cz = tx * by - ty * bx
-    cnorm = jnp.sqrt((cx * cx + cy * cy) + cz * cz)
-    nx, ny, nz = cx / cnorm, cy / cnorm, cz / cnorm
+    cx = nc_mul(ty, bzn) - nc_mul(tzn, by)
+    cy = nc_mul(tzn, bx) - nc_mul(tx, bzn)
+    cz = nc_mul(tx, by) - nc_mul(ty, bx)
+    cnorm = _sqrt((nc_mul(cx, cx) + nc_mul(cy, cy)) + nc_mul(cz, cz))
+    nx, ny, nz = _div(cx, cnorm), _div(cy, cnorm), _div(cz, cnorm)
 
     half = jnp.float32(0.5)
     alpha = jnp.ones_like(h)
-    return nx * half + half, ny * half + half, nz * half + half, alpha
+    return (
+        nc_mul(nx, half) + half,
+        nc_mul(ny, half) + half,
+        nc_mul(nz, half) + half,
+        alpha,
+    )
 
 
 def h2n_traceable(h):

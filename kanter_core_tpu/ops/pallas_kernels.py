@@ -59,22 +59,33 @@ def _h2n_kernel(height: int, width: int, tile_rows: int, interpret: bool):
             zero = jnp.float32(0.0)
             half = jnp.float32(0.5)
 
+            # exact-math sqrt/div + non-contracted muls: TPU hardware
+            # sqrt/div are ~1 ulp off (plain mul+add is NOT contracted on
+            # TPU, but nc_mul keeps the recipe backend-uniform); these keep
+            # the f32 planes bit-identical to the reference pipeline
+            # (plain ops inside Pallas lower fine — see ops/exact_math.py)
+            from .exact_math import (
+                corrected_div as _div,
+                corrected_sqrt as _sqrt,
+                nc_mul,
+            )
+
             tz = h - left
-            tnorm = jnp.sqrt((pdx * pdx + zero) + tz * tz)
-            tx, ty, tzn = pdx / tnorm, zero / tnorm, tz / tnorm
+            tnorm = _sqrt((pdx * pdx + zero) + nc_mul(tz, tz))
+            tx, ty, tzn = _div(pdx, tnorm), _div(zero, tnorm), _div(tz, tnorm)
 
             bz = up - h
-            bnorm = jnp.sqrt((zero + pdy * pdy) + bz * bz)
-            bx, by, bzn = zero / bnorm, pdy / bnorm, bz / bnorm
+            bnorm = _sqrt((zero + pdy * pdy) + nc_mul(bz, bz))
+            bx, by, bzn = _div(zero, bnorm), _div(pdy, bnorm), _div(bz, bnorm)
 
-            cx = ty * bzn - tzn * by
-            cy = tzn * bx - tx * bzn
-            cz = tx * by - ty * bx
-            cnorm = jnp.sqrt((cx * cx + cy * cy) + cz * cz)
+            cx = nc_mul(ty, bzn) - nc_mul(tzn, by)
+            cy = nc_mul(tzn, bx) - nc_mul(tx, bzn)
+            cz = nc_mul(tx, by) - nc_mul(ty, bx)
+            cnorm = _sqrt((nc_mul(cx, cx) + nc_mul(cy, cy)) + nc_mul(cz, cz))
 
-            r_ref[:, :] = (cx / cnorm) * half + half
-            g_ref[:, :] = (cy / cnorm) * half + half
-            b_ref[:, :] = (cz / cnorm) * half + half
+            r_ref[:, :] = nc_mul(_div(cx, cnorm), half) + half
+            g_ref[:, :] = nc_mul(_div(cy, cnorm), half) + half
+            b_ref[:, :] = nc_mul(_div(cz, cnorm), half) + half
 
         pl.run_scoped(
             body,
