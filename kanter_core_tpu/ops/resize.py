@@ -169,6 +169,16 @@ def _apply_axis0(plane, lefts, weights, in_len: int):
     import jax
     import jax.numpy as jnp
 
+    # The reference rounds `pixel * weight` and the accumulation separately;
+    # XLA:CPU's LLVM backend sinks the zero-weight select and contracts the
+    # mul+add into one-rounding FMAs (measured 4517/29100 f32-bit diffs vs
+    # the Rust-order numpy result at 173×211→300×97 triangle). TPU does not
+    # contract — keep its plain mul for speed on the hot path.
+    if jax.default_backend() == "cpu":
+        from .exact_math import nc_mul as _mul
+    else:
+        _mul = lambda a, b: a * b  # noqa: E731
+
     out_len, taps = weights.shape
     lefts_j = jnp.asarray(lefts)
     weights_j = jnp.asarray(weights)
@@ -177,7 +187,7 @@ def _apply_axis0(plane, lefts, weights, in_len: int):
         idx = jnp.clip(lefts_j + t, 0, in_len - 1)
         rows = plane[idx, :]
         w = jax.lax.dynamic_slice_in_dim(weights_j, t, 1, axis=1)  # [out, 1]
-        return jnp.where(w == 0.0, jnp.float32(0.0), rows * w)
+        return jnp.where(w == 0.0, jnp.float32(0.0), _mul(rows, w))
 
     if taps <= 8:
         acc = jnp.zeros((out_len, plane.shape[1]), jnp.float32)
@@ -186,7 +196,7 @@ def _apply_axis0(plane, lefts, weights, in_len: int):
             idx = np.minimum(idx, in_len - 1)
             rows = plane[jnp.asarray(idx), :]
             w = weights_j[:, t][:, None]
-            acc = acc + jnp.where(w == 0.0, jnp.float32(0.0), rows * w)
+            acc = acc + jnp.where(w == 0.0, jnp.float32(0.0), _mul(rows, w))
     else:
         def body(t, acc):
             return acc + tap_contrib(t)
