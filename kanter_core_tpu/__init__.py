@@ -64,7 +64,7 @@ from .ops.embed import EmbeddedSlotData, EmbeddedSlotDataId
 from .priority import Priority, PriorityPropagator
 from .slot_data import ChannelPixel, SlotData
 from .slot_image import SlotImage
-from . import checkpoint, compiler, graphs, models, native, profiling
+from . import autodiff, checkpoint, compiler, graphs, models, native, profiling
 from .compiler import CompiledGraph, compile_graph
 from .texture_processor import TextureProcessor
 from .transient_buffer import AtomicUsize, PlaneBuffer, PlaneBufferQueue, Tier
@@ -73,6 +73,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "AtomicFlag",
+    "autodiff",
     "AtomicUsize",
     "ChannelPixel",
     "Edge",

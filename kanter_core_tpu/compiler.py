@@ -521,6 +521,15 @@ class CompiledGraph:
             jnp.asarray(p) for p in planes
         )
 
+    def bind_input_rgba(self, planes, prefix: str = "") -> None:
+        """Bind the graph's FIRST outer input (InputRgba semantics — the
+        reference indexes `input_slot_datas[0]`, `input_rgba.rs:7-13`)."""
+        import jax.numpy as jnp
+
+        self._bindings[f"{prefix}input_rgba_first"] = tuple(
+            jnp.asarray(p) for p in planes
+        )
+
     def set_value(self, node_id, value: float, prefix: str = "") -> None:
         """Re-bind a Value node without recompiling."""
         self._bindings[f"{prefix}value_{int(node_id)}"] = np.float32(value)

@@ -80,6 +80,31 @@ def _h2n_jnp(h):
     )
 
 
+@functools.cache
+def _h2n_pallas_vjp():
+    """The Pallas kernel wrapped with a custom VJP so graphs containing
+    HeightToNormal stay differentiable (kanter_core_tpu.autodiff): forward
+    runs the one-pass Mosaic stencil, backward re-traces the bit-identical
+    jnp formulation and pulls cotangents through it."""
+    import jax
+
+    @jax.custom_vjp
+    def h2n(h):
+        from .pallas_kernels import height_to_normal_pallas
+
+        return height_to_normal_pallas(h)
+
+    def fwd(h):
+        return h2n(h), h
+
+    def bwd(h, cotangents):
+        _, vjp = jax.vjp(_h2n_jnp, h)
+        return vjp(cotangents)
+
+    h2n.defvjp(fwd, bwd)
+    return h2n
+
+
 def h2n_traceable(h):
     """Backend-dispatching traceable kernel (see module docstring)."""
     import jax
@@ -91,9 +116,7 @@ def h2n_traceable(h):
         and height % 8 == 0
         and height >= 64
     ):
-        from .pallas_kernels import height_to_normal_pallas
-
-        return height_to_normal_pallas(h)
+        return _h2n_pallas_vjp()(h)
     return _h2n_jnp(h)
 
 
