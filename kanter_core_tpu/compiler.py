@@ -293,6 +293,17 @@ class GraphCompiler:
             outs = h2n_traceable(inp.planes[0])
             return [(SlotId(0), ImgVal(list(outs)))]
 
+        if kind == K.BLUR:
+            from .ops.blur import blur_plane
+
+            inp = by_slot.get(SlotId(0))
+            if inp is None:
+                raise TexProError(
+                    ErrorKind.INVALID_BUFFER_COUNT, "Blur needs an input"
+                )
+            sigma = node.node_type.payload
+            return [(SlotId(0), ImgVal([blur_plane(p, sigma) for p in inp.planes]))]
+
         if kind == K.SEPARATE_RGBA:
             inp = by_slot.get(SlotId(0))
             if inp is not None and inp.is_rgba:

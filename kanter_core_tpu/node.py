@@ -181,6 +181,7 @@ class NodeTypeKind(enum.Enum):
     HEIGHT_TO_NORMAL = "HeightToNormal"
     SEPARATE_RGBA = "SeparateRgba"
     COMBINE_RGBA = "CombineRgba"
+    BLUR = "Blur"  # TPU-native extension: no reference counterpart
 
 
 class NodeType:
@@ -240,6 +241,12 @@ class NodeType:
     @staticmethod
     def HeightToNormal() -> "NodeType":
         return NodeType(NodeTypeKind.HEIGHT_TO_NORMAL)
+
+    @staticmethod
+    def Blur(sigma: float = 1.0) -> "NodeType":
+        """Separable Gaussian blur with toroidal wrap (extension node —
+        the reference has no blur; sigma is in pixels of the input)."""
+        return NodeType(NodeTypeKind.BLUR, float(sigma))
 
     @staticmethod
     def SeparateRgba() -> "NodeType":
@@ -307,6 +314,8 @@ class NodeType:
             return {"Embed": int(self.payload)}
         if k == NodeTypeKind.VALUE:
             return {"Value": self.payload}
+        if k == NodeTypeKind.BLUR:
+            return {"Blur": self.payload}
         # newtype string payloads: InputGray/InputRgba/OutputGray/OutputRgba/Image/Write
         return {k.value: self.payload}
 
@@ -326,7 +335,7 @@ class NodeType:
             from .ops.embed import EmbeddedSlotDataId
 
             return NodeType(kind, EmbeddedSlotDataId(payload))
-        if kind == NodeTypeKind.VALUE:
+        if kind in (NodeTypeKind.VALUE, NodeTypeKind.BLUR):
             return NodeType(kind, float(payload))
         return NodeType(kind, payload)
 
@@ -413,6 +422,8 @@ class Node:
             ]
         if k == K.HEIGHT_TO_NORMAL:
             return [Slot("input", SlotId(0), SlotType.GRAY)]
+        if k == K.BLUR:
+            return [Slot("input", SlotId(0), SlotType.GRAY_OR_RGBA)]
         if k == K.SEPARATE_RGBA:
             return [Slot("input", SlotId(0), SlotType.RGBA)]
         if k == K.COMBINE_RGBA:
@@ -445,6 +456,8 @@ class Node:
             return [Slot("output", SlotId(0), SlotType.GRAY_OR_RGBA)]
         if k == K.HEIGHT_TO_NORMAL:
             return [Slot("output", SlotId(0), SlotType.RGBA)]
+        if k == K.BLUR:
+            return [Slot("output", SlotId(0), SlotType.GRAY_OR_RGBA)]
         if k == K.SEPARATE_RGBA:
             return [
                 Slot("red", SlotId(0), SlotType.GRAY),

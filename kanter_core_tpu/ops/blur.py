@@ -1,0 +1,82 @@
+"""Blur node: separable Gaussian with toroidal wrap (extension).
+
+No reference counterpart — the reference's 13 node types have no blur, yet
+it is the most-requested texture op; this is a TPU-native addition. Design
+follows the engine's conventions:
+
+- toroidal wrap addressing like HeightToNormal (`height_to_normal.rs:55-56`
+  uses the same Sampling trait), so tileable textures stay tileable;
+- separable vertical-then-horizontal passes like the resampler;
+- tap products through `exact_math.nc_mul` and sequential tap-order sums, so
+  output planes are f32-bit deterministic across CPU/TPU (same discipline as
+  `ops/resize.py`);
+- weights computed host-side in f32 (radius = ceil(3σ), normalized), baked
+  into the trace as constants — sigma is part of the program fingerprint.
+
+Gray in → gray out; RGBA in → all four planes blurred.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+from ..ids import SlotId
+from ..slot_data import SlotData
+from ..slot_image import SlotImage
+from ..transient_buffer import plane_from_device
+from .common import slot_data_with_name
+from .exact_math import nc_mul
+
+f32 = np.float32
+
+
+@functools.lru_cache(maxsize=256)
+def gaussian_taps(sigma: float) -> np.ndarray:
+    """Normalized f32 Gaussian taps over [-radius, radius], radius=ceil(3σ)."""
+    sigma = max(float(sigma), 1e-3)
+    radius = max(1, int(math.ceil(3.0 * sigma)))
+    xs = np.arange(-radius, radius + 1, dtype=np.float64)
+    w = np.exp(-(xs * xs) / (2.0 * sigma * sigma)).astype(np.float32)
+    return (w / w.sum(dtype=np.float32)).astype(np.float32)
+
+
+def _blur_axis0(plane, taps: np.ndarray):
+    """Weighted sum of wrap-rolled rows, tap order preserved."""
+    import jax.numpy as jnp
+
+    radius = (len(taps) - 1) // 2
+    acc = jnp.zeros_like(plane)
+    for t, w in enumerate(taps):
+        shifted = jnp.roll(plane, radius - t, axis=0)  # wrap addressing
+        acc = acc + nc_mul(shifted, jnp.float32(w))
+    return acc
+
+
+def blur_plane(plane, sigma: float):
+    """Traceable separable wrap blur of one `[H, W]` plane."""
+    taps = gaussian_taps(round(float(sigma), 6))
+    vert = _blur_axis0(plane, taps)
+    return _blur_axis0(vert.T, taps).T
+
+
+@functools.cache
+def _kernel(sigma: float, planes: int):
+    import jax
+
+    def f(*ps):
+        return tuple(blur_plane(p, sigma) for p in ps)
+
+    return jax.jit(f)
+
+
+def process(slot_datas, node, sigma: float):
+    slot_data = slot_data_with_name(slot_datas, node, "input")
+    if slot_data is None:
+        return []
+    planes = [p.data() for p in slot_data.image.planes]
+    outs = _kernel(round(float(sigma), 6), len(planes))(*planes)
+    image = SlotImage([plane_from_device(o) for o in outs])
+    return [SlotData(node.node_id, SlotId(0), image)]

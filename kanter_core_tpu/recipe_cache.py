@@ -176,6 +176,10 @@ def node_recipe(node, input_recipes: list, live_graph) -> Optional[str]:
         return _h(base, inner, _nested_content_stamp(node.node_type.payload), input_recipes)
     if kind == K.MIX:
         return _h(base, node.node_type.payload.value, input_recipes)
+    if kind == K.BLUR:
+        import struct
+
+        return _h(base, struct.pack("<f", node.node_type.payload), input_recipes)
     # HeightToNormal, SeparateRgba, CombineRgba, Output*
     if kind in (K.OUTPUT_GRAY, K.OUTPUT_RGBA):
         return _h(base, input_recipes)

@@ -72,7 +72,7 @@ def _build_random_graph(seed: int) -> tuple[NodeGraph, list]:
         return list(ResizeFilter)[rng.integers(len(ResizeFilter))]
 
     for _ in range(int(rng.integers(4, 9))):
-        kind = rng.integers(6)
+        kind = rng.integers(7)
         pool = list(producers)  # only pre-existing nodes: keeps the DAG acyclic
         if kind in (0, 1):  # Mix
             mix = Node(NodeType.Mix(list(MixType)[rng.integers(5)]))
@@ -110,6 +110,15 @@ def _build_random_graph(seed: int) -> tuple[NodeGraph, list]:
                 continue
             h2n_id = add(Node(NodeType.HeightToNormal()), [(SlotId(0), SlotType.RGBA)])
             graph.connect(src[0], h2n_id, src[1], SlotId(0))
+        elif kind == 5:  # Blur (extension node), any input type
+            src = pick(SlotType.GRAY_OR_RGBA, pool)
+            if src is None:
+                continue
+            node = Node(NodeType.Blur(float(rng.uniform(0.4, 3.0))))
+            node.resize_policy = rand_policy()
+            node.resize_filter = rand_filter()
+            blur_id = add(node, [(SlotId(0), SlotType.GRAY_OR_RGBA)])
+            graph.connect(src[0], blur_id, src[1], SlotId(0))
         else:  # nested Graph node (the invert subgraph), gray in → gray out
             from kanter_core_tpu.graphs import invert_graph
 
