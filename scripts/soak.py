@@ -53,12 +53,14 @@ def main():
         comb_node = g.node_graph._node_with_id_mut(comb)
         comb_node.resize_policy = ResizePolicy.SpecificSize(Size(16, 16))
         combines.append(comb)
+        blur = g.add_node(Node(NodeType.Blur(1.0)))
         out = g.add_node(Node(NodeType.OutputRgba("out")))
-        # initial wiring
+        # initial wiring (blur between combine and output)
         g.connect(values[0], mixes[0], SlotId(0), SlotId(0))
         g.connect(values[1], mixes[0], SlotId(0), SlotId(1))
         g.connect(mixes[0], comb, SlotId(0), SlotId(0))
-        g.connect(comb, out, SlotId(0), SlotId(0))
+        g.connect(comb, blur, SlotId(0), SlotId(0))
+        g.connect(blur, out, SlotId(0), SlotId(0))
 
     sources = values + mixes  # gray-or-rgba producers for mix inputs
 
@@ -66,7 +68,7 @@ def main():
         n_edits = int(rng.integers(1, 4))
         with lg.write() as g:
             for _ in range(n_edits):
-                action = rng.integers(6)
+                action = rng.integers(7)
                 if action == 0:
                     node = values[rng.integers(len(values))]
                     g.node_mut(node).node_type = NodeType.Value(float(rng.random()))
@@ -90,6 +92,11 @@ def main():
                 elif action == 4:
                     src = values[rng.integers(len(values))]
                     g.connect(src, comb, SlotId(0), SlotId(int(rng.integers(4))))
+                elif action == 6:
+                    # blur sigma edit (extension node on the output path)
+                    g.node_mut(blur).node_type = NodeType.Blur(
+                        float(rng.uniform(0.5, 2.5))
+                    )
                 else:
                     # resize policy/filter edits on a mix node
                     from kanter_core_tpu import ResizeFilter
