@@ -166,6 +166,11 @@ def _determinism_kernels():
              60 if mt == MixType.POW else 0)
         )
     cases.append(("height_to_normal", lambda: jax.jit(_h2n_jnp)(h), 0))
+    from kanter_core_tpu.ops.blur import blur_plane
+
+    cases.append(
+        ("blur_sigma2.2", lambda: jax.jit(lambda x: blur_plane(x, 2.2))(src), 0)
+    )
     for filt in ResizeFilter:
         cases.append(
             (f"resample_{filt.name}",
