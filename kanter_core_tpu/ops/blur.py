@@ -62,7 +62,7 @@ def blur_plane(plane, sigma: float):
     return _blur_axis0(vert.T, taps).T
 
 
-@functools.cache
+@functools.lru_cache(maxsize=64)  # sigma edits mint new programs; bound them
 def _kernel(sigma: float, planes: int):
     import jax
 
