@@ -346,6 +346,13 @@ class LiveGraph:
             self.set_state(node_id, NodeState.DIRTY)
             self.node(node_id).cancel.store(True)
 
+    def set_blur_sigma(self, node_id: NodeId, sigma: float) -> None:
+        """Change a Blur node's sigma and dirty it (extension node)."""
+        with self._lock:
+            self.node_graph.set_blur_sigma(node_id, sigma)
+            self.set_state(node_id, NodeState.DIRTY)
+            self.node(node_id).cancel.store(True)
+
     def set_image_node_path(self, node_id: NodeId, path) -> None:
         """Change an Image node's source path and dirty it
         (`node_graph.rs:65-83`)."""

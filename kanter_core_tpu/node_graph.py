@@ -66,6 +66,12 @@ class NodeGraph:
             raise TexProError(ErrorKind.INVALID_NODE_ID)
         node.node_type = NodeType.Mix(mix_type)
 
+    def set_blur_sigma(self, node_id: NodeId, sigma: float) -> None:
+        node = self._node_with_id_mut(node_id)
+        if node is None or node.node_type.kind != NodeTypeKind.BLUR:
+            raise TexProError(ErrorKind.INVALID_NODE_ID)
+        node.node_type = NodeType.Blur(sigma)
+
     def set_image_node_path(self, node_id: NodeId, path: str) -> None:
         node = self._node_with_id_mut(node_id)
         if node is None or node.node_type.kind != NodeTypeKind.IMAGE:

@@ -94,9 +94,7 @@ def main():
                     g.connect(src, comb, SlotId(0), SlotId(int(rng.integers(4))))
                 elif action == 6:
                     # blur sigma edit (extension node on the output path)
-                    g.node_mut(blur).node_type = NodeType.Blur(
-                        float(rng.uniform(0.5, 2.5))
-                    )
+                    g.set_blur_sigma(blur, float(rng.uniform(0.5, 2.5)))
                 else:
                     # resize policy/filter edits on a mix node
                     from kanter_core_tpu import ResizeFilter

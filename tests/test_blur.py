@@ -55,6 +55,31 @@ def test_serde_round_trip():
     assert node.node_type.payload == 2.25
 
 
+def test_set_blur_sigma_dirties():
+    tp = TextureProcessor(1 << 30)
+    lg = tp.new_live_graph()
+    with lg.write() as g:
+        inp = g.add_node(Node(NodeType.Value(0.5)))
+        blur = g.add_node(Node(NodeType.Blur(1.0)))
+        out = g.add_node(Node(NodeType.OutputGray("out")))
+        g.connect(inp, blur, SlotId(0), SlotId(0))
+        g.connect(blur, out, SlotId(0), SlotId(0))
+    TextureProcessor.buffer_rgba(lg, out, SlotId(0))
+    from kanter_core_tpu import NodeState
+
+    with lg.write() as g:
+        g.set_blur_sigma(blur, 2.0)
+        assert g.node_state(out) == NodeState.DIRTY
+        assert g.node(blur).node_type.payload == 2.0
+    import pytest
+    from kanter_core_tpu.errors import TexProError
+
+    with lg.write() as g:
+        with pytest.raises(TexProError):
+            g.set_blur_sigma(inp, 1.0)  # not a Blur node
+    tp.shutdown_now()
+
+
 def test_engine_end_to_end_rgba():
     import tests.conftest as cf
 
