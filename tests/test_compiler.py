@@ -214,6 +214,29 @@ def test_row_sharded_h2n_halo():
     assert "rows" in str(out[0].sharding)
 
 
+def test_row_sharded_blur_halo():
+    """Row-sharded Blur (wrap taps via jnp.roll) must match unsharded —
+    GSPMD inserts the halo exchange, exactly like the h2n stencil."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+
+    from kanter_core_tpu.ops.blur import blur_plane
+
+    h = np.random.default_rng(8).random((64, 128), dtype=np.float32)
+    f = jax.jit(lambda x: blur_plane(x, 1.5))
+    ref = np.asarray(f(h))
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
+    sharded = jax.device_put(h, NamedSharding(mesh, P("rows", None)))
+    out = f(sharded)
+    assert np.array_equal(ref, np.asarray(out))
+
+
 def test_image_edit_redecodes(tmp_path, tex_pro):
     """Dirtying an Image node re-reads the file even when the cached fused
     program was compiled against old pixels."""
