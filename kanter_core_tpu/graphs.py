@@ -56,6 +56,18 @@ def normal_map_graph() -> NodeGraph:
     return graph
 
 
+def blur_graph(sigma: float = 1.5) -> NodeGraph:
+    """RGBA in → separable toroidal Gaussian blur → RGBA out (extension
+    node; see ops/blur.py)."""
+    graph = NodeGraph()
+    inp = graph.add_node(Node(NodeType.InputRgba("image")))
+    blur = graph.add_node(Node(NodeType.Blur(sigma)))
+    out = graph.add_node(Node(NodeType.OutputRgba("blurred")))
+    graph.connect(inp, blur, SlotId(0), SlotId(0))
+    graph.connect(blur, out, SlotId(0), SlotId(0))
+    return graph
+
+
 def channel_shuffle_graph() -> NodeGraph:
     """Separate two RGBA inputs and recombine channels across them
     (`integration_tests.rs:620-674`)."""

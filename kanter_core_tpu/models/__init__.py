@@ -6,6 +6,7 @@ reference ships exactly one: the invert subgraph in `data/invert_graph.json`).
 
 from ..graphs import (
     blend_graph,
+    blur_graph,
     channel_shuffle_graph,
     deep_chain_graph,
     invert_graph,
@@ -15,6 +16,7 @@ from ..graphs import (
 
 __all__ = [
     "blend_graph",
+    "blur_graph",
     "channel_shuffle_graph",
     "deep_chain_graph",
     "invert_graph",
