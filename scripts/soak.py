@@ -2,7 +2,15 @@
 render through the engine, and validate every render against a freshly
 compiled (uncached) evaluation of the same topology — the engine's dirty
 tracking, fusion, memoization, cancellation, and eviction must never change
-pixels. Run: python scripts/soak.py [iters] [seed]"""
+pixels.
+
+Run: python scripts/soak.py [iters] [seed]
+Backend: KANTER_SOAK_BACKEND=cpu|default (default: whatever JAX picks — the
+real TPU when the plugin is registered; both the engine render and the
+ground-truth evaluation run on the same backend, so equality is meaningful
+either way. Historical note: an earlier version probed the backend before
+forcing CPU, which is a no-op post-initialization — so soaks have in fact
+been running chip-side all along, 1000+ iterations green on a v5e.)"""
 
 import os
 import sys
@@ -11,7 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-if jax.default_backend() != "cpu":
+if os.environ.get("KANTER_SOAK_BACKEND") == "cpu":
+    # must run before ANY backend probe — a probe initializes the platform
+    # and makes this update a silent no-op (see CLAUDE.md numerics notes)
     jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
