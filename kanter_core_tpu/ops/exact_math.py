@@ -233,7 +233,10 @@ def ds_pow(a, b):
         jnp.where(mag == 1, f32(1.0), jnp.where(mag > 1, f32(0.0), inf)),
         out,
     )
-    out = jnp.where(a == 0, jnp.where(b < 0, inf, f32(0.0)), out)
+    # pow(±0, y): ±inf for y < 0, ±0 for y > 0 — the sign transfers only
+    # for odd-integer y (IEEE 754 pow)
+    zero_sign = jnp.where(b_odd & jnp.signbit(a), f32(-1.0), f32(1.0))
+    out = jnp.where(a == 0, zero_sign * jnp.where(b < 0, inf, f32(0.0)), out)
     out = jnp.where(a == inf, jnp.where(b < 0, f32(0.0), inf), out)
     out = jnp.where(
         a == -inf,

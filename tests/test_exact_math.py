@@ -72,6 +72,10 @@ def test_ds_pow_u8_grid():
         (2.0, -3.0),        # 0.125
         (0.5, -2.0),        # 4.0
         (-1.0, np.inf),     # pow(-1, inf): glibc → 1
+        (-0.0, 3.0),        # pow(-0, odd) = -0
+        (-0.0, 2.0),        # pow(-0, even) = +0
+        (-0.0, -3.0),       # pow(-0, -odd) = -inf
+        (-np.inf, -3.0),    # pow(-inf, -odd) = -0
     ],
 )
 def test_ds_pow_special_cases(a, b):
