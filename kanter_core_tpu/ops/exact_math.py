@@ -16,6 +16,11 @@ Measured on a real v5e chip over all 65536 u8-decoded input pairs:
   correctly-rounded value; after u8 export quantization the two agree on
   ALL 65536 pairs, so golden outputs are byte-identical.
 
+Cost on a real v5e at 4096²: corrected div/sqrt fuse for free into
+bandwidth-bound elementwise chains; `ds_pow` measures 0.24 ms vs 0.16 ms
+for the ~1-ulp hardware pow — 1.5× on the one op where exactness actually
+costs arithmetic, still far from compute-bound.
+
 Caveat: TPU flushes denormals, so pow results below ~1.2e-38 become 0
 instead of denormal (irrelevant for texture data in [0, 1]).
 """
