@@ -214,6 +214,39 @@ def test_row_sharded_h2n_halo():
     assert "rows" in str(out[0].sharding)
 
 
+def test_vmap_bit_transparent():
+    """Batched (vmapped) kernels must produce the SAME BITS as per-canvas
+    evaluation — BatchedGraph results are interchangeable with single-canvas
+    renders (verified on a real chip too; see scripts/tpu_parity.py)."""
+    import jax
+
+    from kanter_core_tpu import Size
+    from kanter_core_tpu.node import MixType, ResizeFilter
+    from kanter_core_tpu.ops.blur import blur_plane
+    from kanter_core_tpu.ops.height_to_normal import _h2n_jnp
+    from kanter_core_tpu.ops.mix import _gray_kernel
+    from kanter_core_tpu.ops.resize import resample_plane
+
+    rng = np.random.default_rng(0)
+    batch = rng.random((4, 64, 96), dtype=np.float32)
+    b2 = rng.random((4, 64, 96), dtype=np.float32)
+
+    unary = [
+        lambda x: _h2n_jnp(x)[0],
+        lambda x: blur_plane(x, 1.5),
+        lambda x: resample_plane(x, Size(48, 32), ResizeFilter.LANCZOS3),
+    ]
+    for f in unary:
+        v = np.asarray(jax.jit(jax.vmap(f))(batch))
+        s = np.stack([np.asarray(jax.jit(f)(p)) for p in batch])
+        assert np.array_equal(v.view(np.uint32), s.view(np.uint32))
+
+    f2 = _gray_kernel(MixType.POW)
+    v = np.asarray(jax.jit(jax.vmap(f2))(batch, b2))
+    s = np.stack([np.asarray(f2(p, q)) for p, q in zip(batch, b2)])
+    assert np.array_equal(v.view(np.uint32), s.view(np.uint32))
+
+
 def test_row_sharded_blur_halo():
     """Row-sharded Blur (wrap taps via jnp.roll) must match unsharded —
     GSPMD inserts the halo exchange, exactly like the h2n stencil."""
