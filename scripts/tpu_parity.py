@@ -171,6 +171,12 @@ def _determinism_kernels():
     cases.append(
         ("blur_sigma2.2", lambda: jax.jit(lambda x: blur_plane(x, 2.2))(src), 0)
     )
+    from kanter_core_tpu.slot_image import _jitted_converters
+
+    sweep = (np.arange(65536, dtype=np.float32) / 65535.0).reshape(256, 256)
+    cases.append(
+        ("srgb_u8_export", lambda: _jitted_converters()["gray_to_u8_srgb"](sweep), 0)
+    )
     for filt in ResizeFilter:
         cases.append(
             (f"resample_{filt.name}",
@@ -198,9 +204,12 @@ def f32_determinism():
     for name, fn, known in _determinism_kernels():
         got = np.stack([np.asarray(p) for p in jax.tree.leaves(fn())])
         r = ref[name]
-        bad = (got.view(np.uint32) != r.view(np.uint32)) & ~(
-            np.isnan(got) & np.isnan(r)
-        )
+        if got.dtype.kind == "f":
+            bad = (got.view(np.uint32) != r.view(np.uint32)) & ~(
+                np.isnan(got) & np.isnan(r)
+            )
+        else:
+            bad = got != r
         n = int(bad.sum())
         tag = "OK " if n <= known else "DIFF"
         extra = f" ({n} f32-bit diffs, {known} known-glibc-misrounds allowed)" if n else ""
