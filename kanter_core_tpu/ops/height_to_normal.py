@@ -82,20 +82,37 @@ def _h2n_jnp(h):
 
 @functools.cache
 def _h2n_pallas_vjp():
-    """The Pallas kernel wrapped with a custom VJP so graphs containing
-    HeightToNormal stay differentiable (kanter_core_tpu.autodiff): forward
-    runs the one-pass Mosaic stencil, backward re-traces the bit-identical
-    jnp formulation and pulls cotangents through it."""
+    """The Pallas kernel wrapped for transform composition:
+
+    - custom_vmap: Mosaic rejects vmap's batched block specs on the
+      ANY-memory-space input (manual DMA), so a batched call (BatchedGraph /
+      BatchedLiveSession on TPU) lowers to `lax.map` over the rank-2 kernel —
+      the stencil already saturates the chip per canvas, so mapping over the
+      batch costs ~nothing and stays bit-identical to per-canvas calls.
+    - custom_vjp (outermost, so vmap reaches it first and batches its fwd):
+      forward runs the one-pass Mosaic stencil, backward re-traces the
+      bit-identical jnp formulation (kanter_core_tpu.autodiff needs this).
+    """
     import jax
+    from jax.custom_batching import custom_vmap
+
+    from .pallas_kernels import height_to_normal_pallas
+
+    @custom_vmap
+    def pallas_fn(h):
+        return height_to_normal_pallas(h)
+
+    @pallas_fn.def_vmap
+    def _batch_rule(axis_size, in_batched, h):  # noqa: ANN001
+        outs = jax.lax.map(height_to_normal_pallas, h)
+        return outs, tuple(True for _ in outs)
 
     @jax.custom_vjp
     def h2n(h):
-        from .pallas_kernels import height_to_normal_pallas
-
-        return height_to_normal_pallas(h)
+        return pallas_fn(h)
 
     def fwd(h):
-        return h2n(h), h
+        return pallas_fn(h), h
 
     def bwd(h, cotangents):
         _, vjp = jax.vjp(_h2n_jnp, h)
