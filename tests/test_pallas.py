@@ -41,3 +41,18 @@ def test_pack_u8_pallas():
 
     expected = np.stack([ref_conv(p) for p in planes], axis=-1)
     assert np.array_equal(out, expected)
+
+
+def test_pallas_vjp_wrapper_vmaps():
+    """vmap over the custom_vmap/custom_vjp-wrapped Pallas kernel must work
+    (Mosaic rejects batched ANY-space block specs; the rule lax.maps the
+    rank-2 kernel) and stay bit-identical to the vmapped jnp path."""
+    import jax
+
+    from kanter_core_tpu.ops.height_to_normal import _h2n_jnp, _h2n_pallas_vjp
+
+    rng = np.random.default_rng(11)
+    hb = rng.random((3, 64, 128), dtype=np.float32)
+    got = np.stack([np.asarray(p) for p in jax.jit(jax.vmap(_h2n_pallas_vjp()))(hb)])
+    ref = np.stack([np.asarray(p) for p in jax.jit(jax.vmap(_h2n_jnp))(hb)])
+    assert np.array_equal(got.view(np.uint32), ref.view(np.uint32))
