@@ -266,3 +266,37 @@ def test_cli_info_and_render(tmp_path):
         PILImage.open("/root/reference/data/test_compare/invert_graph_node_import.png")
     )
     assert rendered.shape == golden.shape
+
+
+def test_reset_node_states_and_edge_queries():
+    """Coverage for small topology/state APIs the big tests use indirectly:
+    reset_node_states (live_graph.rs:reset analog), edge_indices_slot,
+    input_edges."""
+    from kanter_core_tpu import NodeState, Side, TextureProcessor
+
+    tp = TextureProcessor(1 << 30)
+    lg = tp.new_live_graph()
+    with lg.write() as g:
+        a = g.add_node(Node(NodeType.Value(0.3)))
+        b = g.add_node(Node(NodeType.Mix(MixType.ADD)))
+        out = g.add_node(Node(NodeType.OutputGray("out")))
+        g.connect(a, b, SlotId(0), SlotId(0))
+        g.connect(a, b, SlotId(0), SlotId(1))
+        g.connect(b, out, SlotId(0), SlotId(0))
+    TextureProcessor.buffer_rgba(lg, out, SlotId(0))
+    with lg.write() as g:
+        assert g.node_state(out) == NodeState.CLEAN
+        g.reset_node_states()
+        assert g.node_state(a) == NodeState.DIRTY  # default state
+        assert g.node_state(out) == NodeState.DIRTY
+
+        ng = g.node_graph
+        assert ng.edge_indices_slot(b, Side.INPUT, SlotId(0)) == [0]
+        assert ng.edge_indices_slot(b, Side.INPUT, SlotId(1)) == [1]
+        assert ng.edge_indices_slot(a, Side.OUTPUT, SlotId(0)) == [0, 1]
+        assert [int(e.output_id) for e in ng.input_edges(b)] == [int(a), int(a)]
+        assert ng.input_edges(a) == []
+    # states reset to Dirty → a re-read re-evaluates and works
+    pixels = TextureProcessor.buffer_rgba(lg, out, SlotId(0))
+    assert pixels[0] == int(0.6 * 255)
+    tp.shutdown_now()
