@@ -34,7 +34,10 @@ class BatchedLiveSession:
         self.targets = targets
         self.mesh = mesh
         self._inputs: dict[str, tuple] = {}
-        self._programs: dict[str, BatchedGraph] = {}
+        from collections import OrderedDict
+
+        self._programs: "OrderedDict[str, BatchedGraph]" = OrderedDict()
+        self.program_cache_cap = 32  # structural edits mint programs; bound them
         self._dirty = True
         self._last_result = None
 
@@ -82,6 +85,10 @@ class BatchedLiveSession:
                 mesh=self.mesh,
             )
             self._programs[fingerprint] = program
+            while len(self._programs) > self.program_cache_cap:
+                self._programs.popitem(last=False)
+        else:
+            self._programs.move_to_end(fingerprint)
         overrides = dict(self._inputs)
         for key, value in collect_value_bindings(self.node_graph).items():
             overrides[key] = value
