@@ -25,7 +25,7 @@ def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
 
-@functools.cache
+@functools.lru_cache(maxsize=128)  # shape-keyed; bound for long sessions
 def _h2n_kernel(height: int, width: int, tile_rows: int, interpret: bool):
     import jax
     import jax.numpy as jnp
@@ -136,7 +136,7 @@ def height_to_normal_pallas(h, tile_rows: int = 64, interpret: bool | None = Non
     return _h2n_kernel(height, width, tile_rows, interpret)(h)
 
 
-@functools.cache
+@functools.lru_cache(maxsize=128)  # shape-keyed; bound for long sessions
 def _pack_u8_kernel(height: int, width: int, tile_rows: int, interpret: bool):
     import jax
     import jax.numpy as jnp

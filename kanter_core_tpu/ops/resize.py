@@ -224,7 +224,7 @@ def resample_plane(plane, out_size: Size, filt: ResizeFilter):
     return out
 
 
-@functools.cache
+@functools.lru_cache(maxsize=512)  # shape-keyed; bound for long sessions
 def _jitted_resample(in_h: int, in_w: int, out_h: int, out_w: int, filt: ResizeFilter):
     import jax
 
