@@ -300,3 +300,23 @@ def test_reset_node_states_and_edge_queries():
     pixels = TextureProcessor.buffer_rgba(lg, out, SlotId(0))
     assert pixels[0] == int(0.6 * 255)
     tp.shutdown_now()
+
+
+def test_cli_error_paths(tmp_path):
+    import pytest
+
+    from kanter_core_tpu.__main__ import main
+
+    # unknown input/output names exit 2 with a message, not a traceback
+    assert (
+        main(["render", INVERT_GRAPH_JSON, "--input", "nope=x.png"]) == 2
+    )
+    assert (
+        main(["render", INVERT_GRAPH_JSON, "--output", "nope=" + str(tmp_path / "o.png")])
+        == 2
+    )
+    # missing graph file raises the engine's error type
+    from kanter_core_tpu.errors import TexProError
+
+    with pytest.raises((TexProError, OSError)):
+        main(["info", str(tmp_path / "missing.json")])
