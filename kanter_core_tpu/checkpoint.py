@@ -82,11 +82,15 @@ def save_checkpoint(live_graph: LiveGraph, path: str) -> None:
             "memoize": lg.memoize,
         }
 
-    np.savez_compressed(
-        path,
-        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
-        **{f"plane_{i}": arr for i, arr in enumerate(arrays)},
-    )
+    # pass a file object: np.savez with a bare path silently appends ".npz"
+    # when the extension differs, so save("x.ckpt") would write "x.ckpt.npz"
+    # while load opens "x.ckpt"
+    with open(path, "wb") as f:
+        np.savez_compressed(
+            f,
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+            **{f"plane_{i}": arr for i, arr in enumerate(arrays)},
+        )
 
 
 def load_checkpoint(tex_pro, path: str) -> LiveGraph:

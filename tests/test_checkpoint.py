@@ -114,3 +114,25 @@ def test_checkpoint_preserves_inputs_and_embeds(tmp_path, tex_pro):
         g.force_state(gin, NodeState.DIRTY)
     second = render_u8(restored, out)
     assert np.array_equal(first, second)
+
+
+def test_checkpoint_blur_extension_node(tmp_path, tex_pro):
+    """Extension nodes (Blur) must survive full-state checkpointing: the
+    resumed graph stays Clean and re-renders identical pixels."""
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        img = g.add_node(Node(NodeType.Image(IMAGE_1)))
+        blur = g.add_node(Node(NodeType.Blur(1.7)))
+        out = g.add_node(Node(NodeType.OutputRgba("out")))
+        g.connect(img, blur, SlotId(0), SlotId(0))
+        g.connect(blur, out, SlotId(0), SlotId(0))
+    before = TextureProcessor.buffer_rgba(lg, out, SlotId(0))
+
+    path = str(tmp_path / "blur.ckpt")
+    save_checkpoint(lg, path)
+    lg2 = load_checkpoint(tex_pro, path)
+    with lg2.read() as g2:
+        assert g2.node(blur).node_type.payload == 1.7
+        assert g2.node_state(out) == NodeState.CLEAN
+    after = TextureProcessor.buffer_rgba(lg2, out, SlotId(0))
+    assert np.array_equal(np.asarray(before), np.asarray(after))
