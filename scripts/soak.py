@@ -73,12 +73,13 @@ def main():
         g.connect(blur, out, SlotId(0), SlotId(0))
 
     sources = values + mixes  # gray-or-rgba producers for mix inputs
+    extras = []  # add/remove churn pool (action 7)
 
     for i in range(ITERS):
         n_edits = int(rng.integers(1, 4))
         with lg.write() as g:
             for _ in range(n_edits):
-                action = rng.integers(7)
+                action = rng.integers(8)
                 if action == 0:
                     node = values[rng.integers(len(values))]
                     g.node_mut(node).node_type = NodeType.Value(float(rng.random()))
@@ -105,6 +106,17 @@ def main():
                 elif action == 6:
                     # blur sigma edit (extension node on the output path)
                     g.set_blur_sigma(blur, float(rng.uniform(0.5, 2.5)))
+                elif action == 7:
+                    # structural churn: add a fresh Value wired into a mix,
+                    # or remove one added earlier (dirties its children)
+                    if extras and rng.random() < 0.5:
+                        victim = extras.pop(int(rng.integers(len(extras))))
+                        g.remove_node(victim)
+                    else:
+                        v = g.add_node(Node(NodeType.Value(float(rng.random()))))
+                        mix = mixes[rng.integers(len(mixes))]
+                        g.connect(v, mix, SlotId(0), SlotId(int(rng.integers(2))))
+                        extras.append(v)
                 else:
                     # resize policy/filter edits on a mix node
                     from kanter_core_tpu import ResizeFilter
