@@ -34,8 +34,14 @@ class NodeGraph:
     # --- persistence (`node_graph.rs:33-46,98-107`) ---
     @staticmethod
     def from_path(path: str) -> "NodeGraph":
+        # malformed JSON surfaces as an IO-kind TexProError, matching the
+        # reference's io::Result return (`node_graph.rs:33`, where
+        # serde_json::Error converts into io::Error)
         with open(path, "r") as f:
-            graph = NodeGraph.from_json(json.load(f))
+            try:
+                graph = NodeGraph.from_json(json.load(f))
+            except (json.JSONDecodeError, KeyError, TypeError, ValueError) as e:
+                raise TexProError(ErrorKind.IO, f"invalid graph JSON: {e}") from e
         if graph.nodes:
             graph._node_id_counter = NodeId(max(int(n.node_id) for n in graph.nodes) + 1)
         else:

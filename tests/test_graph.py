@@ -316,7 +316,14 @@ def test_cli_error_paths(tmp_path):
         == 2
     )
     # missing graph file raises the engine's error type
-    from kanter_core_tpu.errors import TexProError
+    from kanter_core_tpu.errors import ErrorKind, TexProError
 
     with pytest.raises((TexProError, OSError)):
         main(["info", str(tmp_path / "missing.json")])
+
+    # malformed JSON → IO-kind TexProError (reference returns io::Result)
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    with pytest.raises(TexProError) as exc_info:
+        NodeGraph.from_path(str(bad))
+    assert exc_info.value.kind == ErrorKind.IO
