@@ -542,8 +542,15 @@ class CompiledGraph:
         )
 
     def set_value(self, node_id, value: float, prefix: str = "") -> None:
-        """Re-bind a Value node without recompiling."""
-        self._bindings[f"{prefix}value_{int(node_id)}"] = np.float32(value)
+        """Re-bind a Value node without recompiling. Raises on a non-Value
+        node id — a silently unused binding would make edits no-ops."""
+        key = f"{prefix}value_{int(node_id)}"
+        if key not in self._bindings:
+            raise TexProError(
+                ErrorKind.INVALID_NODE_TYPE,
+                f"{key} is not a Value binding of this program",
+            )
+        self._bindings[key] = np.float32(value)
 
     def __call__(self, **overrides):
         args = dict(self._bindings)

@@ -56,11 +56,12 @@ class BatchedLiveSession:
         self._dirty = True
 
     def set_value(self, node_id: NodeId, value: float) -> None:
-        node = self.node_graph._node_with_id_mut(NodeId(node_id))
+        from ..errors import ErrorKind, TexProError
         from ..node import NodeType, NodeTypeKind
 
+        node = self.node_graph._node_with_id_mut(NodeId(node_id))
         if node is None or node.node_type.kind != NodeTypeKind.VALUE:
-            raise ValueError("set_value targets a Value node")
+            raise TexProError(ErrorKind.INVALID_NODE_TYPE, "set_value targets a Value node")
         node.node_type = NodeType.Value(value)
         self._dirty = True
 
