@@ -302,3 +302,32 @@ def test_await_after_shutdown_raises():
     with pytest.raises(TexProError):
         with LiveGraph.await_clean_read(lg, out):
             pass
+
+
+def test_state_query_and_prioritise_apis(tex_pro):
+    """Direct coverage for prioritise / node_ids_with(out)_state /
+    try_buffer_rgba / await_clean_write (live_graph.rs:176-237, 199-206)."""
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        v = g.add_node(Node(NodeType.Value(0.25)))
+        out = g.add_node(Node(NodeType.OutputGray("out")))
+        g.connect(v, out, SlotId(0), SlotId(0))
+
+        assert set(g.node_ids_with_state(NodeState.DIRTY)) == {v, out}
+        assert g.node_ids_without_state(NodeState.DIRTY) == []
+        import pytest
+
+        from kanter_core_tpu.errors import ErrorKind, TexProError
+
+        with pytest.raises(TexProError) as exc_info:  # dirty → raises + requests
+            g.try_buffer_rgba(out, SlotId(0))
+        assert exc_info.value.kind == ErrorKind.NODE_DIRTY
+
+        g.prioritise(out)
+        assert g.node_state(out) == NodeState.PRIORITISED
+
+    with LiveGraph.await_clean_write(lg, out) as g:
+        pixels = g.buffer_rgba(out, SlotId(0))
+        assert pixels[0] == int(0.25 * 255)
+        assert g.node_ids_with_state(NodeState.CLEAN) == sorted([v, out])
+        assert g.try_buffer_rgba(out, SlotId(0)) is not None
