@@ -13,8 +13,11 @@ soak:   ## randomized interactive edits vs compiled ground truth
 parity: ## golden battery on the current backend
 	python scripts/tpu_parity.py
 
-demo:
-	python examples/interactive_demo.py
+demo:   ## run all self-contained examples
+	python examples/interactive_editing.py
+	python examples/batch_sharded.py
+	python examples/memory_tiering.py
+	python examples/fit_texture.py
 
 native: ## force-rebuild the C++ host kernels
 	g++ -O3 -march=native -shared -fPIC -o native/_kanter_native.so native/kanter_native.cpp
