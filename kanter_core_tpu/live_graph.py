@@ -392,7 +392,14 @@ class LiveGraph:
         self.priority_propagator.push_priority(node_id, priority)
 
     def remove_node(self, node_id: NodeId) -> list:
+        """Remove a node; its consumers (and their descendants) are dirtied
+        and their cached pixels dropped. The reference only inserts them into
+        the `changed` UI set (`live_graph.rs:452-476`) and leaves them Clean
+        with stale pixels — a correctness bug its tests never hit because
+        they only remove unconnected nodes; fixed here like `remove_edge`."""
         with self._lock:
+            dirty_nodes = sorted(set(self.node_graph.get_children_recursive(node_id)))
+
             _, edges = self.node_graph.remove_node(node_id)
             self._changed.add(node_id)
             for input_id in sorted({e.input_id for e in edges}):
@@ -400,6 +407,11 @@ class LiveGraph:
             self.remove_nodes_data(node_id)
             self._node_state.pop(node_id, None)
             self._recipes.pop(node_id, None)
+
+            for child in dirty_nodes:
+                self.set_state(child, NodeState.DIRTY)
+                self.node(child).cancel.store(True)
+                self.remove_nodes_data(child)
             return edges
 
     def can_connect(self, output_node, input_node, output_slot, input_slot) -> None:

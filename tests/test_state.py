@@ -331,3 +331,30 @@ def test_state_query_and_prioritise_apis(tex_pro):
         assert pixels[0] == int(0.25 * 255)
         assert g.node_ids_with_state(NodeState.CLEAN) == sorted([v, out])
         assert g.try_buffer_rgba(out, SlotId(0)) is not None
+
+
+def test_remove_node_dirties_consumers(tex_pro):
+    from kanter_core_tpu import TextureProcessor
+
+    """Removing a node must dirty its consumers (stale-pixel bug: the
+    reference only marks them `changed` and serves old pixels; found by the
+    randomized soak, seed 555999 iter 12)."""
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        a = g.add_node(Node(NodeType.Value(0.2)))
+        b = g.add_node(Node(NodeType.Value(0.3)))
+        m = g.add_node(Node(NodeType.Mix(MixType.ADD)))
+        out = g.add_node(Node(NodeType.OutputGray("out")))
+        g.connect(a, m, SlotId(0), SlotId(0))
+        g.connect(b, m, SlotId(0), SlotId(1))
+        g.connect(m, out, SlotId(0), SlotId(0))
+    px = TextureProcessor.buffer_rgba(lg, out, SlotId(0))
+    assert px[0] == int(np.float32(0.5) * 255)
+
+    with lg.write() as g:
+        g.remove_node(b)  # mix loses its right input -> must go dirty
+        assert g.node_state(m) == NodeState.DIRTY
+        assert g.node_state(out) == NodeState.DIRTY
+    px = TextureProcessor.buffer_rgba(lg, out, SlotId(0))
+    # missing right input defaults to 0.0 (mix.rs:57-68)
+    assert px[0] == int(np.float32(0.2) * 255)
