@@ -36,7 +36,7 @@ def _cmd_render(args) -> int:
 
     from .ids import NodeId, SlotId
     from .live_graph import LiveGraph
-    from .node import Node, NodeType
+    from .node import Node, NodeType, NodeTypeKind
     from .node_graph import NodeGraph
     from .ops.image_io import read_slot_image, save_rgba_png
     from .slot_data import SlotData
@@ -62,7 +62,15 @@ def _cmd_render(args) -> int:
 
             for spec in args.value or []:
                 node_id, _, value = spec.partition("=")
-                lg.node_mut(NodeId(int(node_id))).node_type = NodeType.Value(float(value))
+                node = lg.node_mut(NodeId(int(node_id)))
+                if node.node_type.kind != NodeTypeKind.VALUE:
+                    print(
+                        f"error: node {node_id} is {node.node_type.kind.value}, "
+                        "not a Value node",
+                        file=sys.stderr,
+                    )
+                    return 2
+                node.node_type = NodeType.Value(float(value))
 
         status = 0
         for spec in args.output or []:

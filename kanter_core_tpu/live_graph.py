@@ -470,6 +470,9 @@ class LiveGraph:
 
     def set_node_graph(self, node_graph: NodeGraph) -> None:
         with self._lock:
+            # A cyclic graph would never become processable and hang every
+            # waiter (ADVICE r1); reject it up front.
+            node_graph.validate_acyclic()
             self.node_graph = node_graph
             self.reset_node_states()
             self.slot_datas.clear()

@@ -46,6 +46,7 @@ class NodeGraph:
             graph._node_id_counter = NodeId(max(int(n.node_id) for n in graph.nodes) + 1)
         else:
             graph._node_id_counter = NodeId(0)
+        graph.validate_acyclic()
         return graph
 
     def export_json(self, path: str) -> None:
@@ -128,9 +129,23 @@ class NodeGraph:
         name_edit = str(name)
         while name_edit in name_list:
             head, sep, number = name_edit.rpartition("_")
-            if sep and number.isdigit():
-                number = (int(number) + 1) & 0xFFFFFFFF  # u32 wrapping_add
-                name_edit = f"{head}_{number}"
+            if sep:
+                # Rust checks `number.chars().all(char::is_numeric)` (vacuously
+                # true for an empty suffix), then `number.parse::<u32>()`:
+                # success -> wrapping_add(1); failure (empty, > u32::MAX, or a
+                # non-ASCII numeral) -> 0.
+                if all(c.isdigit() for c in number):
+                    try:
+                        parsed = int(number) if number else -1
+                    except ValueError:
+                        parsed = -1
+                    nxt = (parsed + 1) & 0xFFFFFFFF if 0 <= parsed <= 0xFFFFFFFF else 0
+                    name_edit = f"{head}_{nxt}"
+                else:
+                    # Non-numeric suffix: the reference rebuilds from the HEAD
+                    # (`format!("{}_0", name)` with `name` bound by rsplit_once),
+                    # dropping the suffix: "foo_bar" -> "foo_0".
+                    name_edit = f"{head}_0"
             else:
                 name_edit = f"{name_edit}_0"
         return name_edit
@@ -255,6 +270,43 @@ class NodeGraph:
         self.node(input_node_id).input_slot_with_id(input_slot_id)
         if self.slot_occupied(input_node_id, Side.INPUT, input_slot_id):
             raise TexProError(ErrorKind.SLOT_OCCUPIED)
+        self._check_no_cycle(output_node_id, input_node_id)
+
+    def _check_no_cycle(self, output_node_id: NodeId, input_node_id: NodeId) -> None:
+        """Rejects edges that would create a cycle (output reachable from input).
+
+        Deliberate improvement over the reference: `node_graph.rs:416-446` has no
+        reachability check, and a cyclic graph deadlocks evaluation (no node is
+        ever processable, so `await_clean_*` spins forever).
+        """
+        if output_node_id == input_node_id or output_node_id in set(
+            self.get_children_recursive(input_node_id)
+        ):
+            raise TexProError(ErrorKind.INVALID_EDGE, "connection would create a cycle")
+
+    def validate_acyclic(self) -> None:
+        """Raises InvalidEdge if the edge set contains a cycle.
+
+        Used by `LiveGraph.set_node_graph` and `NodeGraph.from_path` so that
+        hand-edited or deserialized cyclic graphs fail loudly instead of
+        hanging the engine (see `_check_no_cycle`). Kahn's algorithm.
+        """
+        indegree: dict[NodeId, int] = {node.node_id: 0 for node in self.nodes}
+        for edge in self.edges:
+            if edge.input_id in indegree:
+                indegree[edge.input_id] += 1
+        frontier = [nid for nid, deg in indegree.items() if deg == 0]
+        seen = 0
+        while frontier:
+            nid = frontier.pop()
+            seen += 1
+            for edge in self.edges:
+                if edge.output_id == nid and edge.input_id in indegree:
+                    indegree[edge.input_id] -= 1
+                    if indegree[edge.input_id] == 0:
+                        frontier.append(edge.input_id)
+        if seen != len(indegree):
+            raise TexProError(ErrorKind.INVALID_EDGE, "graph contains a cycle")
 
     def try_connect(
         self,
@@ -284,16 +336,7 @@ class NodeGraph:
         input_slot_type = input_node.input_slot_with_id(input_slot_id).slot_type
         output_slot_type.fits(input_slot_type)
 
-        # Deliberate improvement over the reference: reject edges that would
-        # create a cycle (output reachable from input). The reference accepts
-        # them (`node_graph.rs:416-446` has no reachability check) and then
-        # never finishes evaluating — a silent deadlock for callers.
-        if output_node_id == input_node_id or output_node_id in set(
-            self.get_children_recursive(input_node_id)
-        ):
-            raise TexProError(
-                ErrorKind.INVALID_EDGE, "connection would create a cycle"
-            )
+        self._check_no_cycle(output_node_id, input_node_id)
 
         try:
             self.disconnect_slot(input_node_id, Side.INPUT, input_slot_id)

@@ -349,3 +349,83 @@ def test_cycle_connect_rejected(tex_pro):
             assert exc_info.value.kind == ErrorKind.INVALID_EDGE
         # legal re-wiring still works
         g.connect(a, c, SlotId(0), SlotId(1))
+
+
+def test_cycle_try_connect_rejected():
+    """try_connect inherits the cycle check via can_connect (ADVICE r1)."""
+    graph = NodeGraph()
+    a = graph.add_node(Node(NodeType.Mix(MixType.ADD)))
+    b = graph.add_node(Node(NodeType.Mix(MixType.ADD)))
+    graph.try_connect(a, b, SlotId(0), SlotId(0))
+    with pytest.raises(TexProError) as exc_info:
+        graph.try_connect(b, a, SlotId(0), SlotId(0))
+    assert exc_info.value.kind == ErrorKind.INVALID_EDGE
+    with pytest.raises(TexProError) as exc_info:
+        graph.can_connect(b, a, SlotId(0), SlotId(1))
+    assert exc_info.value.kind == ErrorKind.INVALID_EDGE
+    assert len(graph.edges) == 1
+
+
+def test_cyclic_graph_load_rejected(tmp_path, tex_pro):
+    """A hand-edited cyclic graph JSON is rejected at load / set_node_graph
+    instead of hanging the engine (ADVICE r1)."""
+    graph = NodeGraph()
+    a = graph.add_node(Node(NodeType.Mix(MixType.ADD)))
+    b = graph.add_node(Node(NodeType.Mix(MixType.ADD)))
+    graph.connect(a, b, SlotId(0), SlotId(0))
+    data = graph.to_json()
+    # hand-edit in the reverse edge, forming a 2-cycle
+    back = dict(data["edges"][0])
+    back["output_id"], back["input_id"] = back["input_id"], back["output_id"]
+    back["input_slot"] = 1
+    data["edges"].append(back)
+
+    path = tmp_path / "cyclic.json"
+    path.write_text(json.dumps(data))
+    with pytest.raises(TexProError) as exc_info:
+        NodeGraph.from_path(str(path))
+    assert exc_info.value.kind == ErrorKind.INVALID_EDGE
+
+    cyclic = NodeGraph.from_json(data)  # from_json itself stays permissive
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        with pytest.raises(TexProError) as exc_info:
+            g.set_node_graph(cyclic)
+        assert exc_info.value.kind == ErrorKind.INVALID_EDGE
+
+
+def test_name_collision_u32_overflow():
+    """Numeric suffix > u32::MAX resets to 0, mirroring Rust's failed
+    `parse::<u32>()` (`node_graph.rs:141-164`): "x_4294967296" -> "x_0"."""
+    dedup = NodeGraph._avoid_name_collision
+    assert dedup(["x_4294967296"], "x_4294967296") == "x_0"
+    # wrapping_add at exactly u32::MAX
+    assert dedup(["x_4294967295"], "x_4294967295") == "x_0"
+    assert dedup(["x_7"], "x_7") == "x_8"
+    # empty numeric suffix: parse fails -> 0
+    assert dedup(["x_"], "x_") == "x_0"
+    # non-numeric suffix rebuilds from the head, dropping the suffix
+    assert dedup(["foo_bar"], "foo_bar") == "foo_0"
+    assert dedup(["plain"], "plain") == "plain_0"
+
+
+def test_cli_value_requires_value_node(tmp_path, capsys):
+    """CLI --value on a non-Value node exits 2 with an error (ADVICE r1)."""
+    from kanter_core_tpu.__main__ import main
+
+    graph = NodeGraph()
+    v = graph.add_node(Node(NodeType.Value(0.2)))
+    out = graph.add_node(Node(NodeType.OutputGray("out")))
+    graph.connect(v, out, SlotId(0), SlotId(0))
+    path = tmp_path / "g.json"
+    graph.export_json(str(path))
+
+    png = tmp_path / "o.png"
+    rc = main(["render", str(path), "--value", f"{int(out)}=0.5",
+               "--output", f"out={png}"])
+    assert rc == 2
+    assert "not a Value node" in capsys.readouterr().err
+    # the happy path still renders
+    rc = main(["render", str(path), "--value", f"{int(v)}=0.5",
+               "--output", f"out={png}"])
+    assert rc == 0 and png.exists()
