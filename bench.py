@@ -3,16 +3,44 @@
 Mirrors BASELINE.json configs 4/5: a deep invert/blend/square chain over a
 4k RGBA canvas compiled into one fused XLA program (config 4), the
 interactive path (re-run after a Value edit — a program-cache hit), and a
-16-canvas batched variant (config 5) via vmap.
+16×4k batched variant AT SPEC (config 5) via vmap.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
+## Honesty protocol
+
+The TPU here sits behind a remote HTTP tunnel whose per-dispatch round trip
+(~15-30 ms) dwarfs the actual kernel times and which can complete
+`block_until_ready` without a data-forcing read. Naive wall-clock timing of
+individual dispatches therefore measures the tunnel, not the chip (and
+without a forcing read it measures *nothing* — the r1 numbers were enqueue
+acks). Every stage here instead:
+
+1. runs N evaluations inside ONE jitted `lax.scan`, each iteration binding a
+   unique scalar and emitting an on-device checksum. The output planes pass
+   through `lax.optimization_barrier` before the checksum slice, so XLA must
+   fully materialize every iteration's output (no slice push-down, no DCE);
+2. fetches all N checksums to host inside the timed window (a remote backend
+   cannot ack-without-executing a data read) and verifies they are pairwise
+   distinct (`checksums_distinct` in the JSON);
+3. times the scan at two lengths N1 < N2 and reports the *difference*
+   `(T(N2)-T(N1))/(N2-N1)` — the fixed tunnel/dispatch overhead cancels,
+   leaving pure per-evaluation device time;
+4. reports a measured pointwise-op roofline (`roofline_gbps`) first, plus
+   each stage's `implied_gbps`, so any implausible number is self-evident:
+   implied must be ≤ roofline.
+
+`incremental_p50_ms` is the honest END-TO-END latency of one synchronous
+re-evaluation including the tunnel round trip and a forcing read
+(`tunnel_roundtrip_ms` records the measured floor — a no-op dispatch+fetch);
+`incremental_device_ms` is the amortized on-device time a local deployment
+would see.
+
 The north-star target is >=50 Gpixel/s fused-graph throughput on a v5e-8;
-per chip that is 6.25 Gpixel/s, the baseline reported against. Throughput
-counts each compute node's full canvas once (node-evals × pixels / s). Every
-rep binds a unique Value so remote backends cannot dedup identical
-dispatches.
+per chip that is 6.25 Gpixel/s. The headline `value` counts RAW OUTPUT
+pixels only (one canvas per evaluation pass); the flattering-but-defensible
+"node-evals × pixels" figure is reported separately as `node_evals_gpix_s`.
 """
 
 from __future__ import annotations
@@ -25,11 +53,86 @@ import numpy as np
 
 CANVAS = int(os.environ.get("KANTER_BENCH_CANVAS", "4096"))
 CHAIN = int(os.environ.get("KANTER_BENCH_CHAIN", "64"))
-REPS = int(os.environ.get("KANTER_BENCH_REPS", "10"))
-WINDOWS = int(os.environ.get("KANTER_BENCH_WINDOWS", "6"))
 BATCH = int(os.environ.get("KANTER_BENCH_BATCH", "16"))
-BATCH_CANVAS = int(os.environ.get("KANTER_BENCH_BATCH_CANVAS", "1024"))
+BATCH_CANVAS = int(os.environ.get("KANTER_BENCH_BATCH_CANVAS", "4096"))
 TARGET_PER_CHIP_GPIX = 50.0 / 8.0  # v5e-8 north star, per chip
+
+
+def _device_random(shape, seed: int):
+    """Random f32 planes generated ON DEVICE — the tunnel uploads at ~30 MB/s,
+    so shipping gigabytes of random inputs from host would dominate the
+    benchmark's wall clock without touching what is being measured."""
+    import jax
+    import jax.numpy as jnp
+
+    fn = jax.jit(lambda k: jax.random.uniform(k, shape, dtype=jnp.float32))
+    out = fn(jax.random.PRNGKey(seed))
+    jax.block_until_ready(out)
+    return out
+
+
+def _chk(planes):
+    """On-device checksum forcing full materialization: the barrier pins the
+    planes as real buffers, then a tiny corner slice + center pixel reduces
+    them to one scalar per iteration."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    planes = lax.optimization_barrier(planes)
+    total = jnp.float32(0)
+    for p in planes:
+        h, w = p.shape[-2], p.shape[-1]
+        total = total + jnp.sum(p[..., : min(64, h), : min(64, w)])
+        total = total + jnp.sum(p[..., h // 2, w // 2]) * 1024.0
+    return total
+
+
+class _ScanBench:
+    """Times `body(val, consts) -> planes` amortized over a jitted lax.scan.
+
+    `consts` (the big input planes) are explicit jit arguments — closing over
+    device arrays would bake them into the serialized compile payload, which
+    the remote-compile tunnel rejects (HTTP 413)."""
+
+    def __init__(self, body, consts, n1: int, n2: int, base: float = 1.0):
+        import jax
+        from jax import lax
+
+        def scan_fn(vals, consts):
+            def step(carry, val):
+                return carry, _chk(body(val, consts))
+
+            _, checks = lax.scan(step, 0, vals)
+            return checks
+
+        self._jit = jax.jit(scan_fn)
+        self._consts = consts
+        self._base = base
+        self.n1, self.n2 = n1, n2
+
+    def _time(self, n: int, seed: int) -> tuple[float, np.ndarray]:
+        vals = self._base + np.arange(n, dtype=np.float32) * 1e-4 + seed * 1e-5
+        t0 = time.perf_counter()
+        # forcing read of all N checksums
+        checks = np.asarray(self._jit(vals, self._consts))
+        return time.perf_counter() - t0, checks
+
+    def run(self, repeats: int = 5) -> tuple[float, bool]:
+        """Returns (seconds per evaluation, checksums_distinct)."""
+        # warm both compiles
+        self._time(self.n1, 99)
+        self._time(self.n2, 99)
+        distinct = True
+        per_iter = []
+        for r in range(repeats):
+            t1, c1 = self._time(self.n1, r)
+            t2, c2 = self._time(self.n2, r)
+            distinct &= len(set(c1.tolist())) == len(c1)
+            distinct &= len(set(c2.tolist())) == len(c2)
+            per_iter.append((t2 - t1) / (self.n2 - self.n1))
+        # tunnel stalls are one-sided noise but can hit either T(n1) or
+        # T(n2); the median of the differences is the robust estimator
+        return max(float(np.median(per_iter)), 1e-9), distinct
 
 
 def main() -> None:
@@ -37,82 +140,149 @@ def main() -> None:
 
     from kanter_core_tpu import SlotId
     from kanter_core_tpu.compiler import CompiledGraph
-    from kanter_core_tpu.graphs import deep_chain_graph
-    from kanter_core_tpu.parallel import BatchedGraph
+    from kanter_core_tpu.graphs import bounded_chain_graph
 
     backend = jax.default_backend()
-    graph, inputs, white, out = deep_chain_graph(depth=CHAIN)
+    extras: dict = {}
+    distinct = True
+
+    # --- tunnel round-trip floor: no-op dispatch + scalar fetch ---
+    tiny = jax.jit(lambda c: c * 2.0)
+    float(tiny(np.float32(1.0)))
+    rtt = []
+    for i in range(10):
+        t0 = time.perf_counter()
+        float(tiny(np.float32(i)))
+        rtt.append((time.perf_counter() - t0) * 1000.0)
+    extras["tunnel_roundtrip_ms"] = round(float(np.percentile(rtt, 50)), 3)
+
+    # --- roofline: max over two pointwise calibration shapes ---
+    # (a) one 256 MB array in/out; (b) three separate 64 MB planes in/out,
+    # the same buffer shape the fused chain moves. Achievable bandwidth
+    # differs by >20% between these on this chip, so the roofline is the max.
+    roof_plane = _device_random((4, 4096, 4096), seed=7)
+    roof = _ScanBench(lambda c, x: (x * c,), roof_plane, n1=8, n2=64)
+    roof_s, ok = roof.run()
+    distinct &= ok
+    roofline_a = 2 * roof_plane.size * 4 / roof_s / 1e9
+    del roof, roof_plane
+    planes3 = tuple(_device_random((4096, 4096), seed=20 + i) for i in range(3))
+    roof3 = _ScanBench(
+        lambda c, ps: tuple(p * c for p in ps), planes3, n1=8, n2=64
+    )
+    roof3_s, ok3 = roof3.run()
+    distinct &= ok3
+    roofline_b = 2 * 3 * 4096 * 4096 * 4 / roof3_s / 1e9
+    del roof3, planes3
+    roofline_gbps = max(roofline_a, roofline_b)
+    extras["roofline_checksums_distinct"] = ok and ok3
+    extras["roofline_gbps"] = round(roofline_gbps, 1)
+    extras["roofline_1buf_gbps"] = round(roofline_a, 1)
+    extras["roofline_3buf_gbps"] = round(roofline_b, 1)
+
+    # --- config 4: fused 64-node chain @ 4k, amortized device time ---
+    graph, inputs, white, out = bounded_chain_graph(depth=CHAIN)
     compute_nodes = CHAIN + 1  # mixes + combine
-
     prog = CompiledGraph(graph, targets=[(out, SlotId(0))])
-    rng = np.random.default_rng(0)
-    for node in inputs:
-        plane = rng.random((CANVAS, CANVAS), dtype=np.float32)
-        prog.bind_input(node, [jax.device_put(plane)])
-
-    jax.block_until_ready(prog())
-    jax.block_until_ready(prog())
-
-    # Throughput: WINDOWS windows of REPS async-pipelined reps; report the
-    # best window. The remote tunnel stalls intermittently (one-sided noise
-    # that only ever slows a window down), so min-time is the faithful
-    # estimator of device capability; unique Value bindings defeat dedup.
+    for i, node in enumerate(inputs):
+        prog.bind_input(node, [_device_random((CANVAS, CANVAS), seed=i)])
+    out_key = (out, SlotId(0))
     white_key = f"value_{int(white)}"
-    window_times = []
-    for w in range(WINDOWS):
-        t0 = time.perf_counter()
-        results = [
-            prog(**{white_key: np.float32(1.0 + (w * REPS + i) * 1e-6)})
-            for i in range(REPS)
-        ]
-        jax.block_until_ready(results)
-        window_times.append((time.perf_counter() - t0) / REPS)
-    elapsed = min(window_times)
 
-    pixels = compute_nodes * CANVAS * CANVAS
-    gpix_per_s = pixels / elapsed / 1e9
+    def chain_body(val, bindings):
+        return prog._raw_fn({**bindings, white_key: val})[out_key]
 
-    # interactive: edit one Value (unique each time), re-run synchronously
+    chain = _ScanBench(chain_body, dict(prog._bindings), n1=8, n2=64, base=0.955)
+    chain_s, ok = chain.run()
+    distinct &= ok
+    extras["chain_checksums_distinct"] = ok
+
+    raw_gpix_s = CANVAS * CANVAS / chain_s / 1e9
+    node_evals_gpix_s = compute_nodes * raw_gpix_s
+    # one fused pass reads 3 input planes and writes 3 computed output
+    # planes; the alpha output aliases the 4th input (CombineRgba zero-copy:
+    # never copied, only corner-sampled by the checksum) → 6 plane transfers
+    chain_gbps = 6 * CANVAS * CANVAS * 4 / chain_s / 1e9
+    extras["chain_device_ms"] = round(chain_s * 1e3, 3)
+    extras["chain_implied_gbps"] = round(chain_gbps, 1)
+    extras["node_evals_gpix_s"] = round(node_evals_gpix_s, 1)
+    # 1.25× headroom: lax.scan lets consecutive iterations overlap reads and
+    # writes slightly, so a fused chain can beat the single-op roofline by a
+    # few percent; the flag exists to catch order-of-magnitude fictions
+    extras["implied_within_roofline"] = bool(chain_gbps <= roofline_gbps * 1.25)
+
+    # --- interactive: one synchronous re-eval incl. tunnel + forcing read ---
+    chk_jit = jax.jit(lambda planes: _chk(planes))
     lat = []
+    inc_vals = []
     for i in range(20):
-        prog.set_value(white, 1.0 - (i + 1) * 1e-6)
+        prog.set_value(white, 0.95 - (i + 1) * 1e-4)
         t0 = time.perf_counter()
-        jax.block_until_ready(prog())
+        r = prog()
+        inc_vals.append(float(chk_jit(r[out_key])))
         lat.append((time.perf_counter() - t0) * 1000.0)
+    inc_ok = len(set(inc_vals)) == len(inc_vals)
+    distinct &= inc_ok
+    extras["incremental_checksums_distinct"] = inc_ok
     incremental_p50_ms = float(np.percentile(lat, 50))
+    extras["incremental_device_ms"] = round(chain_s * 1e3, 3)
 
-    # config 5: BATCH canvases evaluated in one vmapped fused program,
-    # re-run per Value edit (batched interactive path)
-    bgraph, binputs, bwhite, bout = deep_chain_graph(depth=16)
-    batch_keys = {f"input_{int(n)}" for n in binputs}
-    bg = BatchedGraph(bgraph, batch_keys=batch_keys, targets=[(bout, SlotId(0))])
-    overrides = {}
-    for node in binputs:
-        stacked = rng.random((BATCH, BATCH_CANVAS, BATCH_CANVAS), dtype=np.float32)
-        overrides[f"input_{int(node)}"] = (jax.device_put(stacked),)
+    # --- config 5 AT SPEC: BATCH×BATCH_CANVAS² (default 16×4096²) batched
+    # re-eval. Inputs 4×16×4k² f32 = 4.3 GB + outputs 4.3 GB fit a 16 GB
+    # chip; if this backend OOMs, halve the canvas and SAY SO. ---
+    del chain, prog  # release the 4k chain's planes before the 4.3 GB stage
+    batch_canvas = BATCH_CANVAS
+    bgraph, binputs, bwhite, bout = bounded_chain_graph(depth=16)
     bwhite_key = f"value_{int(bwhite)}"
-    overrides[bwhite_key] = np.float32(1.0)  # broadcast across the batch
-    jax.block_until_ready(bg(**overrides))
-    blat = []
-    for i in range(16):
-        overrides[bwhite_key] = np.float32(1.0 - (i + 1) * 1e-6)
-        t0 = time.perf_counter()
-        jax.block_until_ready(bg(**overrides))
-        blat.append((time.perf_counter() - t0) * 1000.0)
-    # tunnel stalls are one-sided; min is the faithful capability estimator
-    batched_ms = float(np.min(blat))
-    batched_gpix = 17 * BATCH * BATCH_CANVAS * BATCH_CANVAS / (batched_ms / 1e3) / 1e9
+    bout_key = (bout, SlotId(0))
+    bprog = CompiledGraph(bgraph, targets=[(bout, SlotId(0))])
+    while True:
+        try:
+            bound = dict(bprog._bindings)
+            for bi, node in enumerate(binputs):
+                bound[f"input_{int(node)}"] = (
+                    _device_random((BATCH, batch_canvas, batch_canvas), seed=100 + bi),
+                )
+            batch_axes = {
+                k: (0,) if k.startswith("input_") else None for k in bound
+            }
+
+            def batched_body(val, bindings):
+                args = dict(bindings)
+                args[bwhite_key] = val
+                out_planes = jax.vmap(bprog._raw_fn, in_axes=(batch_axes,))(args)
+                return out_planes[bout_key]
+
+            bbench = _ScanBench(batched_body, bound, n1=2, n2=8, base=0.955)
+            batched_s, ok = bbench.run(repeats=3)
+            distinct &= ok
+            extras["batched_checksums_distinct"] = ok
+            break
+        except Exception as e:  # noqa: BLE001 — XLA OOM surfaces as RuntimeError
+            if "RESOURCE_EXHAUSTED" not in str(e) and "Out of memory" not in str(e):
+                raise
+            extras["batched_oom_at"] = batch_canvas
+            batch_canvas //= 2
+            if batch_canvas < 512:
+                raise
+    batched_raw_gpix = BATCH * batch_canvas * batch_canvas / batched_s / 1e9
+    extras["batched_canvas"] = batch_canvas
+    extras["batched_reeval_device_ms"] = round(batched_s * 1e3, 3)
+    extras["batched_raw_gpix_s"] = round(batched_raw_gpix, 2)
+    extras["batched_implied_gbps"] = round(
+        6 * BATCH * batch_canvas * batch_canvas * 4 / batched_s / 1e9, 1
+    )
 
     print(
         json.dumps(
             {
-                "metric": f"fused {CHAIN}-node chain @ {CANVAS}^2 RGBA, {backend} ({jax.device_count()} dev)",
-                "value": round(gpix_per_s, 3),
-                "unit": "Gpixel/s/chip (node-evals x pixels / s)",
-                "vs_baseline": round(gpix_per_s / TARGET_PER_CHIP_GPIX, 3),
+                "metric": f"fused {CHAIN}-node chain @ {CANVAS}^2 RGBA, {backend} ({jax.device_count()} dev), raw output throughput",
+                "value": round(raw_gpix_s, 3),
+                "unit": "Gpixel/s/chip (output pixels / s)",
+                "vs_baseline": round(raw_gpix_s / TARGET_PER_CHIP_GPIX, 3),
                 "incremental_p50_ms": round(incremental_p50_ms, 3),
-                "batched16_reeval_min_ms": round(batched_ms, 3),
-                "batched16_gpix_per_s": round(batched_gpix, 3),
+                "checksums_distinct": distinct,
+                **extras,
             }
         )
     )

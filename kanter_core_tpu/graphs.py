@@ -119,6 +119,67 @@ def deep_chain_graph(
     return graph, inputs, white, out
 
 
+def bounded_chain_graph(depth: int = 64) -> tuple[NodeGraph, list[NodeId], NodeId, NodeId]:
+    """Benchmark chain that stays numerically alive AND value-sensitive at
+    any depth: three per-channel GRAY chains iterating the logistic map
+    x ← 4v·x·(1−x) (5 mix nodes per step: invert, multiply, scale-by-v,
+    double, double), combined to RGBA at the end with the 4th input as
+    alpha. For v≈0.96 (r_eff≈3.85) the map is chaotic on [0,1], so outputs
+    cannot saturate to 0/inf (unlike `deep_chain_graph`, whose repeated
+    squares collapse by depth ~16) and any perturbation of the v Value node
+    provably decorrelates the output — which is what lets a benchmark verify
+    per-rep execution by checksum. XLA cannot algebraically collapse the
+    chain either.
+
+    Two engine semantics shape this construction (see `compiler._emit` /
+    `ops/resize.py`): a Mix's LEFT input decides gray/rgba, so the chains
+    are gray with the image always on slot 0 when the other operand is the
+    1×1 Value; and resize clamps planes to [0,1] (image-0.24.0 parity), so
+    the Value must stay ≤ 1 — the ×4 comes from two self-ADDs instead.
+
+    Returns (graph, input_ids, v_value_id, output_id); bind the value in
+    (0.89, 1.0) — r_eff = 4v ∈ (3.57, 4) is the chaotic band."""
+    graph = NodeGraph()
+    inputs = [graph.add_node(Node(NodeType.InputGray(f"in{i}"))) for i in range(4)]
+    one = graph.add_node(Node(NodeType.Value(1.0)))
+    v_val = graph.add_node(Node(NodeType.Value(0.96)))
+
+    def logistic_step(x: NodeId) -> tuple[NodeId, int]:
+        inv = graph.add_node(Node(NodeType.Mix(MixType.SUBTRACT)))
+        graph.connect(one, inv, SlotId(0), SlotId(0))  # 1 − x (gray chain)
+        graph.connect(x, inv, SlotId(0), SlotId(1))
+        prod = graph.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+        graph.connect(x, prod, SlotId(0), SlotId(0))  # x(1−x)
+        graph.connect(inv, prod, SlotId(0), SlotId(1))
+        s = graph.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+        graph.connect(prod, s, SlotId(0), SlotId(0))  # v·x(1−x), stays ≤ 0.25
+        graph.connect(v_val, s, SlotId(0), SlotId(1))
+        d1 = graph.add_node(Node(NodeType.Mix(MixType.ADD)))
+        graph.connect(s, d1, SlotId(0), SlotId(0))  # ×2
+        graph.connect(s, d1, SlotId(0), SlotId(1))
+        d2 = graph.add_node(Node(NodeType.Mix(MixType.ADD)))
+        graph.connect(d1, d2, SlotId(0), SlotId(0))  # ×2 → 4v·x(1−x)
+        graph.connect(d1, d2, SlotId(0), SlotId(1))
+        return d2, 5
+
+    chains = [inputs[0], inputs[1], inputs[2]]
+    count = 0
+    ch = 0
+    while count + 5 <= depth + 4:  # round-robin steps until ~depth mix nodes
+        chains[ch], added = logistic_step(chains[ch])
+        count += added
+        ch = (ch + 1) % 3
+        if count >= depth:
+            break
+    combine = graph.add_node(Node(NodeType.CombineRgba()))
+    for i, node in enumerate(chains):
+        graph.connect(node, combine, SlotId(0), SlotId(i))
+    graph.connect(inputs[3], combine, SlotId(0), SlotId(3))
+    out = graph.add_node(Node(NodeType.OutputRgba("out")))
+    graph.connect(combine, out, SlotId(0), SlotId(0))
+    return graph, inputs, v_val, out
+
+
 def resize_pyramid_graph(sizes=(512, 256, 128, 64), filt: ResizeFilter = ResizeFilter.TRIANGLE) -> NodeGraph:
     """An input downsampled through a pyramid of SpecificSize mix nodes."""
     graph = NodeGraph()
