@@ -71,6 +71,33 @@ class _FusedPack:
         self.partition = partition  # list[NodeId], topo order
 
 
+def _shard_overrides(overrides: dict, mesh) -> dict:
+    """Row-shard every large 2-D plane in a fused program's argument dict
+    over the mesh's first axis. GSPMD then partitions the whole program from
+    the input shardings — stencil halo exchanges, resize gathers, and all —
+    bit-identically to single-device execution (tests/test_mesh_engine.py).
+
+    Planes smaller than one row per device (1×1 Values, tiny defaults) stay
+    replicated; sharding them would only add collective overhead."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.shape[0]
+    sharding = NamedSharding(mesh, P(axis, None))
+
+    def place(leaf):
+        if getattr(leaf, "ndim", None) == 2 and leaf.shape[0] >= n:
+            return jax.device_put(leaf, sharding)
+        return leaf
+
+    return {
+        key: tuple(place(p) for p in value) if isinstance(value, tuple) else value
+        for key, value in overrides.items()
+    }
+
+
 def _contains_write(node) -> bool:
     """True if the node is (or nests) a Write node — a host-side sink the
     fused compiler cannot represent."""
@@ -600,6 +627,8 @@ class Engine:
                         buf.data() for buf in slot_data.image.planes
                     )
 
+            if self.tex_pro.mesh is not None:
+                overrides = _shard_overrides(overrides, self.tex_pro.mesh)
             unique_planes, layout = prog.call_with_layout(**overrides)
             # wrap each unique device plane once; aliased outputs share the
             # PlaneBuffer (reference: Arc-shared channel planes)

@@ -24,10 +24,24 @@ from .transient_buffer import AtomicUsize, PlaneBufferQueue
 
 
 class TextureProcessor:
-    def __init__(self, memory_threshold=10_000_000, host_memory_threshold: Optional[int] = None):
+    def __init__(
+        self,
+        memory_threshold=10_000_000,
+        host_memory_threshold: Optional[int] = None,
+        mesh=None,
+    ):
+        """`mesh`: an optional `jax.sharding.Mesh`. When set, the engine's
+        fused-partition dispatches place every large plane row-sharded over
+        the mesh's FIRST axis, so the interactive LiveGraph path itself
+        scales across chips (GSPMD inserts the halo exchanges for stencil
+        ops; sharded execution is bit-identical to single-device — enforced
+        by tests/test_mesh_engine.py). This replaces the reference's
+        thread-per-node scaling (`engine.rs:288-306`) at the multi-chip
+        level."""
         if not isinstance(memory_threshold, AtomicUsize):
             memory_threshold = AtomicUsize(memory_threshold)
         self.memory_threshold = memory_threshold
+        self.mesh = mesh
         self.host_memory_threshold = (
             AtomicUsize(host_memory_threshold) if host_memory_threshold is not None else None
         )
