@@ -341,8 +341,15 @@ class Engine:
         XLA program (SURVEY §2 #2: "topological partition of dirty subgraph →
         single fused jitted XLA call").
 
-        Returns None to fall back to per-node scheduling (partition touches
-        in-flight or unfusable nodes), or [] / [one _FusedPack].
+        Unfusable nodes (Write sinks, nodes already in flight) do NOT defeat
+        fusion for the rest of the request: they and their dirty descendants
+        are carved out of the partition, the maximal fusable remainder runs
+        as one program, and the carved-out nodes reach the per-node path on a
+        later tick once their parents are Clean (get_closest_processable
+        finds them naturally).
+
+        Returns None to fall back to per-node scheduling for this tick
+        (nothing fusable but unfusable work pending), or [] / [one _FusedPack].
         """
         from .node import NodeTypeKind
 
@@ -356,17 +363,23 @@ class Engine:
 
         graph = live_graph.node_graph
         partition: set = set()
+        unfusable: set = set()
+        visited: set = set()
         stack = list(requested)
         while stack:
             node_id = stack.pop()
-            if node_id in partition:
+            if node_id in visited:
                 continue
+            visited.add(node_id)
             try:
                 state = live_graph.node_state(node_id)
             except TexProError:
                 continue
             if state in (NodeState.PROCESSING, NodeState.PROCESSING_DIRTY):
-                return None  # overlaps in-flight work → per-node this tick
+                # in flight: parents are already Clean; just don't fuse
+                # anything that depends on it this tick
+                unfusable.add(node_id)
+                continue
             if state == NodeState.CLEAN:
                 continue
             try:
@@ -374,8 +387,9 @@ class Engine:
             except TexProError:
                 continue
             if _contains_write(node):
-                return None  # host-sink nodes can't be fused
-            partition.add(node_id)
+                unfusable.add(node_id)  # host sink; its parents still fuse
+            else:
+                partition.add(node_id)
             for parent in graph.get_parents(node_id):
                 try:
                     pstate = live_graph.node_state(parent)
@@ -393,12 +407,28 @@ class Engine:
                                 live_graph.slot_data(parent, edge.output_slot)
                             except TexProError:
                                 stack.append(parent)
+                                visited.discard(parent)
                                 partition.discard(parent)
                                 live_graph.set_state(parent, NodeState.DIRTY)
                                 break
 
+        if unfusable:
+            # carve out everything downstream of an unfusable node — it
+            # cannot run before that node commits
+            blocked: set = set()
+            stack = list(unfusable)
+            while stack:
+                node_id = stack.pop()
+                for child in graph.get_children(node_id):
+                    if child in partition and child not in blocked:
+                        blocked.add(child)
+                        stack.append(child)
+            partition -= blocked
+
         if not partition:
-            return []
+            # nothing fusable; let the per-node path handle any ready
+            # unfusable work this tick
+            return None if unfusable else []
 
         # admission priority: the hottest requested node speaks for the
         # partition (using requested[0] would invert priorities under load)
