@@ -9,7 +9,11 @@ used where manual data movement beats XLA's lowering:
   heightmap; here each grid step DMAs one row-tile plus a single halo row
   from a wrap-padded input and computes all three output planes in VMEM,
   so HBM traffic is read-once/write-three instead of read-three.
-- `pack_u8_pallas`: fused f32→u8 conversion + RGBA interleave for export.
+
+(A planar f32→u8 pack kernel used to live here too; measured on chip it lost
+to the elementwise u32 pack now in `slot_image._jitted_converters` — the
+planar→interleaved transpose cost more than the fused XLA pack — so it was
+removed rather than kept as a dead fast path.)
 
 Numerics note: on TPU, Pallas and XLA lower to the same VPU ops (mul/sub/
 div/sqrt are IEEE), so results match the jnp kernels bit-for-bit; the golden
@@ -136,65 +140,3 @@ def height_to_normal_pallas(h, tile_rows: int = 64, interpret: bool | None = Non
     return _h2n_kernel(height, width, tile_rows, interpret)(h)
 
 
-@functools.lru_cache(maxsize=128)  # shape-keyed; bound for long sessions
-def _pack_u8_kernel(height: int, width: int, tile_rows: int, interpret: bool):
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    grid = (_ceil_div(height, tile_rows),)
-
-    def kernel(r_ref, g_ref, b_ref, a_ref, out_ref):
-        def conv(x):
-            c = jnp.clip(x, 0.0, 1.0)
-            v = c * jnp.float32(255.0)
-            v = jnp.where(
-                jnp.isnan(v), jnp.float32(255.0), jnp.minimum(v, jnp.float32(255.0))
-            )
-            # Mosaic has no direct f32→u8 cast; go via i32 (same truncation
-            # toward zero; values are already in [0, 255]).
-            return v.astype(jnp.int32).astype(jnp.uint8)
-
-        # planar (4, T, W) block — the lane dimension stays W-wide and
-        # aligned; the channel interleave happens outside via an XLA
-        # transpose on the u8 result (4× smaller than transposing f32).
-        out_ref[0, :, :] = conv(r_ref[:, :])
-        out_ref[1, :, :] = conv(g_ref[:, :])
-        out_ref[2, :, :] = conv(b_ref[:, :])
-        out_ref[3, :, :] = conv(a_ref[:, :])
-
-    in_spec = pl.BlockSpec((tile_rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec(
-        (4, tile_rows, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-    )
-
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[in_spec] * 4,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((4, grid[0] * tile_rows, width), jnp.uint8),
-        interpret=interpret,
-    )
-
-    @jax.jit
-    def pack(r, g, b, a):
-        pad = grid[0] * tile_rows - height
-        if pad:
-            r, g, b, a = (jnp.pad(x, ((0, pad), (0, 0))) for x in (r, g, b, a))
-        planar = call(r, g, b, a)[:, :height]
-        return jnp.moveaxis(planar, 0, -1)  # [H, W, 4] interleaved
-
-    return pack
-
-
-def pack_u8_pallas(r, g, b, a, tile_rows: int = 512, interpret: bool | None = None):
-    """Fused f32→u8 + interleave: 4 `[H, W]` planes → `[H, W, 4]` u8."""
-    import jax
-
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    height, width = r.shape
-    tile_rows = min(tile_rows, height)
-    return _pack_u8_kernel(height, width, tile_rows, interpret)(r, g, b, a)

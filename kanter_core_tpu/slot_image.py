@@ -66,28 +66,42 @@ def _jitted_converters():
             ),
         )
 
+    def pack_u32(r8, g8, b8, a8):
+        # Elementwise u32 pack instead of a channel-stack: the [H, W, 4]-u8
+        # stack lowers to a layout transpose on TPU, while r|g<<8|b<<16|a<<24
+        # stays a pure fused elementwise op (measured ~796 vs ~711 GB/s at
+        # 2048², ~778 vs ~707 at 4096², and 2.5× over a Pallas planar pack).
+        # The host views the little-endian u32 buffer as interleaved RGBA
+        # bytes for free.
+        return (
+            r8.astype(jnp.uint32)
+            | (g8.astype(jnp.uint32) << 8)
+            | (b8.astype(jnp.uint32) << 16)
+            | (a8.astype(jnp.uint32) << 24)
+        )
+
     @jax.jit
     def gray_to_u8(g):
         v = f32_to_u8(g)
         a = jnp.full_like(v, 255, dtype=jnp.uint8)
-        return jnp.stack([v, v, v, a], axis=-1)
+        return pack_u32(v, v, v, a)
 
     @jax.jit
     def rgba_to_u8(r, g, b, a):
-        return jnp.stack([f32_to_u8(r), f32_to_u8(g), f32_to_u8(b), f32_to_u8(a)], axis=-1)
+        return pack_u32(f32_to_u8(r), f32_to_u8(g), f32_to_u8(b), f32_to_u8(a))
 
     @jax.jit
     def gray_to_u8_srgb(g):
         v = f32_to_u8(srgb_to_linear(jnp.clip(g, 0.0, 1.0)))
         a = jnp.full_like(v, 255, dtype=jnp.uint8)
-        return jnp.stack([v, v, v, a], axis=-1)
+        return pack_u32(v, v, v, a)
 
     @jax.jit
     def rgba_to_u8_srgb(r, g, b, a):
         def conv(x):
             return f32_to_u8(srgb_to_linear(jnp.clip(x, 0.0, 1.0)))
 
-        return jnp.stack([conv(r), conv(g), conv(b), f32_to_u8(a)], axis=-1)
+        return pack_u32(conv(r), conv(g), conv(b), f32_to_u8(a))
 
     @jax.jit
     def rgb_mean(r, g, b):
@@ -195,14 +209,28 @@ class SlotImage:
         return hash(self.is_rgba())
 
     # --- u8 export (`slot_image.rs:146-207`) ---
+    def _all_planes_off_device(self) -> bool:
+        from .transient_buffer import Tier
+
+        return all(p.tier != Tier.DEVICE for p in self.planes)
+
     def to_u8(self) -> np.ndarray:
         """Flat row-major interleaved RGBA u8 pixels."""
+        if self._all_planes_off_device():
+            # spilled planes: pack on host (native C++, numpy fallback)
+            # instead of round-tripping hundreds of MB through the device
+            from . import native
+
+            if self.is_rgba():
+                return native.pack_rgba_u8(*[p.host_data() for p in self.planes])
+            return native.pack_gray_u8(self.planes[0].host_data())
         conv = _jitted_converters()
         if self.is_rgba():
             out = conv["rgba_to_u8"](*[p.data() for p in self.planes])
         else:
             out = conv["gray_to_u8"](self.planes[0].data())
-        return np.asarray(out).reshape(-1)
+        # little-endian u32 → interleaved RGBA bytes, zero-copy
+        return np.ascontiguousarray(out).view(np.uint8).reshape(-1)
 
     def to_u8_srgb(self) -> np.ndarray:
         conv = _jitted_converters()
@@ -210,7 +238,7 @@ class SlotImage:
             out = conv["rgba_to_u8_srgb"](*[p.data() for p in self.planes])
         else:
             out = conv["gray_to_u8_srgb"](self.planes[0].data())
-        return np.asarray(out).reshape(-1)
+        return np.ascontiguousarray(out).view(np.uint8).reshape(-1)
 
     def to_numpy_rgba(self) -> np.ndarray:
         """`[H, W, 4]` u8 view of `to_u8` (convenience)."""

@@ -65,3 +65,25 @@ def test_spill_roundtrip_uses_native_hash(tmp_path):
     buf = PlaneBuffer(host=data.copy())
     assert buf.spill_to_storage()
     assert np.array_equal(buf.host_data(), data)
+
+
+def test_to_u8_host_tier_uses_native_and_matches_device_path():
+    """A SlotImage whose planes are all host/storage-tier exports via the
+    native host pack, byte-identical to the device (u32) converter path."""
+    from kanter_core_tpu.slot_image import SlotImage
+    from kanter_core_tpu.transient_buffer import Tier, plane_from_device, plane_from_host
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    planes = [rng.random((40, 56), dtype=np.float32) for _ in range(4)]
+    planes[0][0, 0] = np.nan
+
+    host_img = SlotImage([plane_from_host(p.copy()) for p in planes])
+    assert all(p.tier != Tier.DEVICE for p in host_img.planes)
+    dev_img = SlotImage([plane_from_device(jnp.asarray(p)) for p in planes])
+    assert np.array_equal(host_img.to_u8(), dev_img.to_u8())
+
+    gray_host = SlotImage([plane_from_host(planes[1].copy())])
+    gray_dev = SlotImage([plane_from_device(jnp.asarray(planes[1]))])
+    assert np.array_equal(gray_host.to_u8(), gray_dev.to_u8())
