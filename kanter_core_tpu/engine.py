@@ -12,9 +12,11 @@ Port of `/root/reference/src/engine.rs`. Each tick:
 5. dispatch each admitted node (`:200-307`).
 
 Where the reference spawns one OS thread per node running scalar pixel loops,
-a dispatch here is a worker thread that launches cached-jitted XLA programs on
-the accelerator and returns device-array handles; JAX's async dispatch means
-the device pipelines work from many dispatch threads. The 1 ms polling loop is
+a dispatch here is a pooled worker thread (`_WorkerPool`: cached threads,
+spawn-on-demand so blocked workers never starve new dispatches) that launches
+cached-jitted XLA programs on the accelerator and returns device-array
+handles; JAX's async dispatch means the device pipelines work from many
+dispatch threads. The 1 ms polling loop is
 replaced by a condition variable kicked by workers and graph edits, with a
 1 ms timeout as fallback.
 
@@ -110,6 +112,68 @@ def _contains_write(node) -> bool:
     return False
 
 
+class _WorkerPool:
+    """Cached-thread dispatch pool.
+
+    Replaces the reference's one-OS-thread-per-node spawn
+    (`engine.rs:288-306`): submitting reuses an idle worker when one exists
+    and spawns otherwise, so load never queues behind a fixed-size pool (a
+    worker evaluating a nested Graph node blocks awaiting its sub-outputs —
+    a bounded pool could starve the very dispatches it waits on), while
+    steady-state interactive editing stops paying thread-creation churn.
+    Idle workers expire after `IDLE_TTL_SECONDS`.
+    """
+
+    IDLE_TTL_SECONDS = 10.0
+
+    def __init__(self, name: str = "kanter-worker"):
+        self._name = name
+        self._tasks: queue.Queue = queue.Queue()
+        self._lock = threading.Lock()
+        self._idle = 0  # workers waiting in get() whose slot no submit reserved
+        self._serial = 0
+
+    def submit(self, fn, /, *args) -> None:
+        with self._lock:
+            spawn = self._idle == 0
+            if not spawn:
+                self._idle -= 1  # reserve a waiting worker for this task
+            else:
+                self._serial += 1
+                serial = self._serial
+        self._tasks.put((fn, args))
+        if spawn:
+            threading.Thread(
+                target=self._run, daemon=True, name=f"{self._name}-{serial}"
+            ).start()
+
+    def _wait_for_task(self):
+        with self._lock:
+            self._idle += 1
+        try:
+            return self._tasks.get(timeout=self.IDLE_TTL_SECONDS)
+        except queue.Empty:
+            with self._lock:
+                if self._idle > 0:
+                    self._idle -= 1
+                    return None  # genuinely idle: retire this worker
+            # a submit reserved this worker's slot, so its task is queued
+            # (or about to be): serve it rather than strand the reservation
+            return self._tasks.get()
+
+    def _run(self) -> None:
+        try:
+            # the task this worker was spawned for (or a sibling's — the
+            # queue doesn't pair tasks to workers, only counts them)
+            task = self._tasks.get(timeout=1.0)
+        except queue.Empty:
+            return  # consumed by a concurrently-waiting worker; retire
+        while task is not None:
+            fn, args = task
+            fn(*args)
+            task = self._wait_for_task()
+
+
 class Engine:
     TICK_SECONDS = 0.001
     IDLE_TICK_SECONDS = 0.02  # edits/requests/results wake the loop anyway
@@ -124,6 +188,7 @@ class Engine:
         self._wake_cv = threading.Condition(threading.Lock())
         self._fused_programs: "OrderedDict" = OrderedDict()  # fingerprint → CompiledGraph
         self._fused_programs_lock = threading.Lock()
+        self._pool = _WorkerPool()
 
     def wake(self) -> None:
         with self._wake_cv:
@@ -586,13 +651,11 @@ class Engine:
                 node_id, kind, fused=len(partition)
             )
 
-        worker = threading.Thread(
-            target=self._worker_fused,
-            args=(snapshot, partition, boundary, embedded, input_datas, live_graph, events, recipes),
-            daemon=True,
-            name=f"kanter-fused-{len(partition)}",
+        self._pool.submit(
+            self._worker_fused,
+            snapshot, partition, boundary, embedded, input_datas, live_graph,
+            events, recipes,
         )
-        worker.start()
 
     @staticmethod
     def _topo_order(graph) -> list:
@@ -732,13 +795,11 @@ class Engine:
                 # never touches this node's Processing state
 
         event = self.tex_pro.timeline.begin(node_id, node.node_type.kind.value)
-        worker = threading.Thread(
-            target=self._worker,
-            args=(node, input_data, embedded_slot_datas, input_slot_datas, edges, live_graph, event, recipe),
-            daemon=True,
-            name=f"kanter-node-{int(node_id)}",
+        self._pool.submit(
+            self._worker,
+            node, input_data, embedded_slot_datas, input_slot_datas, edges,
+            live_graph, event, recipe,
         )
-        worker.start()
 
     def _worker(self, node, input_data, embedded_slot_datas, input_slot_datas, edges,
                 live_graph, event=None, recipe=None):
