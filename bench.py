@@ -51,88 +51,13 @@ import time
 
 import numpy as np
 
+from benchlib import ScanBench as _ScanBench, chk as _chk, device_random as _device_random
+
 CANVAS = int(os.environ.get("KANTER_BENCH_CANVAS", "4096"))
 CHAIN = int(os.environ.get("KANTER_BENCH_CHAIN", "64"))
 BATCH = int(os.environ.get("KANTER_BENCH_BATCH", "16"))
 BATCH_CANVAS = int(os.environ.get("KANTER_BENCH_BATCH_CANVAS", "4096"))
 TARGET_PER_CHIP_GPIX = 50.0 / 8.0  # v5e-8 north star, per chip
-
-
-def _device_random(shape, seed: int):
-    """Random f32 planes generated ON DEVICE — the tunnel uploads at ~30 MB/s,
-    so shipping gigabytes of random inputs from host would dominate the
-    benchmark's wall clock without touching what is being measured."""
-    import jax
-    import jax.numpy as jnp
-
-    fn = jax.jit(lambda k: jax.random.uniform(k, shape, dtype=jnp.float32))
-    out = fn(jax.random.PRNGKey(seed))
-    jax.block_until_ready(out)
-    return out
-
-
-def _chk(planes):
-    """On-device checksum forcing full materialization: the barrier pins the
-    planes as real buffers, then a tiny corner slice + center pixel reduces
-    them to one scalar per iteration."""
-    import jax.numpy as jnp
-    from jax import lax
-
-    planes = lax.optimization_barrier(planes)
-    total = jnp.float32(0)
-    for p in planes:
-        h, w = p.shape[-2], p.shape[-1]
-        total = total + jnp.sum(p[..., : min(64, h), : min(64, w)])
-        total = total + jnp.sum(p[..., h // 2, w // 2]) * 1024.0
-    return total
-
-
-class _ScanBench:
-    """Times `body(val, consts) -> planes` amortized over a jitted lax.scan.
-
-    `consts` (the big input planes) are explicit jit arguments — closing over
-    device arrays would bake them into the serialized compile payload, which
-    the remote-compile tunnel rejects (HTTP 413)."""
-
-    def __init__(self, body, consts, n1: int, n2: int, base: float = 1.0):
-        import jax
-        from jax import lax
-
-        def scan_fn(vals, consts):
-            def step(carry, val):
-                return carry, _chk(body(val, consts))
-
-            _, checks = lax.scan(step, 0, vals)
-            return checks
-
-        self._jit = jax.jit(scan_fn)
-        self._consts = consts
-        self._base = base
-        self.n1, self.n2 = n1, n2
-
-    def _time(self, n: int, seed: int) -> tuple[float, np.ndarray]:
-        vals = self._base + np.arange(n, dtype=np.float32) * 1e-4 + seed * 1e-5
-        t0 = time.perf_counter()
-        # forcing read of all N checksums
-        checks = np.asarray(self._jit(vals, self._consts))
-        return time.perf_counter() - t0, checks
-
-    def run(self, repeats: int = 5) -> tuple[float, bool]:
-        """Returns (seconds per evaluation, checksums_distinct)."""
-        # warm both compiles
-        self._time(self.n1, 99)
-        self._time(self.n2, 99)
-        distinct = True
-        per_iter = []
-        for r in range(repeats):
-            t1, c1 = self._time(self.n1, r)
-            t2, c2 = self._time(self.n2, r)
-            distinct &= len(set(c1.tolist())) == len(c1)
-            distinct &= len(set(c2.tolist())) == len(c2)
-            per_iter.append((t2 - t1) / (self.n2 - self.n1))
-        # tunnel stalls are one-sided noise but can hit either T(n1) or
-        # T(n2); the median of the differences is the robust estimator
-        return max(float(np.median(per_iter)), 1e-9), distinct
 
 
 def main() -> None:

@@ -1,0 +1,170 @@
+"""Per-op on-chip perf table: ms + GB/s for every hot kernel (VERDICT r1 #9).
+
+Prints ONE JSON line per (op, canvas) so every throughput claim in module
+docstrings is reproducible from this script. Uses the same honesty protocol
+as bench.py (see benchlib.py): amortized two-length lax.scan timing, forced
+materialization via optimization_barrier + checksum fetch, per-iteration
+input variation (the tunnel dedups identical dispatches).
+
+Columns:
+- ms:        amortized device time per evaluation
+- gbps:      implied HBM traffic / time, using the op's minimal traffic model
+             (reads + writes of planes it must materialize; fused temps are
+             free). Compare against bench.py's measured `roofline_gbps`.
+- gpix_s:    OUTPUT pixels per second (raw, not node-evals)
+
+Run on the real TPU (do not force cpu). `KANTER_BENCHOPS_SIZES=2048,4096`
+overrides the canvas list; `KANTER_BENCHOPS_OPS=mix,h2n` filters ops.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from benchlib import ScanBench, device_random
+
+SIZES = [int(s) for s in os.environ.get("KANTER_BENCHOPS_SIZES", "2048,4096").split(",")]
+ONLY = {s for s in os.environ.get("KANTER_BENCHOPS_OPS", "").split(",") if s}
+
+
+def stages(canvas: int):
+    """Yields (name, body(val, consts) -> planes, consts, traffic_bytes,
+    out_pixels, n1, n2, base)."""
+    from kanter_core_tpu.ops.blur import blur_plane
+    from kanter_core_tpu.ops.height_to_normal import _h2n_jnp
+    from kanter_core_tpu.ops.resize import resample_plane
+    from kanter_core_tpu.geometry import Size
+    from kanter_core_tpu.node import ResizeFilter
+
+    plane_bytes = canvas * canvas * 4
+    p1 = device_random((canvas, canvas), seed=1)
+    p2 = device_random((canvas, canvas), seed=2)
+    rgba = tuple(device_random((canvas, canvas), seed=10 + i) for i in range(4))
+
+    # --- mix: one add (2 reads + 1 write) ---
+    yield (
+        "mix_add",
+        lambda c, ps: ((ps[0] + c) + ps[1],),
+        (p1, p2),
+        3 * plane_bytes,
+        canvas * canvas,
+        8, 64, 0.25,
+    )
+
+    # --- mix chain ×16 (fusion probe: still 2 reads + 1 write) ---
+    def chain_body(c, ps):
+        x = ps[0] + c
+        for i in range(16):
+            x = x + ps[1] if i % 2 == 0 else x * ps[1]
+        return (x,)
+
+    yield ("mix_chain16", chain_body, (p1, p2), 3 * plane_bytes, canvas * canvas, 8, 64, 0.25)
+
+    # --- height-to-normal, XLA lowering (1 read + 3 writes; rolled copies
+    #     materialize on the XLA path, so real traffic is higher) ---
+    # (×c, not +c: h2n sees only height differences, a shift is invisible)
+    yield (
+        "h2n_xla",
+        lambda c, ps: _h2n_jnp(ps[0] * c)[:3],
+        (p1,),
+        4 * plane_bytes,
+        canvas * canvas,
+        4, 16, 1.0,
+    )
+
+    # --- height-to-normal, Pallas one-pass (TPU only) ---
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from kanter_core_tpu.ops.pallas_kernels import height_to_normal_pallas
+
+        yield (
+            "h2n_pallas",
+            lambda c, ps: height_to_normal_pallas(ps[0] * c),
+            (p1,),
+            4 * plane_bytes,
+            canvas * canvas,
+            4, 16, 1.0,
+        )
+
+    # --- blur σ=1 and σ=5 (2 separable passes: 2 reads + 2 writes min) ---
+    for sigma in (1.0, 5.0):
+        yield (
+            f"blur_s{int(sigma)}",
+            (lambda s: lambda c, ps: (blur_plane(ps[0] + c, s),))(sigma),
+            (p1,),
+            4 * plane_bytes,
+            canvas * canvas,
+            4, 16, 0.25,
+        )
+
+    # --- resample up ×2 and down ×2, Triangle + Lanczos3
+    #     (traffic: in read + tmp[outH,inW] write+read + out write) ---
+    for filt, fname in ((ResizeFilter.TRIANGLE, "tri"), (ResizeFilter.LANCZOS3, "lcz")):
+        for scale, sname in ((2.0, "up2x"), (0.5, "dn2x")):
+            out_hw = int(canvas * scale)
+            tmp_bytes = out_hw * canvas * 4
+            out_bytes = out_hw * out_hw * 4
+            yield (
+                f"resample_{fname}_{sname}",
+                (lambda f, o: lambda c, ps: (
+                    resample_plane((ps[0] + c) % 1.0, Size(o, o), f),
+                ))(filt, out_hw),
+                (p1,),
+                plane_bytes + 2 * tmp_bytes + out_bytes,
+                out_hw * out_hw,
+                2, 8, 0.25,
+            )
+
+    # --- u8 export, RGBA interleave (4 f32 reads + 1 u32 write) ---
+    from kanter_core_tpu.ops.common import f32_to_u8
+
+    def u8_body(c, ps):
+        packed = f32_to_u8((ps[0] + c) % 1.0)
+        for p in ps[1:]:
+            packed = packed + f32_to_u8(p)  # sum keeps all 4 conversions live
+        return (packed,)
+
+    yield (
+        "u8_export_rgba",
+        u8_body,
+        rgba,
+        4 * plane_bytes + canvas * canvas,
+        canvas * canvas,
+        8, 64, 0.02,
+    )
+
+
+def main() -> None:
+    import jax
+
+    backend = jax.default_backend()
+    for canvas in SIZES:
+        for name, body, consts, traffic, out_px, n1, n2, base in stages(canvas):
+            if ONLY and not any(name.startswith(o) for o in ONLY):
+                continue
+            # u8 quantization: vary inputs in steps ≥ 1/128 so consecutive
+            # iterations round to different u8 values
+            step = 1.0 / 128.0 if name.startswith("u8") else 1e-4
+            bench = ScanBench(body, consts, n1=n1, n2=n2, base=base, step=step)
+            seconds, distinct = bench.run(repeats=3)
+            print(
+                json.dumps(
+                    {
+                        "op": name,
+                        "canvas": canvas,
+                        "backend": backend,
+                        "ms": round(seconds * 1e3, 4),
+                        "gbps": round(traffic / seconds / 1e9, 1),
+                        "gpix_s": round(out_px / seconds / 1e9, 3),
+                        "checksums_distinct": distinct,
+                    }
+                )
+            )
+
+
+if __name__ == "__main__":
+    main()
