@@ -678,10 +678,25 @@ class Engine:
         from .slot_image import SlotImage
         from .transient_buffer import plane_from_device
 
+        preset = {
+            key: len(slot_data.image.planes) for key, slot_data in boundary.items()
+        }
+
+        # Blockwise tiled gate (SURVEY §5's long-canvas analog): when the
+        # partition's full-size result footprint exceeds the configured
+        # device budget, evaluate it in row bands instead of as one dense
+        # program — the reference can only spill whole finished planes
+        # (`transient_buffer.rs:388-406`); it cannot evaluate a canvas whose
+        # working set exceeds memory at all.
+        tile_bytes = self.tex_pro.tile_bytes
+        if tile_bytes is not None and self.tex_pro.mesh is None:
+            if self._try_tiled(
+                snapshot, partition, boundary, embedded, input_datas, preset,
+                live_graph, events, recipes, tile_bytes,
+            ):
+                return
+
         try:
-            preset = {
-                key: len(slot_data.image.planes) for key, slot_data in boundary.items()
-            }
             fingerprint = graph_fingerprint(
                 snapshot,
                 extra=repr(sorted((int(n), int(s), c) for (n, s), c in preset.items())),
@@ -745,6 +760,122 @@ class Engine:
             message = _FusedMessage([(nid, []) for nid in partition], e, live_graph, events)
         self._results.put(message)
         self.wake()
+
+    def _try_tiled(
+        self, snapshot, partition, boundary, embedded, input_datas, preset,
+        live_graph, events, recipes, tile_bytes,
+    ) -> bool:
+        """Evaluate the partition in row bands when its dense result
+        footprint exceeds `tile_bytes`. Returns False to fall back to the
+        dense fused path (partition not tileable, or small enough); True when
+        a result/error message was committed.
+
+        Leaf data stays HOST-side (`PlaneBuffer.host_data()` — no device
+        fault-in); only band-sized slices reach the device. Frontier nodes
+        (no children inside the partition) get full host-resident planes;
+        interior nodes commit without data, exactly like `use_cache=False`
+        parent eviction — a child edit later re-dirties and re-evaluates.
+        Cancellation is polled between bands (the tiled analog of the
+        reference's per-pixel cancel checks, `height_to_normal.rs:45-47`).
+        """
+        from . import tiled
+        from .compiler import collect_value_bindings
+        from .node import NodeTypeKind
+        from .ops import image_io
+        from .slot_data import SlotData
+        from .slot_image import SlotImage
+        from .transient_buffer import plane_from_host
+
+        preset_nodes = {nid for nid, _ in preset}
+        if not tiled.graph_is_tileable(snapshot, preset_nodes):
+            return False
+        try:
+            bindings = collect_value_bindings(snapshot)
+            for node in snapshot.nodes:
+                if (
+                    node.node_type.kind == NodeTypeKind.IMAGE
+                    and node.node_id not in preset_nodes
+                ):
+                    try:
+                        si = image_io.read_slot_image(node.node_type.payload)
+                    except TexProError:
+                        si = image_io.magenta_placeholder()
+                    bindings[f"image_{int(node.node_id)}"] = tuple(
+                        p.host_data() for p in si.planes
+                    )
+            for (nid, slot), slot_data in boundary.items():
+                bindings[f"preset_{int(nid)}_{int(slot)}"] = tuple(
+                    b.host_data() for b in slot_data.image.planes
+                )
+            for esd in embedded:
+                bindings[f"embed_{int(esd.slot_data_id)}"] = tuple(
+                    b.host_data() for b in esd.image.planes
+                )
+            if input_datas:
+                bindings["input_rgba_first"] = tuple(
+                    b.host_data() for b in input_datas[0].image.planes
+                )
+                for sd in input_datas:
+                    bindings[f"input_{int(sd.node_id)}"] = tuple(
+                        b.host_data() for b in sd.image.planes
+                    )
+
+            infos = tiled.infer_sizes(snapshot, bindings, preset)
+            if tiled.total_plane_bytes(infos) <= tile_bytes:
+                return False
+
+            partition_set = set(partition)
+            interior = {
+                e.output_id for e in snapshot.edges if e.input_id in partition_set
+            }
+            targets = []
+            for nid in partition:
+                if nid not in interior:
+                    targets.extend((nid, slot) for slot in infos[nid].out_planes)
+            if not targets:
+                return False
+
+            # rows per band sized so one band's full working set (every
+            # node's band rows) stays within the budget
+            bytes_per_row = sum(
+                4 * info.out_size.width * sum(info.out_planes.values())
+                for info in infos.values()
+            )
+            band_rows = max(8, int(tile_bytes // max(bytes_per_row, 1)))
+
+            evaluator = tiled.TiledEvaluator(
+                snapshot, targets, bindings, preset=preset, band_rows=band_rows
+            )
+            nodes_by_id = {n.node_id: n for n in snapshot.nodes}
+
+            def canceled() -> bool:
+                return any(
+                    nodes_by_id[nid].cancel.load()
+                    for nid in partition
+                    if nid in nodes_by_id
+                )
+
+            outs = evaluator.run(cancel_check=canceled)
+
+            results: dict = {}
+            for (nid, slot), planes in outs.items():
+                image = SlotImage([plane_from_host(p) for p in planes])
+                results.setdefault(nid, []).append(SlotData(nid, slot, image))
+            node_results = [
+                (nid, sorted(results.get(nid, []), key=lambda sd: sd.slot_id))
+                for nid in partition
+            ]
+            # interior nodes committed without data must not fill the recipe
+            # cache — a later memoize hit would replay the missing planes
+            kept_recipes = {
+                nid: r for nid, r in (recipes or {}).items() if results.get(nid)
+            }
+            message = _FusedMessage(node_results, None, live_graph, events, kept_recipes)
+        except BaseException as e:  # noqa: BLE001 — commit decides fatality
+            message = _FusedMessage([(nid, []) for nid in partition], e, live_graph, events)
+        self._results.put(message)
+        self.wake()
+        return True
 
     # --- dispatch (`engine.rs:200-307`) ---
     def _dispatch(self, pack: ProcessPack) -> None:

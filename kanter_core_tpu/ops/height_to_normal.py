@@ -35,6 +35,20 @@ from .common import slot_data_with_name
 
 def _h2n_jnp(h):
     """jnp reference implementation (bit-exact vs the Rust scalar loop)."""
+    import jax.numpy as jnp
+
+    up = jnp.roll(h, 1, axis=0)  # sample at (x, y-1) wrapped
+    return _h2n_core(h, up, *h.shape)
+
+
+def _h2n_core(h, up, height: int, width: int):
+    """The per-pixel normal math given pre-gathered `up` rows.
+
+    `h`/`up` may be a row band of a larger plane (tiled evaluation gathers
+    the wrapped y-1 rows host-side); `height`/`width` are the GLOBAL canvas
+    dims (they set the texel step, `height_to_normal.rs:49-52`). Arithmetic
+    is identical to evaluating the full plane — bands are bit-transparent.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -46,11 +60,9 @@ def _h2n_jnp(h):
     else:
         from .exact_math import corrected_div as _div, corrected_sqrt as _sqrt
 
-    height, width = h.shape
     pdx = jnp.float32(1.0) / jnp.float32(width)
     pdy = jnp.float32(1.0) / jnp.float32(height)
 
-    up = jnp.roll(h, 1, axis=0)  # sample at (x, y-1) wrapped
     left = jnp.roll(h, 1, axis=1)  # sample at (x-1, y) wrapped
 
     # tangent = normalize([pdx, 0, h - left])

@@ -207,6 +207,45 @@ def _apply_axis0(plane, lefts, weights, in_len: int):
     return jnp.clip(acc, 0.0, 1.0)
 
 
+def _apply_axis0_indexed(plane, idx, weights):
+    """`_apply_axis0` with an explicit per-output-row tap index matrix.
+
+    `idx` is int32 `[out, taps]` (positions into `plane`'s axis 0), `weights`
+    f32 `[out, taps]`; both may be traced program arguments. Used by the
+    blockwise tiled evaluator (`kanter_core_tpu.tiled`) where the producer
+    plane is a compacted row band rather than the full canvas: tap order,
+    the zero-weight mask, the mul selection, and the per-pass clamp are kept
+    identical to `_apply_axis0`, so each output row's bits match whole-plane
+    resampling exactly.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "cpu":
+        from .exact_math import nc_mul as _mul
+    else:
+        _mul = lambda a, b: a * b  # noqa: E731
+
+    out_len, taps = weights.shape
+    if taps <= 8:
+        acc = jnp.zeros((out_len, plane.shape[1]), jnp.float32)
+        for t in range(taps):
+            rows = plane[idx[:, t], :]
+            w = weights[:, t][:, None]
+            acc = acc + jnp.where(w == 0.0, jnp.float32(0.0), _mul(rows, w))
+    else:
+        def body(t, acc):
+            col = jax.lax.dynamic_index_in_dim(idx, t, axis=1, keepdims=False)
+            rows = plane[col, :]
+            w = jax.lax.dynamic_slice_in_dim(weights, t, 1, axis=1)
+            return acc + jnp.where(w == 0.0, jnp.float32(0.0), _mul(rows, w))
+
+        acc = jax.lax.fori_loop(
+            0, taps, body, jnp.zeros((out_len, plane.shape[1]), jnp.float32)
+        )
+    return jnp.clip(acc, 0.0, 1.0)
+
+
 def resample_plane(plane, out_size: Size, filt: ResizeFilter):
     """Traceable bit-exact resize of one `[H, W]` plane to `out_size`.
 

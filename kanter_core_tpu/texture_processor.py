@@ -29,6 +29,7 @@ class TextureProcessor:
         memory_threshold=10_000_000,
         host_memory_threshold: Optional[int] = None,
         mesh=None,
+        tile_bytes: Optional[int] = None,
     ):
         """`mesh`: an optional `jax.sharding.Mesh`. When set, the engine's
         fused-partition dispatches place every large plane row-sharded over
@@ -37,11 +38,21 @@ class TextureProcessor:
         ops; sharded execution is bit-identical to single-device — enforced
         by tests/test_mesh_engine.py). This replaces the reference's
         thread-per-node scaling (`engine.rs:288-306`) at the multi-chip
-        level."""
+        level.
+
+        `tile_bytes`: optional device working-set budget in bytes. Fused
+        partitions whose dense result footprint exceeds it are evaluated in
+        row bands (`kanter_core_tpu.tiled`) with halos, bit-identically, so
+        canvases larger than device memory still evaluate — the reference
+        can only spill whole finished planes (`transient_buffer.rs:388-406`)
+        and cannot process a working set bigger than memory at all. Mutually
+        advisory with `mesh` (a meshed processor keeps the dense sharded
+        path)."""
         if not isinstance(memory_threshold, AtomicUsize):
             memory_threshold = AtomicUsize(memory_threshold)
         self.memory_threshold = memory_threshold
         self.mesh = mesh
+        self.tile_bytes = tile_bytes
         self.host_memory_threshold = (
             AtomicUsize(host_memory_threshold) if host_memory_threshold is not None else None
         )

@@ -1,0 +1,662 @@
+"""Blockwise (row-band) tiled evaluation for canvases larger than HBM.
+
+SURVEY §5's long-canvas analog: the reference handles memory pressure by
+spilling *whole* channel planes to disk (`/root/reference/src/
+transient_buffer.rs:388-406`) — evaluation itself is always whole-plane, so
+a canvas bigger than working memory cannot be processed at all. Here a
+fused dirty partition is instead evaluated in horizontal row bands with
+halo handling:
+
+- a backward pass over the partition computes, per node, exactly which
+  output rows each band needs (elementwise ops map rows 1:1; HeightToNormal
+  needs the toroidally-wrapped y-1 row; Blur needs ±ceil(3σ) wrapped rows;
+  the resize pass maps output rows through its vertical tap windows);
+- a forward pass evaluates one jitted program per band *structure* whose
+  inputs are host-gathered row bands of the leaf planes (Image/Input/Value/
+  clean-boundary data) plus int32 gather-position arrays — peak device bytes
+  are bounded by the band working set, never the canvas. Interior bands
+  share one compiled executable (indices and bands are traced arguments);
+- output bands stream into host-resident planes, which the tier manager
+  (`transient_buffer.PlaneBufferQueue`) can further spill to disk.
+
+Band evaluation is **bit-identical** to whole-plane evaluation: every op's
+banded twin preserves the exact gather/mask/accumulation order of its
+full-plane form (`_apply_axis0_indexed` vs `_apply_axis0`; `_h2n_core` is
+shared; the blur twin replays `_blur_axis0`'s tap sequence), so the fused
+engine path can drop to tiled evaluation under a device budget without
+observable differences except peak memory. `tests/test_tiled.py` asserts
+bit parity over mixed graphs.
+
+Not tileable (the engine keeps the dense fused path): nested Graph nodes
+(the tracing compiler inline-flattens them; flatten first if banding is
+needed) and Write sinks (never fused anyway, `engine._contains_write`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .errors import ErrorKind, TexProError
+from .geometry import Size
+from .ids import NodeId, SlotId
+from .node import NodeTypeKind
+from .ops.resize import calculate_size, resample_weights
+
+K = NodeTypeKind
+
+#: node kinds a tiled partition can contain
+TILEABLE_KINDS = frozenset(
+    {
+        K.VALUE,
+        K.IMAGE,
+        K.INPUT_GRAY,
+        K.INPUT_RGBA,
+        K.OUTPUT_GRAY,
+        K.OUTPUT_RGBA,
+        K.MIX,
+        K.HEIGHT_TO_NORMAL,
+        K.BLUR,
+        K.SEPARATE_RGBA,
+        K.COMBINE_RGBA,
+        K.EMBED,
+    }
+)
+
+
+def graph_is_tileable(graph, preset_nodes=frozenset()) -> bool:
+    """True if every (non-preset) node kind has a banded twin."""
+    return all(
+        n.node_type.kind in TILEABLE_KINDS or n.node_id in preset_nodes
+        for n in graph.nodes
+    )
+
+
+class _Sized:
+    """Size shim so `calculate_size` works on inferred metadata."""
+
+    __slots__ = ("node_id", "slot_id", "_size")
+
+    def __init__(self, node_id, slot_id, size):
+        self.node_id = node_id
+        self.slot_id = slot_id
+        self._size = size
+
+    def size(self) -> Size:
+        return self._size
+
+
+class _Info:
+    """Per-node static metadata from the size-inference pass."""
+
+    __slots__ = (
+        "node",
+        "working",  # Size the (resized) inputs arrive at, or None if no inputs
+        "inputs",  # [(input_slot, parent_id, parent_slot)] in consumer-slot order
+        "out_size",  # Size of every output slot
+        "out_planes",  # {SlotId: plane count}
+    )
+
+    def __init__(self, node):
+        self.node = node
+        self.working = None
+        self.inputs = []
+        self.out_size = Size(1, 1)
+        self.out_planes = {}
+
+
+def _leaf_planes(bindings, key, what):
+    planes = bindings.get(key)
+    if planes is None:
+        raise TexProError(ErrorKind.INVALID_BUFFER_COUNT, f"{what}: no binding {key}")
+    return planes
+
+
+def infer_sizes(graph, bindings, preset=None) -> dict:
+    """{node_id: _Info} over `graph` given leaf bindings.
+
+    Mirrors `compiler.GraphCompiler._eval_graph`'s size/plane-count semantics
+    exactly (which themselves mirror `shared.rs:61-139` plus per-op
+    defaulting) — any size this pass gets wrong would break the bit-parity
+    tests. `preset` maps (node_id, slot_id) → plane count for clean-boundary
+    nodes whose outputs arrive via `preset_<n>_<s>` bindings.
+    """
+    from .compiler import _topo_order
+
+    preset = dict(preset or {})
+    preset_nodes = {nid for nid, _ in preset}
+    infos: dict = {}
+
+    for node_id in _topo_order(graph):
+        node = graph.node(node_id)
+        info = _Info(node)
+        infos[node_id] = info
+
+        if node_id in preset_nodes:
+            for (nid, slot), count in preset.items():
+                if nid == node_id:
+                    planes = _leaf_planes(
+                        bindings, f"preset_{int(nid)}_{int(slot)}", "preset"
+                    )
+                    h, w = np.shape(planes[0])
+                    info.out_planes[slot] = count
+                    info.out_size = Size(w, h)
+            continue
+
+        kind = node.node_type.kind
+        if kind not in TILEABLE_KINDS:
+            raise TexProError(
+                ErrorKind.INVALID_NODE_TYPE, f"not tileable: {node.node_type!r}"
+            )
+
+        edges_ins = [e for e in graph.edges if e.input_id == node_id]
+        edges_sorted = sorted(edges_ins, key=lambda e: e.input_slot)
+        sized = [
+            _Sized(e.output_id, e.output_slot, infos[e.output_id].out_size)
+            for e in edges_ins
+        ]
+        if sized:
+            info.working = calculate_size(sized, edges_sorted, node.resize_policy)
+        # re-key to consumer slots like `assign_slot_ids` (first match wins)
+        by_slot: dict = {}
+        for edge in edges_sorted:
+            for sd in sized:
+                if sd.node_id == edge.output_id and sd.slot_id == edge.output_slot:
+                    if edge.input_slot not in by_slot:
+                        by_slot[edge.input_slot] = (sd.node_id, sd.slot_id)
+                        info.inputs.append((edge.input_slot, sd.node_id, sd.slot_id))
+                    break
+
+        def in_planes(slot) -> int:
+            parent = by_slot.get(SlotId(int(slot)))
+            if parent is None:
+                return 0
+            return infos[parent[0]].out_planes[parent[1]]
+
+        if kind == K.VALUE:
+            info.out_planes[SlotId(0)] = 1
+            info.out_size = Size(1, 1)
+        elif kind in (K.IMAGE, K.EMBED):
+            key = (
+                f"image_{int(node_id)}"
+                if kind == K.IMAGE
+                else f"embed_{int(node.node_type.payload)}"
+            )
+            planes = _leaf_planes(bindings, key, kind.value)
+            h, w = np.shape(planes[0])
+            info.out_planes[SlotId(0)] = len(planes)
+            info.out_size = Size(w, h)
+        elif kind in (K.INPUT_GRAY, K.INPUT_RGBA):
+            key = f"input_{int(node_id)}"
+            if kind == K.INPUT_RGBA and key not in bindings:
+                key = "input_rgba_first"
+            planes = _leaf_planes(bindings, key, kind.value)
+            h, w = np.shape(planes[0])
+            info.out_planes[SlotId(0)] = len(planes)
+            info.out_size = Size(w, h)
+        elif kind in (K.OUTPUT_GRAY, K.OUTPUT_RGBA):
+            if info.inputs:
+                info.out_planes[SlotId(0)] = in_planes(min(s for s, _, _ in info.inputs))
+                info.out_size = info.working
+            else:
+                info.out_planes[SlotId(0)] = 4 if kind == K.OUTPUT_RGBA else 1
+                info.out_size = Size(1, 1)
+        elif kind == K.MIX:
+            left = by_slot.get(SlotId(0))
+            right = by_slot.get(SlotId(1))
+            if left is not None:
+                info.out_planes[SlotId(0)] = in_planes(0)
+                info.out_size = info.working
+            elif right is not None:
+                info.out_planes[SlotId(0)] = in_planes(1)
+                info.out_size = info.working
+            else:
+                info.out_planes[SlotId(0)] = 1
+                info.out_size = Size(1, 1)
+        elif kind == K.HEIGHT_TO_NORMAL:
+            if not info.inputs or in_planes(0) != 1:
+                raise TexProError(
+                    ErrorKind.INVALID_BUFFER_COUNT, "HeightToNormal needs a Gray input"
+                )
+            info.out_planes[SlotId(0)] = 4
+            info.out_size = info.working
+        elif kind == K.BLUR:
+            if not info.inputs:
+                raise TexProError(ErrorKind.INVALID_BUFFER_COUNT, "Blur needs an input")
+            info.out_planes[SlotId(0)] = in_planes(0)
+            info.out_size = info.working
+        elif kind == K.SEPARATE_RGBA:
+            inp = by_slot.get(SlotId(0))
+            if inp is not None and in_planes(0) == 4:
+                info.out_size = info.working
+            else:
+                info.out_size = Size(1, 1)
+                info.inputs = []  # non-rgba input is ignored (1×1 zeros out)
+            for i in range(4):
+                info.out_planes[SlotId(i)] = 1
+        elif kind == K.COMBINE_RGBA:
+            for slot, pid, pslot in info.inputs:
+                if infos[pid].out_planes[pslot] == 4:
+                    raise TexProError(
+                        ErrorKind.INVALID_SLOT_TYPE,
+                        "RGBA image connected to a CombineRgba input slot",
+                    )
+            info.out_planes[SlotId(0)] = 4
+            info.out_size = info.working if info.inputs else Size(1, 1)
+        else:  # pragma: no cover — guarded by TILEABLE_KINDS
+            raise TexProError(ErrorKind.INVALID_NODE_TYPE, f"{kind}")
+    return infos
+
+
+def total_plane_bytes(infos: dict) -> int:
+    """f32 bytes to materialize every node's outputs at full size — the
+    dense fused path's result footprint (its working set is ≥ this)."""
+    return sum(
+        4 * info.out_size.pixel_count() * sum(info.out_planes.values())
+        for info in infos.values()
+    )
+
+
+def _blur_meta(node):
+    from .ops.blur import gaussian_taps
+
+    taps = gaussian_taps(round(float(node.node_type.payload), 6))
+    return taps, (len(taps) - 1) // 2
+
+
+def _expand_rows(info: _Info, rows: np.ndarray) -> np.ndarray:
+    """Rows of the node's (resized) input needed to produce output `rows`,
+    at the working height; sorted unique, toroidal wrap for stencils."""
+    kind = info.node.node_type.kind
+    if kind == K.HEIGHT_TO_NORMAL:
+        h = info.out_size.height
+        return np.unique(np.concatenate([rows, (rows - 1) % h]))
+    if kind == K.BLUR:
+        taps, radius = _blur_meta(info.node)
+        h = info.out_size.height
+        offs = np.arange(-radius, radius + 1)
+        return np.unique((rows[:, None] + offs[None, :]).ravel() % h)
+    return rows
+
+
+def _resize_source_rows(need: np.ndarray, in_h: int, out_h: int, filt) -> np.ndarray:
+    """Producer rows feeding the vertical resample of output rows `need`
+    (tap windows from `resample_weights`, clamped like `_apply_axis0`)."""
+    lefts, weights = resample_weights(in_h, out_h, filt)
+    taps = weights.shape[1]
+    idx = lefts[need][:, None] + np.arange(taps)[None, :]
+    return np.unique(np.clip(idx, 0, in_h - 1))
+
+
+def _positions(superset: np.ndarray, wanted: np.ndarray) -> np.ndarray:
+    """Index of each `wanted` row inside sorted-unique `superset`."""
+    pos = np.searchsorted(superset, wanted)
+    assert np.array_equal(superset[pos], wanted), "row requirement violated"
+    return pos.astype(np.int32)
+
+
+class TiledEvaluator:
+    """Evaluates target (node, slot) outputs of a graph in row bands.
+
+    `bindings` uses the fused compiler's leaf keys (`value_<n>` scalar,
+    `image_<n>` / `input_<n>` / `embed_<k>` / `preset_<n>_<s>` plane tuples)
+    with HOST numpy arrays — leaves are row-gathered host-side per band so
+    only band-sized slices ever reach the device. Targets are evaluated in
+    one sweep per distinct output height (shared ancestors evaluate once per
+    band); results are full-size host planes.
+    """
+
+    def __init__(self, graph, targets, bindings, preset=None, band_rows: int = 256):
+        import jax
+
+        self.graph = graph
+        self.targets = [(NodeId(n), SlotId(s)) for n, s in targets]
+        self.bindings = {
+            k: tuple(np.asarray(p, dtype=np.float32) for p in v)
+            if isinstance(v, (tuple, list))
+            else np.float32(v)
+            for k, v in bindings.items()
+        }
+        self.band_rows = max(1, int(band_rows))
+        self.preset = dict(preset or {})
+        self._preset_nodes = {nid for nid, _ in self.preset}
+        self.infos = infer_sizes(graph, self.bindings, self.preset)
+        for tnid, tslot in self.targets:
+            info = self.infos.get(tnid)
+            if info is None or tslot not in info.out_planes:
+                raise TexProError(ErrorKind.INVALID_NODE_ID, f"target {tnid}.{tslot}")
+        from .compiler import _topo_order
+
+        self._topo = _topo_order(graph)
+        self._jit = jax.jit(self._band_fn)
+        self.peak_band_bytes = 0  # max per-band host↔device traffic, for tests
+
+    # --- backward pass: per-band row requirements ---
+    def _band_rows_needed(self, group_targets, lo: int, hi: int) -> dict:
+        R: dict = {}
+        for tnid, _tslot in group_targets:
+            R[tnid] = np.arange(lo, hi)
+        for node_id in reversed(self._topo):
+            rows = R.get(node_id)
+            if rows is None or node_id in self._preset_nodes:
+                continue
+            info = self.infos[node_id]
+            if not info.inputs:
+                continue
+            need = _expand_rows(info, rows)
+            for _slot, pid, pslot in info.inputs:
+                pinfo = self.infos[pid]
+                if pinfo.out_size != info.working:
+                    src = _resize_source_rows(
+                        need,
+                        pinfo.out_size.height,
+                        info.working.height,
+                        info.node.resize_filter,
+                    )
+                else:
+                    src = need
+                prev = R.get(pid)
+                R[pid] = src if prev is None else np.unique(np.concatenate([prev, src]))
+        return R
+
+    # --- per-band argument marshalling (host side) ---
+    def _band_args(self, R: dict) -> dict:
+        args: dict = {}
+        for node_id in self._topo:
+            rows = R.get(node_id)
+            if rows is None:
+                continue
+            info = self.infos[node_id]
+            node = info.node
+            kind = node.node_type.kind
+            nid = int(node_id)
+            args[f"m_{nid}"] = np.zeros(len(rows), np.int32)  # activity + row count
+
+            if node_id in self._preset_nodes:
+                for slot, count in info.out_planes.items():
+                    planes = self.bindings[f"preset_{nid}_{int(slot)}"]
+                    for p in range(count):
+                        args[f"leaf_{nid}_{int(slot)}_{p}"] = np.ascontiguousarray(
+                            planes[p][rows]
+                        )
+                continue
+
+            if kind == K.VALUE:
+                val = self.bindings.get(f"value_{nid}")
+                if val is None:
+                    val = node.node_type.payload
+                args[f"value_{nid}"] = np.float32(val)
+                continue
+            leaf_key = None
+            if kind == K.IMAGE:
+                leaf_key = f"image_{nid}"
+            elif kind == K.EMBED:
+                leaf_key = f"embed_{int(node.node_type.payload)}"
+            elif kind in (K.INPUT_GRAY, K.INPUT_RGBA):
+                leaf_key = f"input_{nid}"
+                if kind == K.INPUT_RGBA and leaf_key not in self.bindings:
+                    leaf_key = "input_rgba_first"
+            if leaf_key is not None:
+                planes = _leaf_planes(self.bindings, leaf_key, kind.value)
+                for p, plane in enumerate(planes):
+                    args[f"leaf_{nid}_0_{p}"] = np.ascontiguousarray(plane[rows])
+                continue
+
+            if not info.inputs:
+                continue  # constant-producing node (defaults); m carries shape
+
+            need = _expand_rows(info, rows)
+            for slot, pid, pslot in info.inputs:
+                pinfo = self.infos[pid]
+                pr = R[pid]
+                if pinfo.out_size != info.working:
+                    in_h = pinfo.out_size.height
+                    lefts, weights = resample_weights(
+                        in_h, info.working.height, node.resize_filter
+                    )
+                    taps = weights.shape[1]
+                    src = np.clip(
+                        lefts[need][:, None] + np.arange(taps)[None, :], 0, in_h - 1
+                    )
+                    pos = np.searchsorted(pr, src)
+                    assert np.array_equal(pr[pos], src), "resize rows missing"
+                    args[f"ri_{nid}_{int(slot)}"] = pos.astype(np.int32)  # [need, taps]
+                    args[f"rw_{nid}_{int(slot)}"] = weights[need]  # [need, taps]
+                else:
+                    args[f"g_{nid}_{int(slot)}"] = _positions(pr, need)
+
+            # stencil self-positions (into `need` space)
+            if kind == K.HEIGHT_TO_NORMAL:
+                h = info.out_size.height
+                args[f"s_{nid}"] = _positions(need, rows)
+                args[f"u_{nid}"] = _positions(need, (rows - 1) % h)
+            elif kind == K.BLUR:
+                taps, radius = _blur_meta(node)
+                h = info.out_size.height
+                args[f"b_{nid}"] = np.stack(
+                    [
+                        _positions(need, (rows + t - radius) % h)
+                        for t in range(len(taps))
+                    ]
+                )  # [taps, out_rows]
+        return args
+
+    # --- forward band evaluation (traced) ---
+    # Trace structure depends ONLY on arg-dict keys/shapes (part of jit's
+    # pytree signature) and on per-evaluator static metadata (`self.infos`),
+    # never on mutable per-band Python state — so cached executables are
+    # reused across bands with matching structure.
+    def _band_fn(self, args: dict) -> dict:
+        import jax.numpy as jnp
+
+        from .compiler import ImgVal, _as_type, _from_value, _zeros
+        from .ops.resize import _apply_axis0, _apply_axis0_indexed
+
+        env: dict = {}  # (node_id, slot_id) -> ImgVal of band planes
+
+        def gathered_input(info, slot, pid, pslot):
+            nid = int(info.node.node_id)
+            planes = env[(pid, pslot)].planes
+            rk = f"ri_{nid}_{int(slot)}"
+            if rk in args:
+                idx, w = args[rk], args[f"rw_{nid}_{int(slot)}"]
+                vert = [_apply_axis0_indexed(p, idx, w) for p in planes]
+                # horizontal pass exactly as resample_plane (which always
+                # runs both passes when any dimension differs)
+                in_w = self.infos[pid].out_size.width
+                out_w = info.working.width
+                lefts_h, weights_h = resample_weights(
+                    in_w, out_w, info.node.resize_filter
+                )
+                return ImgVal(
+                    [_apply_axis0(v.T, lefts_h, weights_h, in_w).T for v in vert]
+                )
+            idx = args[f"g_{nid}_{int(slot)}"]
+            return ImgVal([p[idx] for p in planes])
+
+        for node_id in self._topo:
+            nid = int(node_id)
+            if f"m_{nid}" not in args:
+                continue
+            info = self.infos[node_id]
+            node = info.node
+            kind = node.node_type.kind
+            n_rows = args[f"m_{nid}"].shape[0]
+
+            if node_id in self._preset_nodes:
+                for slot, count in info.out_planes.items():
+                    env[(node_id, slot)] = ImgVal(
+                        [args[f"leaf_{nid}_{int(slot)}_{p}"] for p in range(count)]
+                    )
+                continue
+            if kind == K.VALUE:
+                env[(node_id, SlotId(0))] = ImgVal(
+                    [jnp.reshape(jnp.asarray(args[f"value_{nid}"], jnp.float32), (1, 1))]
+                )
+                continue
+            if kind in (K.IMAGE, K.EMBED, K.INPUT_GRAY, K.INPUT_RGBA):
+                count = info.out_planes[SlotId(0)]
+                env[(node_id, SlotId(0))] = ImgVal(
+                    [args[f"leaf_{nid}_0_{p}"] for p in range(count)]
+                )
+                continue
+
+            by_slot = {
+                slot: gathered_input(info, slot, pid, pslot)
+                for slot, pid, pslot in info.inputs
+            }
+
+            if kind in (K.OUTPUT_GRAY, K.OUTPUT_RGBA):
+                if by_slot:
+                    env[(node_id, SlotId(0))] = by_slot[min(by_slot)]
+                elif kind == K.OUTPUT_RGBA:
+                    z = _zeros((1, 1))
+                    env[(node_id, SlotId(0))] = ImgVal(
+                        [z, z, z, jnp.ones((1, 1), jnp.float32)]
+                    )
+                else:
+                    env[(node_id, SlotId(0))] = ImgVal([_zeros((1, 1))])
+                continue
+
+            if kind == K.MIX:
+                from .ops.mix import _binary
+
+                left, right = by_slot.get(SlotId(0)), by_slot.get(SlotId(1))
+                if left is not None:
+                    rgba = left.is_rgba
+                    right = (
+                        _as_type(right, rgba)
+                        if right is not None
+                        else _from_value(left.size, 0.0, rgba)
+                    )
+                elif right is not None:
+                    left = _from_value(right.size, 0.0, right.is_rgba)
+                else:
+                    env[(node_id, SlotId(0))] = ImgVal([_zeros((1, 1))])
+                    continue
+                op = _binary(node.node_type.payload)
+                if left.is_rgba:
+                    planes = [op(left.planes[i], right.planes[i]) for i in range(3)]
+                    planes.append(jnp.ones_like(planes[0]))
+                else:
+                    planes = [op(left.planes[0], right.planes[0])]
+                env[(node_id, SlotId(0))] = ImgVal(planes)
+                continue
+
+            if kind == K.HEIGHT_TO_NORMAL:
+                from .ops.height_to_normal import _h2n_core
+
+                band = by_slot[SlotId(0)].planes[0]  # covers `need` rows
+                outs = _h2n_core(
+                    band[args[f"s_{nid}"]],
+                    band[args[f"u_{nid}"]],
+                    info.out_size.height,
+                    info.out_size.width,
+                )
+                env[(node_id, SlotId(0))] = ImgVal(list(outs))
+                continue
+
+            if kind == K.BLUR:
+                from .ops.blur import _blur_axis0
+                from .ops.exact_math import nc_mul
+
+                taps, _radius = _blur_meta(node)
+                bidx = args[f"b_{nid}"]
+                planes = []
+                for p in by_slot[SlotId(0)].planes:
+                    acc = jnp.zeros((n_rows, p.shape[1]), jnp.float32)
+                    for t, w in enumerate(taps):
+                        acc = acc + nc_mul(p[bidx[t]], jnp.float32(w))
+                    planes.append(_blur_axis0(acc.T, taps).T)
+                env[(node_id, SlotId(0))] = ImgVal(planes)
+                continue
+
+            if kind == K.SEPARATE_RGBA:
+                inp = by_slot.get(SlotId(0))
+                if inp is not None and inp.is_rgba:
+                    for i in range(4):
+                        env[(node_id, SlotId(i))] = ImgVal([inp.planes[i]])
+                else:
+                    for i in range(4):
+                        env[(node_id, SlotId(i))] = ImgVal([_zeros((1, 1))])
+                continue
+
+            if kind == K.COMBINE_RGBA:
+                size = by_slot[min(by_slot)].size if by_slot else Size(1, 1)
+                shape = (size.height, size.width)
+                shared_zero = None
+
+                def color(slot):
+                    nonlocal shared_zero
+                    img = by_slot.get(SlotId(slot))
+                    if img is not None:
+                        return img.planes[0]
+                    if shared_zero is None:
+                        shared_zero = _zeros(shape)
+                    return shared_zero
+
+                alpha_img = by_slot.get(SlotId(3))
+                alpha = (
+                    alpha_img.planes[0]
+                    if alpha_img is not None
+                    else jnp.ones(shape, jnp.float32)
+                )
+                env[(node_id, SlotId(0))] = ImgVal(
+                    [color(0), color(1), color(2), alpha]
+                )
+                continue
+
+            raise TexProError(  # pragma: no cover — guarded by infer_sizes
+                ErrorKind.INVALID_NODE_TYPE, f"cannot band {node.node_type!r}"
+            )
+
+        out = {}
+        for tnid, tslot in self.targets:
+            if f"m_{int(tnid)}" in args:
+                out[f"t{int(tnid)}_{int(tslot)}"] = tuple(env[(tnid, tslot)].planes)
+        return out
+
+    def run(self, cancel_check=None) -> dict:
+        """Evaluate all targets; returns {(node_id, slot_id): [host planes]}.
+
+        `cancel_check()` is polled between bands — cancellation granularity
+        is the band, the tiled analog of the reference's per-pixel cancel
+        checks (`height_to_normal.rs:45-47`); raises CANCELED like an eager
+        kernel so the engine's commit path re-dirties normally.
+        """
+        self.peak_band_bytes = 0
+        results = {
+            (tnid, tslot): [
+                np.empty(
+                    (self.infos[tnid].out_size.height, self.infos[tnid].out_size.width),
+                    dtype=np.float32,
+                )
+                for _ in range(self.infos[tnid].out_planes[tslot])
+            ]
+            for tnid, tslot in self.targets
+        }
+
+        # one band sweep per distinct target height (shared ancestors
+        # evaluate once per band within a sweep)
+        by_height: dict = {}
+        for tnid, tslot in self.targets:
+            by_height.setdefault(self.infos[tnid].out_size.height, []).append(
+                (tnid, tslot)
+            )
+
+        for height, group in sorted(by_height.items()):
+            for lo in range(0, height, self.band_rows):
+                if cancel_check is not None and cancel_check():
+                    raise TexProError(ErrorKind.CANCELED, "tiled evaluation canceled")
+                hi = min(lo + self.band_rows, height)
+                R = self._band_rows_needed(group, lo, hi)
+                args = self._band_args(R)
+                out = self._jit(args)
+                band_bytes = sum(np.asarray(v).nbytes for v in args.values())
+                for tnid, tslot in group:
+                    planes = out[f"t{int(tnid)}_{int(tslot)}"]
+                    for p, plane in enumerate(planes):
+                        host = np.asarray(plane)
+                        band_bytes += host.nbytes
+                        results[(tnid, tslot)][p][lo:hi] = host
+                self.peak_band_bytes = max(self.peak_band_bytes, band_bytes)
+        return results

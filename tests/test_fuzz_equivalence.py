@@ -29,7 +29,7 @@ from kanter_core_tpu import (
 from kanter_core_tpu.compiler import CompiledGraph
 
 
-def _build_random_graph(seed: int) -> tuple[NodeGraph, list]:
+def _build_random_graph(seed: int, allow_graph_nodes: bool = True) -> tuple[NodeGraph, list]:
     rng = np.random.default_rng(seed)
     graph = NodeGraph()
     # (node_id, output slots: list[(SlotId, SlotType)])
@@ -73,6 +73,8 @@ def _build_random_graph(seed: int) -> tuple[NodeGraph, list]:
 
     for _ in range(int(rng.integers(4, 9))):
         kind = rng.integers(7)
+        if kind == 6 and not allow_graph_nodes:
+            kind = rng.integers(6)  # tiled evaluation has no nested-Graph twin
         pool = list(producers)  # only pre-existing nodes: keeps the DAG acyclic
         if kind in (0, 1):  # Mix
             mix = Node(NodeType.Mix(list(MixType)[rng.integers(5)]))

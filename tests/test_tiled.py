@@ -1,0 +1,191 @@
+"""Blockwise tiled evaluation (`kanter_core_tpu.tiled`) bit parity.
+
+The tiled evaluator must be observably identical to the dense fused
+compiler — same bits, any band size — while keeping the per-band device
+working set bounded (SURVEY §5's long-canvas analog; the reference can only
+spill whole finished planes, `transient_buffer.rs:388-406`).
+"""
+
+import numpy as np
+import pytest
+
+from conftest import HEART_128, render_u8
+from test_fuzz_equivalence import _build_random_graph
+
+from kanter_core_tpu import (
+    MixType,
+    Node,
+    NodeGraph,
+    NodeType,
+    ResizeFilter,
+    ResizePolicy,
+    Size,
+    SlotId,
+    TextureProcessor,
+)
+from kanter_core_tpu.compiler import CompiledGraph
+from kanter_core_tpu.tiled import TiledEvaluator, graph_is_tileable
+
+
+def _host_bindings(prog: CompiledGraph) -> dict:
+    return {
+        key: tuple(np.asarray(p) for p in value) if isinstance(value, tuple) else value
+        for key, value in prog._bindings.items()
+    }
+
+
+def _assert_tiled_matches(graph, targets, band_rows: int) -> "TiledEvaluator":
+    prog = CompiledGraph(graph, targets=targets)
+    dense = prog()
+    ev = TiledEvaluator(graph, targets, _host_bindings(prog), band_rows=band_rows)
+    banded = ev.run()
+    for key in targets:
+        key = (key[0], SlotId(key[1]))
+        dense_planes = dense[key]
+        band_planes = banded[key]
+        assert len(dense_planes) == len(band_planes)
+        for d, b in zip(dense_planes, band_planes):
+            assert np.array_equal(np.asarray(d), b), f"bit mismatch at {key}"
+    return ev
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_tiled_matches_compiled_fuzz(seed):
+    """Random graphs (mix/separate/combine/h2n/blur, random resize policies
+    and filters, irregular sizes): tiled == dense, bit for bit."""
+    graph, targets = _build_random_graph(seed, allow_graph_nodes=False)
+    if not targets:
+        pytest.skip("degenerate graph")
+    assert graph_is_tileable(graph)
+    _assert_tiled_matches(graph, [(t, SlotId(0)) for t in targets], band_rows=13)
+
+
+def test_tiled_band_size_invariance():
+    """Any band size produces the same bits (odd sizes cross stencil halos
+    and resize tap windows at every offset)."""
+    graph, targets = _build_random_graph(3)
+    assert targets and graph_is_tileable(graph)
+    targets = [(t, SlotId(0)) for t in targets]
+    prog = CompiledGraph(graph, targets=targets)
+    bindings = _host_bindings(prog)
+    reference = TiledEvaluator(graph, targets, bindings, band_rows=4096).run()
+    for band_rows in (5, 17, 64):
+        result = TiledEvaluator(graph, targets, bindings, band_rows=band_rows).run()
+        for key in result:
+            for a, b in zip(reference[key], result[key]):
+                assert np.array_equal(a, b), f"band_rows={band_rows} differs at {key}"
+
+
+def test_tiled_stencil_chain_with_resize():
+    """image → upscale(mix with value at SpecificSize) → blur(σ=2) → h2n:
+    vertical resize tap windows feed a wrapped blur halo feeding a wrapped
+    y-1 stencil — the worst case for row accounting."""
+    graph = NodeGraph()
+    img = graph.add_node(Node(NodeType.Image(str(HEART_128))))
+    val = graph.add_node(Node(NodeType.Value(0.25)))
+    mix = Node(NodeType.Mix(MixType.ADD))
+    mix.resize_policy = ResizePolicy.SpecificSize(Size(96, 200))
+    mix.resize_filter = ResizeFilter.LANCZOS3
+    mix = graph.add_node(mix)
+    graph.connect(img, mix, SlotId(0), SlotId(0))
+    graph.connect(val, mix, SlotId(0), SlotId(1))
+    sep = graph.add_node(Node(NodeType.SeparateRgba()))
+    graph.connect(mix, sep, SlotId(0), SlotId(0))
+    blur = graph.add_node(Node(NodeType.Blur(2.0)))
+    graph.connect(sep, blur, SlotId(1), SlotId(0))
+    h2n = graph.add_node(Node(NodeType.HeightToNormal()))
+    graph.connect(blur, h2n, SlotId(0), SlotId(0))
+    out = graph.add_node(Node(NodeType.OutputRgba("out")))
+    graph.connect(h2n, out, SlotId(0), SlotId(0))
+
+    for band_rows in (7, 50):
+        _assert_tiled_matches(graph, [(out, SlotId(0))], band_rows=band_rows)
+
+
+def test_tiled_peak_device_bytes_bounded():
+    """The per-band working set stays a small fraction of the full result
+    footprint — the property that lets a > HBM canvas evaluate at all."""
+    graph = NodeGraph()
+    val = graph.add_node(Node(NodeType.Value(0.5)))
+    big = Node(NodeType.CombineRgba())
+    big.resize_policy = ResizePolicy.SpecificSize(Size(512, 512))
+    big = graph.add_node(big)
+    graph.connect(val, big, SlotId(0), SlotId(0))
+    blur_id = graph.add_node(Node(NodeType.Blur(1.0)))  # rgba blur over 512²
+    graph.connect(big, blur_id, SlotId(0), SlotId(0))
+    out = graph.add_node(Node(NodeType.OutputRgba("out")))
+    graph.connect(blur_id, out, SlotId(0), SlotId(0))
+
+    ev = _assert_tiled_matches(graph, [(out, SlotId(0))], band_rows=32)
+    full_bytes = 512 * 512 * 4 * 4  # one rgba result
+    assert ev.peak_band_bytes < full_bytes / 2, (
+        f"peak band bytes {ev.peak_band_bytes} not bounded vs {full_bytes}"
+    )
+
+
+def test_engine_tiled_path_matches_dense():
+    """A TextureProcessor with a tile budget renders the same u8 pixels as a
+    dense one, without compiling any dense fused program."""
+    def build():
+        graph = NodeGraph()
+        img = graph.add_node(Node(NodeType.Image(str(HEART_128))))
+        sep = graph.add_node(Node(NodeType.SeparateRgba()))
+        graph.connect(img, sep, SlotId(0), SlotId(0))
+        h2n = graph.add_node(Node(NodeType.HeightToNormal()))
+        graph.connect(sep, h2n, SlotId(0), SlotId(0))
+        mix = graph.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+        graph.connect(h2n, mix, SlotId(0), SlotId(0))
+        graph.connect(img, mix, SlotId(0), SlotId(1))
+        out = graph.add_node(Node(NodeType.OutputRgba("out")))
+        graph.connect(mix, out, SlotId(0), SlotId(0))
+        return graph, out
+
+    results = {}
+    for tile_bytes in (None, 1):  # 1 byte: every partition exceeds it
+        tp = TextureProcessor(10_000_000, tile_bytes=tile_bytes)
+        try:
+            graph, out = build()
+            lg = tp.new_live_graph()
+            with lg.write() as g:
+                g.set_node_graph(graph)
+            results[tile_bytes] = render_u8(lg, out)
+            if tile_bytes is not None:
+                assert len(tp.engine._fused_programs) == 0, (
+                    "tiled gate did not bypass the dense program"
+                )
+            tp.remove_live_graph(lg)
+        finally:
+            tp.shutdown_now()
+    assert np.array_equal(results[None], results[1])
+
+
+def test_engine_tiled_incremental_edit():
+    """After a Value edit, the tiled engine path re-evaluates and matches the
+    dense path (clean-boundary presets + interior-without-data re-dirty)."""
+    def build():
+        graph = NodeGraph()
+        img = graph.add_node(Node(NodeType.Image(str(HEART_128))))
+        val = graph.add_node(Node(NodeType.Value(0.2)))
+        mix = graph.add_node(Node(NodeType.Mix(MixType.ADD)))
+        graph.connect(img, mix, SlotId(0), SlotId(0))
+        graph.connect(val, mix, SlotId(0), SlotId(1))
+        out = graph.add_node(Node(NodeType.OutputRgba("out")))
+        graph.connect(mix, out, SlotId(0), SlotId(0))
+        return graph, val, out
+
+    results = {}
+    for tile_bytes in (None, 1):
+        tp = TextureProcessor(10_000_000, tile_bytes=tile_bytes)
+        try:
+            graph, val, out = build()
+            lg = tp.new_live_graph()
+            with lg.write() as g:
+                g.set_node_graph(graph)
+            render_u8(lg, out)  # first pass
+            with lg.write() as g:
+                g.node_mut(val).node_type = NodeType.Value(0.6)
+            results[tile_bytes] = render_u8(lg, out)
+            tp.remove_live_graph(lg)
+        finally:
+            tp.shutdown_now()
+    assert np.array_equal(results[None], results[1])
