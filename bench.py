@@ -2,8 +2,10 @@
 
 Mirrors BASELINE.json configs 4/5: a deep invert/blend/square chain over a
 4k RGBA canvas compiled into one fused XLA program (config 4), the
-interactive path (re-run after a Value edit — a program-cache hit), and a
-16×4k batched variant AT SPEC (config 5) via vmap.
+interactive path (re-run after a Value edit — a program-cache hit), a
+16×4k batched variant AT SPEC (config 5) via vmap, and config 4's eviction
+clause — the same chain through the live engine with a one-plane device
+tier, forcing the PlaneBufferQueue to spill to host mid-run.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
@@ -197,6 +199,46 @@ def main() -> None:
     extras["batched_implied_gbps"] = round(
         6 * BATCH * batch_canvas * batch_canvas * 4 / batched_s / 1e9, 1
     )
+
+    # --- config 4 eviction clause: the SAME 64-node chain through the live
+    # engine with a device tier too small for the chain's ~(CHAIN+1) gray
+    # planes, so the PlaneBufferQueue must spill to host MID-RUN. Wall time
+    # includes those device→host transfers (over the tunnel, here); the
+    # bytes_host metric proves eviction actually happened. ---
+    del bprog, bound
+    evict_canvas = int(os.environ.get("KANTER_BENCH_EVICT_CANVAS", str(CANVAS)))
+    evict_threshold = int(
+        os.environ.get("KANTER_BENCH_EVICT_THRESHOLD", str(4 * evict_canvas * evict_canvas))
+    )  # default: ONE gray plane — every further commit forces eviction
+    from kanter_core_tpu import SlotData, SlotImage, TextureProcessor
+
+    rng = np.random.default_rng(5)
+    tp = TextureProcessor(evict_threshold)
+    try:
+        lg = tp.new_live_graph()
+        egraph, einputs, _ewhite, eout = bounded_chain_graph(depth=CHAIN)
+        with lg.write() as g:
+            g.set_node_graph(egraph)
+            for node in einputs:
+                g.add_input_slot_data(
+                    SlotData(
+                        node,
+                        SlotId(0),
+                        SlotImage.Gray(rng.random((evict_canvas, evict_canvas), np.float32)),
+                    )
+                )
+        t0 = time.perf_counter()
+        pixels = TextureProcessor.buffer_rgba(lg, eout, SlotId(0))
+        evict_wall = time.perf_counter() - t0
+        metrics = tp.metrics()
+        extras["evict_canvas"] = evict_canvas
+        extras["evict_threshold_bytes"] = evict_threshold
+        extras["evict_wall_s"] = round(evict_wall, 3)
+        extras["evict_bytes_host"] = int(metrics["bytes_host"])
+        extras["evict_happened"] = bool(metrics["bytes_host"] > 0)
+        extras["evict_px_checksum"] = int(np.asarray(pixels, dtype=np.uint64).sum() % (1 << 32))
+    finally:
+        tp.shutdown_now()
 
     print(
         json.dumps(

@@ -63,32 +63,26 @@ def stages(canvas: int):
 
     yield ("mix_chain16", chain_body, (p1, p2), 3 * plane_bytes, canvas * canvas, 8, 64, 0.25)
 
-    # --- height-to-normal, XLA lowering (1 read + 3 writes; rolled copies
-    #     materialize on the XLA path, so real traffic is higher) ---
-    # (×c, not +c: h2n sees only height differences, a shift is invisible)
+    # --- height-to-normal (1 read + 3 writes min) ---
+    # Variation: roll the input by the iteration index. Normals are nearly
+    # invariant to both shifts (+c) and scales (×c) of the heightmap — the
+    # normalize folds them out — so value variation produces colliding
+    # checksums; rolling moves every pixel's stencil neighborhood instead,
+    # with zero change to the op's arithmetic.
+    import jax.numpy as _jnp
+
+    def h2n_body(c, ps):
+        rolled = _jnp.roll(ps[0], c.astype(_jnp.int32), axis=1)
+        return _h2n_jnp(rolled)[:3]
+
     yield (
-        "h2n_xla",
-        lambda c, ps: _h2n_jnp(ps[0] * c)[:3],
+        "h2n",
+        h2n_body,
         (p1,),
         4 * plane_bytes,
         canvas * canvas,
         4, 16, 1.0,
     )
-
-    # --- height-to-normal, Pallas one-pass (TPU only) ---
-    import jax
-
-    if jax.default_backend() == "tpu":
-        from kanter_core_tpu.ops.pallas_kernels import height_to_normal_pallas
-
-        yield (
-            "h2n_pallas",
-            lambda c, ps: height_to_normal_pallas(ps[0] * c),
-            (p1,),
-            4 * plane_bytes,
-            canvas * canvas,
-            4, 16, 1.0,
-        )
 
     # --- blur σ=1 and σ=5 (2 separable passes: 2 reads + 2 writes min) ---
     for sigma in (1.0, 5.0):
@@ -147,8 +141,14 @@ def main() -> None:
             if ONLY and not any(name.startswith(o) for o in ONLY):
                 continue
             # u8 quantization: vary inputs in steps ≥ 1/128 so consecutive
-            # iterations round to different u8 values
-            step = 1.0 / 128.0 if name.startswith("u8") else 1e-4
+            # iterations round to different u8 values; h2n: integer roll
+            # offsets (see h2n_body)
+            if name.startswith("u8"):
+                step = 1.0 / 128.0
+            elif name.startswith("h2n"):
+                step = 1.0
+            else:
+                step = 1e-4
             bench = ScanBench(body, consts, n1=n1, n2=n2, base=base, step=step)
             seconds, distinct = bench.run(repeats=3)
             print(

@@ -1,7 +1,7 @@
 """kanter_core_tpu — a TPU-native, interactive, lazily-evaluated,
 priority-scheduled texture node-graph engine.
 
-A ground-up JAX/XLA/Pallas rebuild with the capabilities of the reference
+A ground-up JAX/XLA rebuild with the capabilities of the reference
 Rust crate `vismut_core` (lukors/kanter_core): DAGs of per-pixel image ops
 over f32 channel planes with per-node dirty-state tracking, size
 normalization via resize policies, JSON graph persistence, priority-steered

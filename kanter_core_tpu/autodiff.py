@@ -9,9 +9,8 @@ descent). No counterpart exists in the reference; this is a capability the
 TPU-native design gets structurally.
 
 Notes:
-- Gradients flow through every op, including the Pallas HeightToNormal
-  kernel (wrapped in a custom VJP whose backward re-traces the
-  bit-identical jnp formulation — `ops/height_to_normal._h2n_pallas_vjp`).
+- Gradients flow through every op (all kernels are plain jnp
+  formulations — see `ops/height_to_normal.py`'s lowering note).
 - Losses are computed on the f32 channel planes; the u8 export (truncating
   cast) is intentionally outside the differentiable path.
 - `jnp.clip` in the resampler gives zero gradient outside [0, 1] — the

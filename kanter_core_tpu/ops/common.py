@@ -23,7 +23,7 @@ def f32_to_u8(x):
     """THE canonical traceable u8 export conversion — reference semantics
     (`slot_image.rs:142-144`): clamp to [0,1], ×255, NaN→255 (Rust f32::min),
     truncating cast. Every u8 export path (slot_image converters, fused
-    compiler) must use this one definition; the Pallas and C++ variants are
+    compiler) must use this one definition; the C++ variants are
     parity-tested against it.
     """
     import jax.numpy as jnp

@@ -15,11 +15,18 @@ so the normalizations go through `ops/exact_math.corrected_{sqrt,div}` —
 making the f32 planes (not just the u8 export) bit-identical across
 backends.
 
-Two implementations, identical bit-for-bit on TPU (verified at 2048²):
-- `_h2n_jnp`: `jnp.roll`-based, used on CPU and for unaligned shapes;
-- the Pallas one-pass kernel (`pallas_kernels.height_to_normal_pallas`),
-  used on TPU for lane/sublane-aligned shapes — ~29× faster than the jnp
-  lowering because the rolled copies are never materialized in HBM.
+Lowering note: a hand-written Pallas one-pass stencil used to live in
+`ops/pallas_kernels.py`. Measured honestly on the real chip (amortized
+lax.scan protocol, roll-varied inputs, distinct checksums — bench_ops.py),
+XLA's lowering of the jnp formulation beat it decisively: 0.071 ms vs
+0.978 ms at 2048² (14×) and 2.46 ms vs 5.61 ms at 4096² (2.3×). XLA fuses
+the wrap `roll`s into the elementwise chain without materializing copies
+and pipelines HBM traffic, while the manual per-tile DMA serialized
+transfer against compute (and VMEM-OOMed at 4096-wide tiles). The op is
+compute-bound in the double-single corrected math at 4k, so no data-movement
+kernel can improve it further. The Pallas kernel was deleted rather than
+kept as a slower alternate path; `jnp.roll` + XLA fusion IS the TPU-native
+design here.
 """
 
 from __future__ import annotations
@@ -34,7 +41,7 @@ from .common import slot_data_with_name
 
 
 def _h2n_jnp(h):
-    """jnp reference implementation (bit-exact vs the Rust scalar loop)."""
+    """jnp implementation (bit-exact vs the Rust scalar loop)."""
     import jax.numpy as jnp
 
     up = jnp.roll(h, 1, axis=0)  # sample at (x, y-1) wrapped
@@ -92,60 +99,11 @@ def _h2n_core(h, up, height: int, width: int):
     )
 
 
-@functools.cache
-def _h2n_pallas_vjp():
-    """The Pallas kernel wrapped for transform composition:
-
-    - custom_vmap: Mosaic rejects vmap's batched block specs on the
-      ANY-memory-space input (manual DMA), so a batched call (BatchedGraph /
-      BatchedLiveSession on TPU) lowers to `lax.map` over the rank-2 kernel —
-      the stencil already saturates the chip per canvas, so mapping over the
-      batch costs ~nothing and stays bit-identical to per-canvas calls.
-    - custom_vjp (outermost, so vmap reaches it first and batches its fwd):
-      forward runs the one-pass Mosaic stencil, backward re-traces the
-      bit-identical jnp formulation (kanter_core_tpu.autodiff needs this).
-    """
-    import jax
-    from jax.custom_batching import custom_vmap
-
-    from .pallas_kernels import height_to_normal_pallas
-
-    @custom_vmap
-    def pallas_fn(h):
-        return height_to_normal_pallas(h)
-
-    @pallas_fn.def_vmap
-    def _batch_rule(axis_size, in_batched, h):  # noqa: ANN001
-        outs = jax.lax.map(height_to_normal_pallas, h)
-        return outs, tuple(True for _ in outs)
-
-    @jax.custom_vjp
-    def h2n(h):
-        return pallas_fn(h)
-
-    def fwd(h):
-        return pallas_fn(h), h
-
-    def bwd(h, cotangents):
-        _, vjp = jax.vjp(_h2n_jnp, h)
-        return vjp(cotangents)
-
-    h2n.defvjp(fwd, bwd)
-    return h2n
-
-
 def h2n_traceable(h):
-    """Backend-dispatching traceable kernel (see module docstring)."""
-    import jax
-
-    height, width = h.shape
-    if (
-        jax.default_backend() == "tpu"
-        and width % 128 == 0
-        and height % 8 == 0
-        and height >= 64
-    ):
-        return _h2n_pallas_vjp()(h)
+    """The traceable kernel used by both the eager op and the fused
+    compiler. One lowering for every backend (see module docstring: XLA's
+    fusion of this formulation measured faster than a hand-written Pallas
+    stencil on the real chip)."""
     return _h2n_jnp(h)
 
 

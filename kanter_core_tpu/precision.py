@@ -23,7 +23,7 @@ facts for this rebuild (see tests/test_goldens.py):
   `exact_math.nc_mul` defeats the contraction (the product also feeds a
   Dekker error term, and strict FP rules keep `p + (err − err)` from being
   simplified). With it, HeightToNormal's f32 planes are bit-identical
-  across CPU, TPU-XLA, and TPU-Pallas. One residual TPU caveat: denormals
+  across CPU and TPU. One residual TPU caveat: denormals
   flush to zero (irrelevant for texture data in [0, 1]).
 
 `force_cpu_backend()` must run before any other JAX usage — the hermetic

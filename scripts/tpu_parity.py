@@ -98,7 +98,7 @@ def main():
         g.connect(gn, out, ig.output_slot_id_with_name("out"), SlotId(0))
     check("invert_graph_node_import.png", lg, out)
 
-    # height-to-normal (Pallas on TPU)
+    # height-to-normal (wrap stencil)
     lg = tp.new_live_graph()
     with lg.write() as g:
         img = g.add_node(Node(NodeType.Image(os.path.join(DATA, "clouds.png"))))

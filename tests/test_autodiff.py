@@ -75,19 +75,3 @@ def test_grad_through_height_to_normal_jnp():
     h = rng.random((16, 16), dtype=np.float32)
     grad = jax.grad(lambda x: sum(jnp.sum(p) for p in _h2n_jnp(x)))(h)
     assert np.all(np.isfinite(np.asarray(grad)))
-
-
-def test_pallas_h2n_custom_vjp_matches_jnp_grad():
-    """The Pallas kernel's custom VJP (backward = jnp path) must agree with
-    differentiating the jnp path directly. Runs in interpret mode on CPU."""
-    from kanter_core_tpu.ops.height_to_normal import _h2n_jnp, _h2n_pallas_vjp
-
-    rng = np.random.default_rng(3)
-    h = rng.random((64, 128), dtype=np.float32)
-
-    def total(fn):
-        return jax.grad(lambda x: sum(jnp.sum(p) for p in fn(x)))(h)
-
-    g_ref = np.asarray(total(_h2n_jnp))
-    g_pal = np.asarray(total(_h2n_pallas_vjp()))
-    np.testing.assert_array_equal(g_ref, g_pal)
