@@ -3,8 +3,9 @@ run plainly) and report per-golden bit-exactness, then (off-CPU) an f32-PLANE
 determinism section comparing production kernels against XLA:CPU production
 kernels run in a subprocess.
 
-Expected result on TPU: 14/14 goldens bit-exact (ops/exact_math.py corrects
-TPU div/sqrt/pow rounding), and every determinism row OK — the only allowed
+Expected result on TPU: 16/16 goldens bit-exact (ops/exact_math.py corrects
+TPU div/sqrt/pow rounding; the last two rows re-run goldens through the
+blockwise tiled engine path, `tile_bytes=1`), and every determinism row OK — the only allowed
 f32-level difference is mix POW, where glibc powf itself misrounds ~48 of
 the 65536 u8-grid points (ds_pow returns the correctly-rounded value; u8
 export absorbs all of them). See kanter_core_tpu.precision.
@@ -45,15 +46,16 @@ def main():
     tp = TextureProcessor(1 << 62)
     results = []
 
-    def check(name, lg, out):
+    def check(name, lg, out, label=None):
         from kanter_core_tpu import TextureProcessor as TP
 
+        label = label or name
         data = TP.buffer_rgba(lg, out, SlotId(0))
         gold = np.asarray(Image.open(os.path.join(GOLD, name)), dtype=np.uint8)
         same = np.array_equal(data.reshape(gold.shape), gold)
         diff = 0 if same else int((data.reshape(gold.shape) != gold).sum())
-        results.append((name, same, diff, gold.size))
-        print(f"{'OK ' if same else 'DIFF'} {name}" + ("" if same else f"  ({diff}/{gold.size} bytes)"))
+        results.append((label, same, diff, gold.size))
+        print(f"{'OK ' if same else 'DIFF'} {label}" + ("" if same else f"  ({diff}/{gold.size} bytes)"))
 
     for mt, gray_name, rgba_name in [
         (MixType.ADD, "add_node_gray.png", "add_node_rgba.png"),
@@ -133,9 +135,38 @@ def main():
             g.connect(v, comb, SlotId(0), SlotId(i))
     check("value_node.png", lg, out=comb)
 
+    tp.shutdown_now()
+
+    # tiled engine path (tile_bytes=1 forces row-band evaluation of every
+    # partition): same goldens, bands on the REAL device — proves the
+    # blockwise path's halo gathers and banded twins are bit-exact on chip,
+    # not just on the CPU test backend (tests/test_tiled.py)
+    tp = TextureProcessor(1 << 62, tile_bytes=1)
+    lg = tp.new_live_graph()
+    with lg.write() as g:
+        img = g.add_node(Node(NodeType.Image(os.path.join(DATA, "clouds.png"))))
+        sep = g.add_node(Node(NodeType.SeparateRgba()))
+        h2n = g.add_node(Node(NodeType.HeightToNormal()))
+        out = g.add_node(Node(NodeType.OutputRgba("out")))
+        g.connect(img, sep, SlotId(0), SlotId(0))
+        g.connect(sep, h2n, SlotId(0), SlotId(0))
+        g.connect(h2n, out, SlotId(0), SlotId(0))
+    check("height_to_normal_node.png", lg, out, label="height_to_normal_node.png (tiled)")
+
+    lg = tp.new_live_graph()
+    with lg.write() as g:
+        i1 = g.add_node(Node(NodeType.Image(os.path.join(DATA, "heart_128.png"))))
+        i2 = g.add_node(Node(NodeType.Image(os.path.join(DATA, "heart_110.png"))))
+        mix = g.add_node(Node(NodeType.Mix()))
+        out = g.add_node(Node(NodeType.OutputRgba("out")))
+        g.connect(i1, mix, SlotId(0), SlotId(0))
+        g.connect(i2, mix, SlotId(0), SlotId(1))
+        g.connect(mix, out, SlotId(0), SlotId(0))
+    check("irregular_sizes.png", lg, out, label="irregular_sizes.png (tiled)")
+    tp.shutdown_now()
+
     passed = sum(1 for _, same, _, _ in results if same)
     print(f"\n{passed}/{len(results)} goldens bit-exact on {jax.default_backend()}")
-    tp.shutdown_now()
 
     if jax.default_backend() != "cpu":
         f32_determinism()

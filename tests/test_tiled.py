@@ -21,6 +21,7 @@ from kanter_core_tpu import (
     ResizePolicy,
     Size,
     SlotId,
+    TexProError,
     TextureProcessor,
 )
 from kanter_core_tpu.compiler import CompiledGraph
@@ -153,6 +154,79 @@ def test_engine_tiled_path_matches_dense():
                 assert len(tp.engine._fused_programs) == 0, (
                     "tiled gate did not bypass the dense program"
                 )
+            tp.remove_live_graph(lg)
+        finally:
+            tp.shutdown_now()
+    assert np.array_equal(results[None], results[1])
+
+
+def test_engine_tiled_cancel_under_churn():
+    """Rapid Value edits while tiled evaluations run exercise the
+    between-band cancel poll (tiled's analog of the reference's per-pixel
+    cancel, `height_to_normal.rs:45-47`): canceled runs must re-dirty and
+    the settled result must match the dense path bit-for-bit."""
+    import threading
+    import time
+
+    def build():
+        graph = NodeGraph()
+        img = graph.add_node(Node(NodeType.Image(str(HEART_128))))
+        val = graph.add_node(Node(NodeType.Value(0.3)))
+        mix = Node(NodeType.Mix(MixType.ADD))
+        mix.resize_policy = ResizePolicy.SpecificSize(Size(128, 128))
+        mix = graph.add_node(mix)
+        graph.connect(img, mix, SlotId(0), SlotId(0))
+        graph.connect(val, mix, SlotId(0), SlotId(1))
+        sep = graph.add_node(Node(NodeType.SeparateRgba()))
+        graph.connect(mix, sep, SlotId(0), SlotId(0))
+        h2n = graph.add_node(Node(NodeType.HeightToNormal()))
+        graph.connect(sep, h2n, SlotId(0), SlotId(0))
+        out = graph.add_node(Node(NodeType.OutputRgba("out")))
+        graph.connect(h2n, out, SlotId(0), SlotId(0))
+        return graph, val, out
+
+    results = {}
+    for tile_bytes in (None, 1):
+        tp = TextureProcessor(10_000_000, tile_bytes=tile_bytes)
+        try:
+            graph, val, out = build()
+            lg = tp.new_live_graph()
+            with lg.write() as g:
+                g.set_node_graph(graph)
+            render_u8(lg, out)  # prime
+
+            stop = threading.Event()
+            errors: list = []
+
+            def editor():
+                try:
+                    i = 0
+                    while not stop.is_set():
+                        with lg.write() as g:
+                            g.node_mut(val).node_type = NodeType.Value(
+                                0.1 + (i % 7) * 0.05
+                            )
+                        i += 1
+                        time.sleep(0.002)
+                except BaseException as e:  # noqa: BLE001
+                    errors.append(e)
+
+            t = threading.Thread(target=editor, daemon=True)
+            t.start()
+            deadline = time.monotonic() + 0.6
+            while time.monotonic() < deadline:
+                try:
+                    render_u8(lg, out)  # races the churn; may be re-dirtied
+                except TexProError:
+                    pass
+                time.sleep(0.005)
+            stop.set()
+            t.join(timeout=5)
+            assert not errors, errors
+
+            with lg.write() as g:
+                g.node_mut(val).node_type = NodeType.Value(0.42)
+            results[tile_bytes] = render_u8(lg, out)
             tp.remove_live_graph(lg)
         finally:
             tp.shutdown_now()
