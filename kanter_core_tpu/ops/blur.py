@@ -15,10 +15,14 @@ follows the engine's conventions:
 
 Gray in → gray out; RGBA in → all four planes blurred.
 
-Measured on a real v5e chip: 0.52 ms per 4096² plane at σ=1 AND σ=5 —
-XLA fuses the rolled reads, so the kernel stays HBM-bandwidth-bound and
-tap count is free up to at least 31 taps. (A Pallas one-pass or FFT path
-would only matter for σ ≫ 10.)
+Lowering: on TPU (lane-aligned widths) the traceable kernel dispatches to
+the double-buffered Pallas kernel in `ops/pallas_blur.py` — measured on
+the real chip (amortized distinct-checksum protocol) XLA will not fuse the
+many-tap shifted-read sum and materializes copies: XLA 2.99 ms vs Pallas
+0.44 ms at σ=1 @ 4096² (610 GB/s, near the ~780 GB/s roofline) and
+15.3 ms vs 1.60 ms at σ=5 — 7-10× — while staying bit-identical
+(chip-verified; `scripts/tpu_parity.py` blur determinism row). Elsewhere
+(CPU, unaligned widths) the jnp rolled-read form below runs as is.
 """
 
 from __future__ import annotations
@@ -61,8 +65,15 @@ def _blur_axis0(plane, taps: np.ndarray):
 
 
 def blur_plane(plane, sigma: float):
-    """Traceable separable wrap blur of one `[H, W]` plane."""
+    """Traceable separable wrap blur of one `[H, W]` plane (see module
+    docstring for the TPU Pallas dispatch; both lowerings are bit-equal)."""
+    import jax
+
     taps = gaussian_taps(round(float(sigma), 6))
+    if jax.default_backend() == "tpu" and plane.shape[1] % 128 == 0:
+        from .pallas_blur import _blur_pallas_wrapped
+
+        return _blur_pallas_wrapped(tuple(float(w) for w in taps))(plane)
     vert = _blur_axis0(plane, taps)
     return _blur_axis0(vert.T, taps).T
 

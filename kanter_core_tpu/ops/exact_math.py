@@ -120,8 +120,19 @@ def nc_mul(x, y):
     zero), and the consumer add sees an fadd result, not an fmul, so the
     contraction pattern never matches. Verified 0/1e6 mismatches vs numpy's
     two-rounding `a*b + c` on XLA:CPU.
+
+    On TPU the guard is UNNECESSARY (Mosaic/XLA:TPU never contract f32
+    mul+add) and the Veltkamp split costs ~14 VPU flops per element — it
+    made the tap-heavy kernels (blur, h2n remap) compute-bound on chip. The
+    trace-time backend gate (the same pattern as `_h2n_core`/`_apply_axis0`)
+    emits the plain mul there; chip parity (`scripts/tpu_parity.py` blur +
+    h2n determinism rows, 16/16 goldens) verifies bit-equality.
     """
+    import jax
     import jax.numpy as jnp
+
+    if jax.default_backend() == "tpu":
+        return x * y  # already fl(x·y); TPU does not contract into the add
 
     f32 = jnp.float32
     p = x * y

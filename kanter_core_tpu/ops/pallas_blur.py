@@ -1,0 +1,213 @@
+"""Pallas TPU kernel for the separable wrap Gaussian blur.
+
+Why this op gets a hand-written kernel when HeightToNormal's was deleted
+(see `height_to_normal.py`'s lowering note): XLA fuses h2n's TWO rolled
+reads into one streaming pass, but it will not fuse blur's up-to-31-tap
+shifted-read sum at 4096² — it materializes rolled/shifted copies in HBM,
+measured 15.1 ms for σ=5 @ 4096² (≈18 GB/s effective) and 3.1 ms for σ=1,
+both far under the ≈780 GB/s roofline. The op is a pure streaming stencil:
+read each input element once, write each output once (134 MB at 4096²,
+≈0.2 ms at roofline).
+
+Kernel design (the double-buffering pattern from the TPU Pallas playbook):
+ONE kernel invocation (no grid) loops over row chunks with two input and
+two output VMEM buffers — chunk i+1's HBM→VMEM DMA overlaps chunk i's
+compute, and compute overlaps chunk i-1's VMEM→HBM write-back, so HBM
+stays busy (the deleted h2n kernel's flaw was exactly this: one serial
+DMA-wait-compute per tile). The input is wrap-padded by an 8-row-aligned
+halo (Mosaic DMA slices must be 8-row aligned); the vertical pass reads
+static tap-offset slices of the chunk, the horizontal pass uses lane
+rotates (`pltpu.roll`).
+
+Bit-exactness: the per-element arithmetic replays `blur._blur_axis0`
+exactly — zero-init accumulator, taps added in order, plain f32 mul on TPU
+(`exact_math.nc_mul` is an identity mul there) — and slices/rotates don't
+round, so output planes are bit-identical to the jnp lowering (asserted in
+interpret mode by `tests/test_pallas_blur.py` and on chip by
+`scripts/tpu_parity.py`'s blur determinism row).
+
+Composition: wrapped in `custom_vmap` (batched calls `lax.map` the rank-2
+kernel — Mosaic rejects batched specs on ANY-space inputs) and `custom_vjp`
+(backward re-traces the bit-identical jnp formulation for autodiff).
+"""
+
+from __future__ import annotations
+
+import functools
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@functools.lru_cache(maxsize=256)  # (shape, taps) keyed; bound for long sessions
+def _blur_kernel(height: int, width: int, taps: tuple, chunk_rows: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    radius = (len(taps) - 1) // 2
+    rp = _ceil_div(radius, 8) * 8  # 8-row-aligned halo
+    n_chunks = _ceil_div(height, chunk_rows)
+    padded_rows = n_chunks * chunk_rows + 2 * rp
+
+    def kernel(hpad_hbm, out_hbm):
+        def body(ibuf, vbuf, obuf, isem, osem):
+            def in_dma(slot, idx):
+                return pltpu.make_async_copy(
+                    hpad_hbm.at[pl.ds(idx * chunk_rows, chunk_rows + 2 * rp), :],
+                    ibuf.at[slot],
+                    isem.at[slot],
+                )
+
+            def out_dma(slot, idx):
+                return pltpu.make_async_copy(
+                    obuf.at[slot],
+                    out_hbm.at[pl.ds(idx * chunk_rows, chunk_rows), :],
+                    osem.at[slot],
+                )
+
+            in_dma(0, 0).start()
+
+            def loop_body(i, _):
+                # nc_mul is a plain mul on TPU (free) and the anti-FMA
+                # Dekker guard elsewhere — which makes INTERPRET mode (which
+                # runs as XLA:CPU, where LLVM contracts mul+add) bit-match
+                # `_blur_axis0`'s CPU arithmetic for the tests
+                from .exact_math import nc_mul
+
+                slot = jax.lax.rem(i, 2)
+                nxt = jax.lax.rem(i + 1, 2)
+
+                @pl.when(i + 1 < n_chunks)
+                def _():
+                    in_dma(nxt, i + 1).start()
+
+                in_dma(slot, i).wait()
+
+                # the previous occupant of this output slot must be flushed
+                # before the horizontal pass accumulates into it
+                @pl.when(i >= 2)
+                def _():
+                    out_dma(slot, i - 2).wait()
+
+                # vertical pass: out row j (chunk-local) needs padded rows
+                # j + rp - radius + t; replay _blur_axis0's tap order.
+                # Accumulate IN PLACE through refs: an SSA accumulator chain
+                # makes Mosaic keep every unrolled tap's temps live on the
+                # VMEM stack (measured 40 MB at 7 taps x 192-row chunks —
+                # instant scoped-vmem OOM); ref stores end each temp's
+                # lifetime at the statement.
+                vbuf[...] = jnp.zeros((chunk_rows, width), jnp.float32)
+                for t, w in enumerate(taps):
+                    rows = ibuf[slot, pl.ds(rp - radius + t, chunk_rows), :]
+                    vbuf[...] = vbuf[...] + nc_mul(rows, jnp.float32(w))
+
+                # horizontal pass: lane rotate == jnp.roll(·, radius-t, axis=1)
+                obuf[slot] = jnp.zeros((chunk_rows, width), jnp.float32)
+                for t, w in enumerate(taps):
+                    shifted = pltpu.roll(vbuf[...], (radius - t) % width, 1)
+                    obuf[slot] = obuf[slot] + nc_mul(shifted, jnp.float32(w))
+
+                out_dma(slot, i).start()
+
+            jax.lax.fori_loop(0, n_chunks, loop_body, None)
+            if n_chunks >= 2:
+                out_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
+            out_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
+
+        pl.run_scoped(
+            body,
+            ibuf=pltpu.VMEM((2, chunk_rows + 2 * rp, width), jnp.float32),
+            vbuf=pltpu.VMEM((chunk_rows, width), jnp.float32),
+            obuf=pltpu.VMEM((2, chunk_rows, width), jnp.float32),
+            isem=pltpu.SemaphoreType.DMA((2,)),
+            osem=pltpu.SemaphoreType.DMA((2,)),
+        )
+
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((n_chunks * chunk_rows, width), jnp.float32),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def blur(p):
+        # wrap halo: padded[k] = p[(k - rp) % height]. Rows past
+        # height + radius only feed outputs past `height` (sliced off), but
+        # tiling makes the whole pad wrap-correct anyway.
+        tail_len = padded_rows - rp - height
+        head = jnp.tile(p, (_ceil_div(rp, height), 1))[-rp:, :]
+        tail = jnp.tile(p, (_ceil_div(tail_len, height), 1))[:tail_len, :]
+        hpad = jnp.concatenate([head, p, tail], axis=0)
+        return call(hpad)[:height]
+
+    return blur
+
+
+def default_chunk_rows(width: int, taps_len: int) -> int:
+    """Rows per chunk: fill ~10 MB of VMEM across 2×in + 2×out + vertical
+    scratch buffers plus ~4 statement-scoped (T, W) f32 temps, floored to
+    the 8-row multiple."""
+    radius = (taps_len - 1) // 2
+    rp = _ceil_div(radius, 8) * 8
+    # bytes/row ≈ (2 in + 2 out + 1 scratch + 4 temps) · W · 4, minus halo
+    t = (10_000_000 - 2 * 2 * rp * width * 4) // (9 * width * 4)
+    return max(8, min(256, (t // 8) * 8))
+
+
+def blur_pallas(plane, taps, chunk_rows: int | None = None, interpret: bool | None = None):
+    """Double-buffered one-pass separable wrap blur of one `[H, W]` plane."""
+    import jax
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    height, width = plane.shape
+    if chunk_rows is None:
+        chunk_rows = default_chunk_rows(width, len(taps))
+    chunk_rows = min(chunk_rows, _ceil_div(height, 8) * 8)
+    return _blur_kernel(height, width, tuple(float(w) for w in taps), chunk_rows, interpret)(plane)
+
+
+@functools.cache
+def _blur_pallas_wrapped(taps: tuple):
+    """vmap- and grad-composable wrapper (same pattern the h2n kernel used;
+    see module docstring)."""
+    import jax
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def pallas_fn(p):
+        return blur_pallas(p, taps)
+
+    @pallas_fn.def_vmap
+    def _batch_rule(axis_size, in_batched, p):  # noqa: ANN001
+        out = jax.lax.map(lambda q: blur_pallas(q, taps), p)
+        return out, True
+
+    @jax.custom_vjp
+    def blur_fn(p):
+        return pallas_fn(p)
+
+    def fwd(p):
+        return pallas_fn(p), p
+
+    def bwd(p, cotangent):
+        import numpy as np
+
+        from .blur import _blur_axis0
+
+        taps_arr = np.asarray(taps, dtype=np.float32)
+
+        def jnp_blur(q):
+            vert = _blur_axis0(q, taps_arr)
+            return _blur_axis0(vert.T, taps_arr).T
+
+        _, vjp = jax.vjp(jnp_blur, p)
+        return vjp(cotangent)
+
+    blur_fn.defvjp(fwd, bwd)
+    return blur_fn
