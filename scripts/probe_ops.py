@@ -134,3 +134,50 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+# --- appended probe: transpose-free horizontal pass ---
+def _apply_axis1_take(plane, lefts, weights, in_len):
+    """Horizontal resample WITHOUT transposing: gather along axis 1.
+    Per-element arithmetic identical to _apply_axis0 on the transpose."""
+    out_len, taps = weights.shape
+    weights_j = jnp.asarray(weights)
+    acc = jnp.zeros((plane.shape[0], out_len), jnp.float32)
+    for t in range(taps):
+        idx = np.minimum(lefts + t, in_len - 1)
+        cols = jnp.take(plane, jnp.asarray(idx), axis=1)
+        w = weights_j[:, t][None, :]
+        acc = acc + jnp.where(w == 0.0, jnp.float32(0.0), cols * w)
+    return jnp.clip(acc, 0.0, 1.0)
+
+
+def _two_pass_t1(plane, out_size, filt):
+    in_h, in_w = plane.shape
+    lefts_v, weights_v = resample_weights(in_h, out_size.height, filt)
+    tmp = _apply_axis0_take(plane, lefts_v, weights_v, in_h)
+    lefts_h, weights_h = resample_weights(in_w, out_size.width, filt)
+    return _apply_axis1_take(tmp, lefts_h, weights_h, in_w)
+
+
+def main2():
+    assert jax.default_backend() == "tpu"
+    for size in SIZES:
+        p1 = device_random((size, size), seed=1)
+        for filt, fname in ((ResizeFilter.TRIANGLE, "tri"), (ResizeFilter.LANCZOS3, "lcz")):
+            for scale, sname in ((0.5, "dn2x"), (2.0, "up2x")):
+                out = Size(int(size * scale), int(size * scale))
+                for name, fn in (
+                    ("cur", lambda p, o=out, f=filt: res_current(p, o, f)),
+                    ("t1 ", lambda p, o=out, f=filt: _two_pass_t1(p, o, f)),
+                ):
+                    body = (lambda f: lambda c, ps: (f((ps[0] + c) % 1.0),))(fn)
+                    sec, ok = ScanBench(body, (p1,), n1=8, n2=32, base=0.25).run(repeats=3)
+                    px = out.width * out.height
+                    print(f"resample {fname} {sname} {size}: {name} {sec*1e3:.4f} ms ({px/sec/1e9:.2f} Gpix/s), distinct={ok}", flush=True)
+        # bit-equality of the t1 form
+        for filt in (ResizeFilter.TRIANGLE, ResizeFilter.LANCZOS3):
+            for scale in (0.5, 2.0):
+                out = Size(int(size * scale), int(size * scale))
+                a = jax.jit(lambda x, o=out, f=filt: res_current(x, o, f))(p1)
+                b = jax.jit(lambda x, o=out, f=filt: _two_pass_t1(x, o, f))(p1)
+                print(f"  bit-equal {filt} x{scale} {size}: {np.array_equal(np.asarray(a), np.asarray(b))}", flush=True)
