@@ -140,9 +140,13 @@ def _from_value(size: Size, value: float, rgba: bool) -> ImgVal:
 class GraphCompiler:
     """Traces a NodeGraph into a single jittable function."""
 
-    def __init__(self, node_graph: NodeGraph, include_u8: bool = False, preset=None):
+    def __init__(self, node_graph: NodeGraph, include_u8: bool = False, preset=None,
+                 pallas_ok: bool = True):
         self.node_graph = node_graph
         self.include_u8 = include_u8
+        # False when the program will run GSPMD-sharded over a mesh (Mosaic
+        # custom calls are not partitionable); ops then use jnp lowerings
+        self.pallas_ok = pallas_ok
         # preset: {(NodeId, SlotId): n_planes} — nodes whose outputs are
         # already computed (clean boundary of a dirty partition); their
         # planes are program arguments instead of being re-evaluated.
@@ -302,7 +306,10 @@ class GraphCompiler:
                     ErrorKind.INVALID_BUFFER_COUNT, "Blur needs an input"
                 )
             sigma = node.node_type.payload
-            return [(SlotId(0), ImgVal([blur_plane(p, sigma) for p in inp.planes]))]
+            return [(
+                SlotId(0),
+                ImgVal([blur_plane(p, sigma, pallas_ok=self.pallas_ok) for p in inp.planes]),
+            )]
 
         if kind == K.SEPARATE_RGBA:
             inp = by_slot.get(SlotId(0))
@@ -381,6 +388,7 @@ class CompiledGraph:
         donate: bool = False,
         preset=None,
         emit_all: bool = False,
+        pallas_ok: bool = True,
     ):
         import jax
 
@@ -403,7 +411,9 @@ class CompiledGraph:
         self.targets = [(NodeId(n), SlotId(s)) for n, s in targets]
         self.include_u8 = include_u8
 
-        self._compiler = GraphCompiler(node_graph, include_u8, preset=self.preset)
+        self._compiler = GraphCompiler(
+            node_graph, include_u8, preset=self.preset, pallas_ok=pallas_ok
+        )
         self._bindings = self._collect_bindings(node_graph, prefix="")
 
         preset_node_ids = {nid for nid, _ in self.preset}

@@ -706,7 +706,10 @@ class Engine:
                 if prog is not None:
                     self._fused_programs.move_to_end(fingerprint)
             if prog is None:
-                prog = CompiledGraph(snapshot, emit_all=True, preset=preset)
+                prog = CompiledGraph(
+                    snapshot, emit_all=True, preset=preset,
+                    pallas_ok=self.tex_pro.mesh is None,
+                )
                 with self._fused_programs_lock:
                     self._fused_programs[fingerprint] = prog
                     while len(self._fused_programs) > self.FUSED_PROGRAM_CACHE_CAP:

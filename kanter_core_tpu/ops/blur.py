@@ -64,13 +64,19 @@ def _blur_axis0(plane, taps: np.ndarray):
     return acc
 
 
-def blur_plane(plane, sigma: float):
+def blur_plane(plane, sigma: float, pallas_ok: bool = True):
     """Traceable separable wrap blur of one `[H, W]` plane (see module
-    docstring for the TPU Pallas dispatch; both lowerings are bit-equal)."""
+    docstring for the TPU Pallas dispatch; both lowerings are bit-equal).
+
+    `pallas_ok=False` forces the jnp lowering — required when the caller
+    jits over a `Mesh` with sharded planes: GSPMD cannot partition a Mosaic
+    custom call, so sharded programs (mesh engine, BatchedGraph with a
+    mesh) must trace the fusable jnp form instead.
+    """
     import jax
 
     taps = gaussian_taps(round(float(sigma), 6))
-    if jax.default_backend() == "tpu" and plane.shape[1] % 128 == 0:
+    if pallas_ok and jax.default_backend() == "tpu" and plane.shape[1] % 128 == 0:
         from .pallas_blur import _blur_pallas_wrapped
 
         return _blur_pallas_wrapped(tuple(float(w) for w in taps))(plane)

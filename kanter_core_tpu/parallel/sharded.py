@@ -64,7 +64,7 @@ class BatchedGraph:
     ):
         import jax
 
-        base = CompiledGraph(node_graph, targets, include_u8)
+        base = CompiledGraph(node_graph, targets, include_u8, pallas_ok=mesh is None)
         self.base = base
         self.batch_keys = set(batch_keys)
         self.mesh = mesh
