@@ -151,19 +151,21 @@ def main() -> None:
                 step = 1e-4
             bench = ScanBench(body, consts, n1=n1, n2=n2, base=base, step=step)
             seconds, distinct = bench.run(repeats=3)
-            print(
-                json.dumps(
-                    {
-                        "op": name,
-                        "canvas": canvas,
-                        "backend": backend,
-                        "ms": round(seconds * 1e3, 4),
-                        "gbps": round(traffic / seconds / 1e9, 1),
-                        "gpix_s": round(out_px / seconds / 1e9, 3),
-                        "checksums_distinct": distinct,
-                    }
-                )
-            )
+            row = {
+                "op": name,
+                "canvas": canvas,
+                "backend": backend,
+                "ms": round(seconds * 1e3, 4),
+                "gbps": round(traffic / seconds / 1e9, 1),
+                "gpix_s": round(out_px / seconds / 1e9, 3),
+                "checksums_distinct": distinct,
+            }
+            if seconds <= 5e-6:
+                # the two-length difference vanished into tunnel jitter: the
+                # op is faster than this protocol can resolve — say so
+                # instead of printing fictional bandwidth
+                row.update({"ms": None, "gbps": None, "gpix_s": None, "below_noise_floor": True})
+            print(json.dumps(row))
 
 
 if __name__ == "__main__":

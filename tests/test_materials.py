@@ -1,0 +1,112 @@
+"""Material pipeline templates (`models.materials`)."""
+
+import numpy as np
+
+from kanter_core_tpu import (
+    NodeGraph,
+    SlotData,
+    SlotId,
+    SlotImage,
+    TextureProcessor,
+)
+from kanter_core_tpu.models import (
+    ambient_occlusion_graph,
+    emboss_graph,
+    pbr_material_graph,
+)
+
+
+def _height_plane(n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.random((n, n), dtype=np.float32)
+    # smooth it a bit so AO cavities are meaningful
+    return ((base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3.0).astype(np.float32)
+
+
+def _evaluate(graph: NodeGraph, fused: bool = True):
+    tp = TextureProcessor(10_000_000)
+    try:
+        lg = tp.new_live_graph()
+        with lg.write() as g:
+            g.fuse_subgraphs = fused
+            g.set_node_graph(graph)
+            (inp,) = [n for n in g.node_graph.nodes if "Input" in n.node_type.kind.value]
+            g.add_input_slot_data(
+                SlotData(inp.node_id, SlotId(0), SlotImage.Gray(_height_plane()))
+            )
+        outs = {}
+        for out_id in lg.node_graph.output_ids():
+            name = lg.node_graph.node(out_id).node_type.payload
+            outs[name] = np.asarray(TextureProcessor.buffer_rgba(lg, out_id, SlotId(0)))
+        return outs
+    finally:
+        tp.shutdown_now()
+
+
+def test_pbr_material_all_outputs():
+    outs = _evaluate(pbr_material_graph())
+    assert set(outs) == {"normal", "ao", "roughness", "albedo"}
+    n = 64 * 64 * 4
+    for name, px in outs.items():
+        assert px.shape == (n,), name
+    # normal maps: x/y center on 0.5, z biased positive (toward the viewer)
+    normal = outs["normal"].reshape(64, 64, 4)
+    assert 110 < normal[..., 0].mean() < 145, "normal x should center on 0.5"
+    assert 110 < normal[..., 1].mean() < 145, "normal y should center on 0.5"
+    assert normal[..., 2].mean() > 140, "normal z should bias positive"
+    assert normal[..., 3].min() == 255, "alpha forced to 1"
+    # ao is mostly white with darker cavities
+    ao = outs["ao"].reshape(64, 64, 4)[..., 0]
+    assert ao.mean() > 128
+    # roughness stays in its configured band (base=0.35, cavity up to +0.5)
+    rough = outs["roughness"].reshape(64, 64, 4)[..., 0]
+    assert 0.1 * 255 < rough.mean() < 0.8 * 255
+
+
+def test_pbr_material_fused_matches_pernode():
+    fused = _evaluate(pbr_material_graph(), fused=True)
+    pernode = _evaluate(pbr_material_graph(), fused=False)
+    for name in fused:
+        assert np.array_equal(fused[name], pernode[name]), name
+
+
+def test_ambient_occlusion_darkens_cavities():
+    outs = _evaluate(ambient_occlusion_graph(sigma=3.0, strength=1.0))
+    ao = outs["ao"].reshape(64, 64, 4)[..., 0]
+    # strength=1 with a rough height must produce real cavity darkening
+    assert ao.min() < 250 and ao.mean() > 128
+
+
+def test_emboss_centers_on_mid_gray():
+    outs = _evaluate(emboss_graph(strength=0.6))
+    emboss = outs["emboss"].reshape(64, 64, 4)[..., 0].astype(np.float64)
+    assert abs(emboss.mean() - 127.5) < 12.0
+
+
+def test_materials_tiled_matches_dense():
+    """The material graph is tileable (mix/blur/h2n/combine only): the
+    row-banded engine path must reproduce it bit-for-bit."""
+    results = {}
+    for tile_bytes in (None, 1):
+        tp = TextureProcessor(10_000_000, tile_bytes=tile_bytes)
+        try:
+            lg = tp.new_live_graph()
+            with lg.write() as g:
+                g.set_node_graph(pbr_material_graph())
+                (inp,) = [
+                    n for n in g.node_graph.nodes if "Input" in n.node_type.kind.value
+                ]
+                g.add_input_slot_data(
+                    SlotData(inp.node_id, SlotId(0), SlotImage.Gray(_height_plane()))
+                )
+            outs = {}
+            for out_id in lg.node_graph.output_ids():
+                name = lg.node_graph.node(out_id).node_type.payload
+                outs[name] = np.asarray(
+                    TextureProcessor.buffer_rgba(lg, out_id, SlotId(0))
+                )
+            results[tile_bytes] = outs
+        finally:
+            tp.shutdown_now()
+    for name in results[None]:
+        assert np.array_equal(results[None][name], results[1][name]), name
