@@ -46,7 +46,13 @@ SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 
 def main():
     rng = np.random.default_rng(SEED)
-    tp = TextureProcessor(memory_threshold=int(rng.integers(64, 4096)))
+    # ~half the soaks force the blockwise tiled engine path (tile_bytes=1:
+    # every partition exceeds the budget) — its banded twins must be as
+    # unobservable as fusion/memoization/eviction are
+    tile_bytes = 1 if rng.integers(2) else None
+    tp = TextureProcessor(
+        memory_threshold=int(rng.integers(64, 4096)), tile_bytes=tile_bytes
+    )
     lg = tp.new_live_graph()
 
     values, mixes, combines = [], [], []
@@ -54,7 +60,8 @@ def main():
         g.use_cache = bool(rng.integers(2))
         g.fuse_subgraphs = bool(rng.integers(2))
         g.memoize = bool(rng.integers(2))
-        print(f"mode: fuse={g.fuse_subgraphs} memoize={g.memoize} use_cache={g.use_cache}")
+        print(f"mode: fuse={g.fuse_subgraphs} memoize={g.memoize} "
+              f"use_cache={g.use_cache} tiled={tile_bytes is not None}")
         for v in range(4):
             values.append(g.add_node(Node(NodeType.Value(float(rng.random())))))
         for m in range(4):

@@ -233,6 +233,46 @@ def test_engine_tiled_cancel_under_churn():
     assert np.array_equal(results[None], results[1])
 
 
+def test_engine_tiled_input_and_embed_leaves():
+    """Bound InputGray planes and embedded slot data must reach the tiled
+    path's host-gathered leaves identically to the dense path."""
+    from kanter_core_tpu import EmbeddedSlotDataId, SlotData, SlotImage
+
+    rng = np.random.default_rng(21)
+    in_plane = rng.random((40, 48), dtype=np.float32)
+    embed_plane = rng.random((40, 48), dtype=np.float32)
+
+    def build_and_render(tile_bytes):
+        from kanter_core_tpu import Node, NodeType
+
+        tp = TextureProcessor(10_000_000, tile_bytes=tile_bytes)
+        try:
+            graph = NodeGraph()
+            gin = graph.add_node(Node(NodeType.InputGray("g")))
+            emb = graph.add_node(Node(NodeType.Embed(EmbeddedSlotDataId(0))))
+            mix = graph.add_node(Node(NodeType.Mix(MixType.ADD)))
+            graph.connect(gin, mix, SlotId(0), SlotId(0))
+            graph.connect(emb, mix, SlotId(0), SlotId(1))
+            out = graph.add_node(Node(NodeType.OutputGray("out")))
+            graph.connect(mix, out, SlotId(0), SlotId(0))
+
+            lg = tp.new_live_graph()
+            with lg.write() as g:
+                g.set_node_graph(graph)
+                g.add_input_slot_data(
+                    SlotData(gin, SlotId(0), SlotImage.Gray(in_plane))
+                )
+                g.embed_slot_data_with_id(
+                    SlotData(emb, SlotId(0), SlotImage.Gray(embed_plane)),
+                    EmbeddedSlotDataId(0),
+                )
+            return render_u8(lg, out)
+        finally:
+            tp.shutdown_now()
+
+    assert np.array_equal(build_and_render(None), build_and_render(1))
+
+
 def test_engine_tiled_incremental_edit():
     """After a Value edit, the tiled engine path re-evaluates and matches the
     dense path (clean-boundary presets + interior-without-data re-dirty)."""
