@@ -44,7 +44,7 @@ def _cmd_render(args) -> int:
 
     graph = NodeGraph.from_path(args.graph)
 
-    with TextureProcessor(args.memory_threshold) as tex_pro:
+    with TextureProcessor(args.memory_threshold, tile_bytes=args.tile_bytes) as tex_pro:
         live_graph = tex_pro.new_live_graph()
         with live_graph.write() as lg:
             lg.set_node_graph(graph)
@@ -121,6 +121,12 @@ def main(argv=None) -> int:
     p_render.add_argument("--value", action="append", metavar="NODE_ID=FLOAT")
     p_render.add_argument("--srgb", action="store_true", help="export via sRGB conversion")
     p_render.add_argument("--memory-threshold", type=int, default=1 << 31)
+    p_render.add_argument(
+        "--tile-bytes", type=int, default=None,
+        help="device working-set budget: partitions whose dense footprint "
+        "exceeds it evaluate in row bands (canvases larger than device "
+        "memory render bit-identically; see kanter_core_tpu.tiled)",
+    )
     p_render.set_defaults(fn=_cmd_render)
 
     p_bench = sub.add_parser("bench", help="run the one-line JSON benchmark")

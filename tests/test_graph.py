@@ -267,6 +267,17 @@ def test_cli_info_and_render(tmp_path):
     )
     assert rendered.shape == golden.shape
 
+    # --tile-bytes forces the row-banded engine path; pixels must not change
+    tiled_path = str(tmp_path / "cli_tiled.png")
+    rc = main([
+        "render", INVERT_GRAPH_JSON,
+        "--input", "in=/root/reference/data/heart_256.png",
+        "--output", f"out={tiled_path}",
+        "--tile-bytes", "1",
+    ])
+    assert rc == 0
+    assert np.array_equal(rendered, np.asarray(PILImage.open(tiled_path)))
+
 
 def test_reset_node_states_and_edge_queries():
     """Coverage for small topology/state APIs the big tests use indirectly:

@@ -233,6 +233,42 @@ def test_engine_tiled_cancel_under_churn():
     assert np.array_equal(results[None], results[1])
 
 
+def test_engine_tiled_gate_falls_back_for_graph_nodes():
+    """A partition containing a nested Graph node is not tileable; the gate
+    must fall back to the dense fused path (which inline-flattens it) and
+    still produce correct pixels."""
+    from kanter_core_tpu import Node, NodeType
+    from kanter_core_tpu.graphs import invert_graph
+
+    def build():
+        graph = NodeGraph()
+        img = graph.add_node(Node(NodeType.Image(str(HEART_128))))
+        sep = graph.add_node(Node(NodeType.SeparateRgba()))
+        graph.connect(img, sep, SlotId(0), SlotId(0))
+        inner = invert_graph()
+        gn = graph.add_node(Node(NodeType.Graph(inner)))
+        graph.connect(sep, gn, SlotId(0), inner.input_slot_id_with_name("in"))
+        out = graph.add_node(Node(NodeType.OutputGray("out")))
+        graph.connect(gn, out, inner.output_slot_id_with_name("out"), SlotId(0))
+        return graph, out
+
+    results = {}
+    for tile_bytes in (None, 1):
+        tp = TextureProcessor(10_000_000, tile_bytes=tile_bytes)
+        try:
+            graph, out = build()
+            lg = tp.new_live_graph()
+            with lg.write() as g:
+                g.set_node_graph(graph)
+            results[tile_bytes] = render_u8(lg, out)
+            if tile_bytes is not None:
+                # the gate fell back: a dense fused program was compiled
+                assert len(tp.engine._fused_programs) == 1
+        finally:
+            tp.shutdown_now()
+    assert np.array_equal(results[None], results[1])
+
+
 def test_engine_tiled_input_and_embed_leaves():
     """Bound InputGray planes and embedded slot data must reach the tiled
     path's host-gathered leaves identically to the dense path."""
