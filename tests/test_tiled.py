@@ -233,6 +233,77 @@ def test_engine_tiled_cancel_under_churn():
     assert np.array_equal(results[None], results[1])
 
 
+def test_engine_tiled_with_write_sink(tmp_path):
+    """A Write sink is never fused; with a tile budget its parents evaluate
+    row-banded, commit host planes, and the per-node Write then runs off
+    that data — the PNG must match the dense processor's."""
+    from kanter_core_tpu import Node, NodeType
+
+    def build(out_png):
+        graph = NodeGraph()
+        img = graph.add_node(Node(NodeType.Image(str(HEART_128))))
+        h2n_in = graph.add_node(Node(NodeType.SeparateRgba()))
+        graph.connect(img, h2n_in, SlotId(0), SlotId(0))
+        h2n = graph.add_node(Node(NodeType.HeightToNormal()))
+        graph.connect(h2n_in, h2n, SlotId(0), SlotId(0))
+        write = graph.add_node(Node(NodeType.Write(str(out_png))))
+        graph.connect(h2n, write, SlotId(0), SlotId(0))
+        out = graph.add_node(Node(NodeType.OutputRgba("out")))
+        graph.connect(h2n, out, SlotId(0), SlotId(0))
+        return graph, write, out
+
+    pngs = {}
+    for tile_bytes in (None, 1):
+        tp = TextureProcessor(10_000_000, tile_bytes=tile_bytes)
+        try:
+            out_png = tmp_path / f"w_{tile_bytes}.png"
+            graph, write, out = build(out_png)
+            lg = tp.new_live_graph()
+            with lg.write() as g:
+                g.set_node_graph(graph)
+            render_u8(lg, out)
+            # wait for the Write sink too
+            from kanter_core_tpu import LiveGraph
+
+            with LiveGraph.await_clean_write(lg, write):
+                pass
+            from PIL import Image as PILImage
+
+            pngs[tile_bytes] = np.asarray(PILImage.open(out_png))
+        finally:
+            tp.shutdown_now()
+    assert np.array_equal(pngs[None], pngs[1])
+
+
+def test_engine_tiled_graph_error_surfaces():
+    """A graph error inside a tiled partition (RGBA into a CombineRgba
+    slot) must surface on waiters exactly like the dense path (fatal error,
+    no hang)."""
+    from kanter_core_tpu import Node, NodeType
+
+    tp = TextureProcessor(10_000_000, tile_bytes=1)
+    try:
+        graph = NodeGraph()
+        img = graph.add_node(Node(NodeType.Image(str(HEART_128))))
+        comb = graph.add_node(Node(NodeType.CombineRgba()))
+        # bypass slot typing (force_connect analog): build the edge directly
+        from kanter_core_tpu.edge import Edge
+
+        graph.edges.append(Edge(img, comb, SlotId(0), SlotId(0)))
+        out = graph.add_node(Node(NodeType.OutputRgba("out")))
+        graph.connect(comb, out, SlotId(0), SlotId(0))
+
+        lg = tp.new_live_graph()
+        with lg.write() as g:
+            g.set_node_graph(graph)
+        with pytest.raises(TexProError):
+            from conftest import render_u8 as _render
+
+            _render(lg, out)
+    finally:
+        tp.shutdown_now()
+
+
 def test_engine_tiled_gate_falls_back_for_graph_nodes():
     """A partition containing a nested Graph node is not tileable; the gate
     must fall back to the dense fused path (which inline-flattens it) and
