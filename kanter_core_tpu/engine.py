@@ -187,6 +187,7 @@ class Engine:
         self._results: queue.Queue = queue.Queue()
         self._wake_cv = threading.Condition(threading.Lock())
         self._fused_programs: "OrderedDict" = OrderedDict()  # fingerprint → CompiledGraph
+        self._tiled_programs: "OrderedDict" = OrderedDict()  # (fingerprint, shapes) → TiledEvaluator
         self._fused_programs_lock = threading.Lock()
         self._pool = _WorkerPool()
 
@@ -781,6 +782,8 @@ class Engine:
         Cancellation is polled between bands (the tiled analog of the
         reference's per-pixel cancel checks, `height_to_normal.rs:45-47`).
         """
+        import numpy as np
+
         from . import tiled
         from .compiler import collect_value_bindings
         from .node import NodeTypeKind
@@ -846,9 +849,38 @@ class Engine:
             )
             band_rows = max(8, int(tile_bytes // max(bytes_per_row, 1)))
 
-            evaluator = tiled.TiledEvaluator(
-                snapshot, targets, bindings, preset=preset, band_rows=band_rows
+            # evaluator cache: like the dense _fused_programs LRU, keyed by
+            # structure fingerprint + binding plane shapes (sizes are baked
+            # into the evaluator's metadata) — interactive Value edits reuse
+            # the compiled band programs instead of retracing per dispatch
+            from .compiler import graph_fingerprint
+
+            shape_sig = tuple(
+                (k, tuple(np.shape(p) for p in v) if isinstance(v, tuple) else ())
+                for k, v in sorted(bindings.items())
             )
+            key = (
+                graph_fingerprint(
+                    snapshot,
+                    extra=repr(sorted((int(n), int(s), c) for (n, s), c in preset.items()))
+                    + repr(sorted((int(n), int(s)) for n, s in targets))
+                    + str(band_rows),
+                ),
+                shape_sig,
+            )
+            with self._fused_programs_lock:
+                cached = self._tiled_programs.get(key)
+                if cached is not None:
+                    self._tiled_programs.move_to_end(key)
+            if cached is None:
+                cached = tiled.TiledEvaluator(
+                    snapshot, targets, bindings, preset=preset, band_rows=band_rows
+                )
+                with self._fused_programs_lock:
+                    self._tiled_programs[key] = cached
+                    while len(self._tiled_programs) > self.FUSED_PROGRAM_CACHE_CAP:
+                        self._tiled_programs.popitem(last=False)
+            evaluator = cached.with_bindings(bindings)
             nodes_by_id = {n.node_id: n for n in snapshot.nodes}
 
             def canceled() -> bool:

@@ -305,17 +305,35 @@ class TiledEvaluator:
     band); results are full-size host planes.
     """
 
-    def __init__(self, graph, targets, bindings, preset=None, band_rows: int = 256):
-        import jax
-
-        self.graph = graph
-        self.targets = [(NodeId(n), SlotId(s)) for n, s in targets]
-        self.bindings = {
+    @staticmethod
+    def normalize_bindings(bindings: dict) -> dict:
+        return {
             k: tuple(np.asarray(p, dtype=np.float32) for p in v)
             if isinstance(v, (tuple, list))
             else np.float32(v)
             for k, v in bindings.items()
         }
+
+    def with_bindings(self, bindings: dict) -> "TiledEvaluator":
+        """A shallow handle sharing this evaluator's compiled band programs
+        (`self._jit`'s cache) and static metadata, but owning its bindings —
+        the engine's evaluator cache hands these out per dispatch so
+        concurrent dispatches with the same structure never race on
+        bindings. Caller guarantees the new bindings' plane SHAPES match the
+        ones this evaluator was built with (sizes are baked into `infos`)."""
+        import copy
+
+        handle = copy.copy(self)
+        handle.bindings = self.normalize_bindings(bindings)
+        handle.peak_band_bytes = 0
+        return handle
+
+    def __init__(self, graph, targets, bindings, preset=None, band_rows: int = 256):
+        import jax
+
+        self.graph = graph
+        self.targets = [(NodeId(n), SlotId(s)) for n, s in targets]
+        self.bindings = self.normalize_bindings(bindings)
         self.band_rows = max(1, int(band_rows))
         self.preset = dict(preset or {})
         self._preset_nodes = {nid for nid, _ in self.preset}

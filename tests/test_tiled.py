@@ -233,6 +233,40 @@ def test_engine_tiled_cancel_under_churn():
     assert np.array_equal(results[None], results[1])
 
 
+def test_engine_tiled_evaluator_cache_reuse():
+    """Value edits must reuse the cached band programs (one evaluator entry
+    across re-dispatches), mirroring the dense path's program cache."""
+    from kanter_core_tpu import Node, NodeType
+
+    tp = TextureProcessor(10_000_000, tile_bytes=1)
+    try:
+        graph = NodeGraph()
+        img = graph.add_node(Node(NodeType.Image(str(HEART_128))))
+        val = graph.add_node(Node(NodeType.Value(0.2)))
+        mix = graph.add_node(Node(NodeType.Mix(MixType.ADD)))
+        graph.connect(img, mix, SlotId(0), SlotId(0))
+        graph.connect(val, mix, SlotId(0), SlotId(1))
+        out = graph.add_node(Node(NodeType.OutputRgba("out")))
+        graph.connect(mix, out, SlotId(0), SlotId(0))
+
+        lg = tp.new_live_graph()
+        with lg.write() as g:
+            g.set_node_graph(graph)
+        first = render_u8(lg, out)
+        for v in (0.5, 0.8):
+            with lg.write() as g:
+                g.node_mut(val).node_type = NodeType.Value(v)
+            render_u8(lg, out)
+        assert len(tp.engine._tiled_programs) == 1, (
+            "value edits must hit the cached tiled evaluator"
+        )
+        with lg.write() as g:
+            g.node_mut(val).node_type = NodeType.Value(0.2)
+        assert np.array_equal(render_u8(lg, out), first)
+    finally:
+        tp.shutdown_now()
+
+
 def test_engine_tiled_with_write_sink(tmp_path):
     """A Write sink is never fused; with a tile budget its parents evaluate
     row-banded, commit host planes, and the per-node Write then runs off
