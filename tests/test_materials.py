@@ -83,6 +83,18 @@ def test_emboss_centers_on_mid_gray():
     assert abs(emboss.mean() - 127.5) < 12.0
 
 
+def test_material_graph_serde_round_trip():
+    """Material pipelines (incl. the extension Blur node) survive JSON
+    round-trips byte-identically, so they checkpoint/share like any graph."""
+    graph = pbr_material_graph()
+    clone = NodeGraph.from_json(graph.to_json())
+    assert graph.to_json() == clone.to_json()
+    a = _evaluate(graph)
+    b = _evaluate(clone)
+    for name in a:
+        assert np.array_equal(a[name], b[name]), name
+
+
 def test_materials_tiled_matches_dense():
     """The material graph is tileable (mix/blur/h2n/combine only): the
     row-banded engine path must reproduce it bit-for-bit."""
