@@ -148,6 +148,23 @@ def _blur_kernel(height: int, width: int, taps: tuple, chunk_rows: int, interpre
     return blur
 
 
+def fits_kernel(width: int, taps_len: int) -> bool:
+    """True when the kernel is viable for this (width, taps) pair:
+
+    - at the minimum 8-row chunk, the 2×in + 2×out + scratch + temps VMEM
+      footprint must stay under budget (fails for extreme widths);
+    - the statically-unrolled 2×taps tap loops must stay a sane Mosaic
+      program size (σ ≳ 10 → hundreds of taps → compile-time blowup; the
+      jnp lowering handles those).
+    """
+    if taps_len > 63:  # radius ≤ 31, σ ≲ 10
+        return False
+    radius = (taps_len - 1) // 2
+    rp = _ceil_div(radius, 8) * 8
+    min_chunk_bytes = (2 * (8 + 2 * rp) + 3 * 8 + 4 * 8) * width * 4
+    return min_chunk_bytes <= 12_000_000
+
+
 def default_chunk_rows(width: int, taps_len: int) -> int:
     """Rows per chunk: fill ~10 MB of VMEM across 2×in + 2×out + vertical
     scratch buffers plus ~4 statement-scoped (T, W) f32 temps, floored to
