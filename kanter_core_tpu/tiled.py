@@ -92,8 +92,10 @@ class _Info:
         "node",
         "working",  # Size the (resized) inputs arrive at, or None if no inputs
         "inputs",  # [(input_slot, parent_id, parent_slot)] in consumer-slot order
-        "out_size",  # Size of every output slot
+        "out_size",  # Size of every output slot (single-size nodes)
         "out_planes",  # {SlotId: plane count}
+        "out_slot_sizes",  # {SlotId: Size} overrides (preset boundary nodes
+        # — e.g. a clean nested-Graph node — may emit different sizes per slot)
     )
 
     def __init__(self, node):
@@ -102,6 +104,10 @@ class _Info:
         self.inputs = []
         self.out_size = Size(1, 1)
         self.out_planes = {}
+        self.out_slot_sizes = {}
+
+    def slot_size(self, slot) -> Size:
+        return self.out_slot_sizes.get(slot, self.out_size)
 
 
 def _leaf_planes(bindings, key, what):
@@ -140,6 +146,7 @@ def infer_sizes(graph, bindings, preset=None) -> dict:
                     h, w = np.shape(planes[0])
                     info.out_planes[slot] = count
                     info.out_size = Size(w, h)
+                    info.out_slot_sizes[slot] = Size(w, h)
             continue
 
         kind = node.node_type.kind
@@ -151,7 +158,7 @@ def infer_sizes(graph, bindings, preset=None) -> dict:
         edges_ins = [e for e in graph.edges if e.input_id == node_id]
         edges_sorted = sorted(edges_ins, key=lambda e: e.input_slot)
         sized = [
-            _Sized(e.output_id, e.output_slot, infos[e.output_id].out_size)
+            _Sized(e.output_id, e.output_slot, infos[e.output_id].slot_size(e.output_slot))
             for e in edges_ins
         ]
         if sized:
@@ -349,10 +356,16 @@ class TiledEvaluator:
         self.peak_band_bytes = 0  # max per-band host↔device traffic, for tests
 
     # --- backward pass: per-band row requirements ---
+    # R is keyed by NodeId for ordinary nodes (all output slots share one
+    # size, so one row set serves them) and by (NodeId, SlotId) for preset
+    # boundary nodes, whose slots may carry different-sized planes.
+    def _rkey(self, pid, pslot):
+        return (pid, pslot) if pid in self._preset_nodes else pid
+
     def _band_rows_needed(self, group_targets, lo: int, hi: int) -> dict:
         R: dict = {}
-        for tnid, _tslot in group_targets:
-            R[tnid] = np.arange(lo, hi)
+        for tnid, tslot in group_targets:
+            R[self._rkey(tnid, tslot)] = np.arange(lo, hi)
         for node_id in reversed(self._topo):
             rows = R.get(node_id)
             if rows is None or node_id in self._preset_nodes:
@@ -362,41 +375,50 @@ class TiledEvaluator:
                 continue
             need = _expand_rows(info, rows)
             for _slot, pid, pslot in info.inputs:
-                pinfo = self.infos[pid]
-                if pinfo.out_size != info.working:
+                psize = self.infos[pid].slot_size(pslot)
+                if psize != info.working:
                     src = _resize_source_rows(
                         need,
-                        pinfo.out_size.height,
+                        psize.height,
                         info.working.height,
                         info.node.resize_filter,
                     )
                 else:
                     src = need
-                prev = R.get(pid)
-                R[pid] = src if prev is None else np.unique(np.concatenate([prev, src]))
+                key = self._rkey(pid, pslot)
+                prev = R.get(key)
+                R[key] = src if prev is None else np.unique(np.concatenate([prev, src]))
         return R
 
     # --- per-band argument marshalling (host side) ---
     def _band_args(self, R: dict) -> dict:
         args: dict = {}
         for node_id in self._topo:
-            rows = R.get(node_id)
-            if rows is None:
-                continue
             info = self.infos[node_id]
             node = info.node
             kind = node.node_type.kind
             nid = int(node_id)
-            args[f"m_{nid}"] = np.zeros(len(rows), np.int32)  # activity + row count
 
             if node_id in self._preset_nodes:
+                emitted = False
                 for slot, count in info.out_planes.items():
+                    rows_slot = R.get((node_id, slot))
+                    if rows_slot is None:
+                        continue
+                    emitted = True
                     planes = self.bindings[f"preset_{nid}_{int(slot)}"]
                     for p in range(count):
                         args[f"leaf_{nid}_{int(slot)}_{p}"] = np.ascontiguousarray(
-                            planes[p][rows]
+                            planes[p][rows_slot]
                         )
+                if emitted:
+                    args[f"m_{nid}"] = np.zeros(1, np.int32)
                 continue
+
+            rows = R.get(node_id)
+            if rows is None:
+                continue
+            args[f"m_{nid}"] = np.zeros(len(rows), np.int32)  # activity + row count
 
             if kind == K.VALUE:
                 val = self.bindings.get(f"value_{nid}")
@@ -424,10 +446,10 @@ class TiledEvaluator:
 
             need = _expand_rows(info, rows)
             for slot, pid, pslot in info.inputs:
-                pinfo = self.infos[pid]
-                pr = R[pid]
-                if pinfo.out_size != info.working:
-                    in_h = pinfo.out_size.height
+                psize = self.infos[pid].slot_size(pslot)
+                pr = R[self._rkey(pid, pslot)]
+                if psize != info.working:
+                    in_h = psize.height
                     lefts, weights = resample_weights(
                         in_h, info.working.height, node.resize_filter
                     )
@@ -480,7 +502,7 @@ class TiledEvaluator:
                 vert = [_apply_axis0_indexed(p, idx, w) for p in planes]
                 # horizontal pass exactly as resample_plane (which always
                 # runs both passes when any dimension differs)
-                in_w = self.infos[pid].out_size.width
+                in_w = self.infos[pid].slot_size(pslot).width
                 out_w = info.working.width
                 lefts_h, weights_h = resample_weights(
                     in_w, out_w, info.node.resize_filter
@@ -502,6 +524,8 @@ class TiledEvaluator:
 
             if node_id in self._preset_nodes:
                 for slot, count in info.out_planes.items():
+                    if f"leaf_{nid}_{int(slot)}_0" not in args:
+                        continue  # slot not needed this band
                     env[(node_id, slot)] = ImgVal(
                         [args[f"leaf_{nid}_{int(slot)}_{p}"] for p in range(count)]
                     )

@@ -233,6 +233,62 @@ def test_engine_tiled_cancel_under_churn():
     assert np.array_equal(results[None], results[1])
 
 
+def test_tiled_preset_boundary_with_per_slot_sizes():
+    """A clean boundary node (here a nested-Graph node, represented purely
+    by preset bindings) can emit DIFFERENT sizes per output slot; tiled size
+    inference must track sizes per slot, not per node."""
+    from kanter_core_tpu import MixType, Node, NodeType
+
+    rng = np.random.default_rng(31)
+    big = rng.random((64, 64), dtype=np.float32)
+    small = rng.random((24, 40), dtype=np.float32)
+
+    # inner graph with TWO gray outputs → the outer Graph node has two
+    # output slots, whose preset data we bind at different sizes
+    inner = NodeGraph()
+    iin = inner.add_node(Node(NodeType.InputGray("in")))
+    out_a = inner.add_node(Node(NodeType.OutputGray("a")))
+    out_b = inner.add_node(Node(NodeType.OutputGray("b")))
+    inner.connect(iin, out_a, SlotId(0), SlotId(0))
+    inner.connect(iin, out_b, SlotId(0), SlotId(0))
+    slot_a = inner.output_slot_id_with_name("a")
+    slot_b = inner.output_slot_id_with_name("b")
+
+    graph = NodeGraph()
+    boundary = graph.add_node(Node(NodeType.Graph(inner)))
+    val = graph.add_node(Node(NodeType.Value(0.3)))
+    mix_a = graph.add_node(Node(NodeType.Mix(MixType.ADD)))
+    graph.connect(boundary, mix_a, slot_a, SlotId(0))
+    graph.connect(val, mix_a, SlotId(0), SlotId(1))
+    mix_b = graph.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+    graph.connect(boundary, mix_b, slot_b, SlotId(0))
+    graph.connect(val, mix_b, SlotId(0), SlotId(1))
+    # cross-size consumer: the small slot's output upscales onto the big one
+    mix_c = graph.add_node(Node(NodeType.Mix(MixType.ADD)))
+    graph.connect(mix_a, mix_c, SlotId(0), SlotId(0))
+    graph.connect(mix_b, mix_c, SlotId(0), SlotId(1))
+    out = graph.add_node(Node(NodeType.OutputGray("out")))
+    graph.connect(mix_c, out, SlotId(0), SlotId(0))
+
+    preset = {(boundary, slot_a): 1, (boundary, slot_b): 1}
+    bindings = {
+        f"preset_{int(boundary)}_{int(slot_a)}": (big,),
+        f"preset_{int(boundary)}_{int(slot_b)}": (small,),
+    }
+
+    prog = CompiledGraph(graph, targets=[(out, SlotId(0))], preset=preset)
+    dense = prog(**{k: tuple(v) for k, v in bindings.items()})[(out, SlotId(0))]
+
+    host = dict(_host_bindings(prog))
+    host.update(bindings)
+    ev = TiledEvaluator(
+        graph, [(out, SlotId(0))], host, preset=preset, band_rows=13
+    )
+    banded = ev.run()[(out, SlotId(0))]
+    for d, b in zip(dense, banded):
+        assert np.array_equal(np.asarray(d), b)
+
+
 def test_engine_tiled_evaluator_cache_reuse():
     """Value edits must reuse the cached band programs (one evaluator entry
     across re-dispatches), mirroring the dense path's program cache."""
