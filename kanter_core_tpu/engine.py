@@ -690,7 +690,7 @@ class Engine:
         # (`transient_buffer.rs:388-406`); it cannot evaluate a canvas whose
         # working set exceeds memory at all.
         tile_bytes = self.tex_pro.tile_bytes
-        if tile_bytes is not None and self.tex_pro.mesh is None:
+        if tile_bytes is not None:
             if self._try_tiled(
                 snapshot, partition, boundary, embedded, input_datas, preset,
                 live_graph, events, recipes, tile_bytes,
@@ -874,7 +874,8 @@ class Engine:
                     self._tiled_programs.move_to_end(key)
             if cached is None:
                 cached = tiled.TiledEvaluator(
-                    snapshot, targets, bindings, preset=preset, band_rows=band_rows
+                    snapshot, targets, bindings, preset=preset, band_rows=band_rows,
+                    mesh=self.tex_pro.mesh,
                 )
                 with self._fused_programs_lock:
                     self._tiled_programs[key] = cached

@@ -45,9 +45,9 @@ class TextureProcessor:
         row bands (`kanter_core_tpu.tiled`) with halos, bit-identically, so
         canvases larger than device memory still evaluate — the reference
         can only spill whole finished planes (`transient_buffer.rs:388-406`)
-        and cannot process a working set bigger than memory at all. Mutually
-        advisory with `mesh` (a meshed processor keeps the dense sharded
-        path)."""
+        and cannot process a working set bigger than memory at all. Composes
+        with `mesh`: each band's row axis is itself GSPMD-sharded across the
+        mesh (capacity × scale)."""
         if not isinstance(memory_threshold, AtomicUsize):
             memory_threshold = AtomicUsize(memory_threshold)
         self.memory_threshold = memory_threshold

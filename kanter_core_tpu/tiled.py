@@ -335,13 +335,19 @@ class TiledEvaluator:
         handle.peak_band_bytes = 0
         return handle
 
-    def __init__(self, graph, targets, bindings, preset=None, band_rows: int = 256):
+    def __init__(self, graph, targets, bindings, preset=None, band_rows: int = 256,
+                 mesh=None):
         import jax
 
         self.graph = graph
         self.targets = [(NodeId(n), SlotId(s)) for n, s in targets]
         self.bindings = self.normalize_bindings(bindings)
         self.band_rows = max(1, int(band_rows))
+        # optional jax.sharding.Mesh: band arguments' row axes are sharded
+        # over the mesh's first axis, so each band itself executes GSPMD-
+        # partitioned across chips (capacity × scale; bit-transparent like
+        # the dense mesh path — tests/test_tiled.py::test_engine_tiled_mesh)
+        self.mesh = mesh
         self.preset = dict(preset or {})
         self._preset_nodes = {nid for nid, _ in self.preset}
         self.infos = infer_sizes(graph, self.bindings, self.preset)
@@ -657,6 +663,32 @@ class TiledEvaluator:
                 out[f"t{int(tnid)}_{int(tslot)}"] = tuple(env[(tnid, tslot)].planes)
         return out
 
+    def _shard_band_args(self, args: dict) -> dict:
+        """Row-shard every 2-D f32 band over the mesh's first axis (index
+        vectors and tiny bands stay replicated); GSPMD partitions the band
+        program from these shardings, inserting the collectives the gathers
+        need."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = self.mesh.axis_names[0]
+        n = self.mesh.devices.shape[0]
+        sharding = NamedSharding(self.mesh, P(axis, None))
+
+        def place(v):
+            # GSPMD requires the sharded dim divisible by the mesh size;
+            # halo-expanded bands with odd row counts stay replicated
+            if (
+                getattr(v, "ndim", 0) == 2
+                and v.dtype == np.float32
+                and v.shape[0] >= n
+                and v.shape[0] % n == 0
+            ):
+                return jax.device_put(v, sharding)
+            return v
+
+        return {k: place(v) for k, v in args.items()}
+
     def run(self, cancel_check=None) -> dict:
         """Evaluate all targets; returns {(node_id, slot_id): [host planes]}.
 
@@ -692,6 +724,8 @@ class TiledEvaluator:
                 hi = min(lo + self.band_rows, height)
                 R = self._band_rows_needed(group, lo, hi)
                 args = self._band_args(R)
+                if self.mesh is not None:
+                    args = self._shard_band_args(args)
                 out = self._jit(args)
                 band_bytes = sum(np.asarray(v).nbytes for v in args.values())
                 for tnid, tslot in group:

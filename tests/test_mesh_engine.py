@@ -55,6 +55,30 @@ def _build_stencil_graph(g):
     return output_node
 
 
+def test_mesh_tiled_composition():
+    """tile_bytes + mesh compose: each row band executes GSPMD-sharded over
+    the 8-device mesh, and the result stays bit-identical to the plain
+    single-device processor (capacity × scale)."""
+    results = {}
+    for kind in ("plain", "mesh_tiled"):
+        tp = (
+            TextureProcessor(10_000_000)
+            if kind == "plain"
+            else TextureProcessor(10_000_000, mesh=_row_mesh(), tile_bytes=1)
+        )
+        try:
+            lg = tp.new_live_graph()
+            with lg.write() as g:
+                out = _build_stencil_graph(g)
+            results[kind] = render_u8(lg, out)
+            if kind == "mesh_tiled":
+                assert len(tp.engine._tiled_programs) == 1
+                assert len(tp.engine._fused_programs) == 0
+        finally:
+            tp.shutdown_now()
+    assert np.array_equal(results["plain"], results["mesh_tiled"])
+
+
 def test_mesh_engine_h2n_golden(mesh_tex_pro):
     """The fused partition, row-sharded over 8 devices, stays bit-exact
     against the reference golden (`integration_tests.rs:1349-1384`)."""
