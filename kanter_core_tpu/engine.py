@@ -765,6 +765,45 @@ class Engine:
         self._results.put(message)
         self.wake()
 
+    def _cached_tiled_evaluator(self, graph, targets, bindings, preset, band_rows):
+        """Evaluator cache: like the dense _fused_programs LRU, keyed by
+        structure fingerprint + binding plane shapes (sizes are baked into
+        the evaluator's metadata) — interactive edits reuse the compiled
+        band programs instead of retracing per dispatch. Returns a shallow
+        binding-owning handle so concurrent dispatches never race."""
+        import numpy as np
+
+        from . import tiled
+        from .compiler import graph_fingerprint
+
+        shape_sig = tuple(
+            (k, tuple(np.shape(p) for p in v) if isinstance(v, tuple) else ())
+            for k, v in sorted(bindings.items())
+        )
+        key = (
+            graph_fingerprint(
+                graph,
+                extra=repr(sorted((int(n), int(s), c) for (n, s), c in preset.items()))
+                + repr(sorted((int(n), int(s)) for n, s in targets))
+                + str(band_rows),
+            ),
+            shape_sig,
+        )
+        with self._fused_programs_lock:
+            cached = self._tiled_programs.get(key)
+            if cached is not None:
+                self._tiled_programs.move_to_end(key)
+        if cached is None:
+            cached = tiled.TiledEvaluator(
+                graph, targets, bindings, preset=preset, band_rows=band_rows,
+                mesh=self.tex_pro.mesh,
+            )
+            with self._fused_programs_lock:
+                self._tiled_programs[key] = cached
+                while len(self._tiled_programs) > self.FUSED_PROGRAM_CACHE_CAP:
+                    self._tiled_programs.popitem(last=False)
+        return cached.with_bindings(bindings)
+
     def _try_tiled(
         self, snapshot, partition, boundary, embedded, input_datas, preset,
         live_graph, events, recipes, tile_bytes,
@@ -849,39 +888,9 @@ class Engine:
             )
             band_rows = max(8, int(tile_bytes // max(bytes_per_row, 1)))
 
-            # evaluator cache: like the dense _fused_programs LRU, keyed by
-            # structure fingerprint + binding plane shapes (sizes are baked
-            # into the evaluator's metadata) — interactive Value edits reuse
-            # the compiled band programs instead of retracing per dispatch
-            from .compiler import graph_fingerprint
-
-            shape_sig = tuple(
-                (k, tuple(np.shape(p) for p in v) if isinstance(v, tuple) else ())
-                for k, v in sorted(bindings.items())
+            evaluator = self._cached_tiled_evaluator(
+                snapshot, targets, bindings, preset, band_rows
             )
-            key = (
-                graph_fingerprint(
-                    snapshot,
-                    extra=repr(sorted((int(n), int(s), c) for (n, s), c in preset.items()))
-                    + repr(sorted((int(n), int(s)) for n, s in targets))
-                    + str(band_rows),
-                ),
-                shape_sig,
-            )
-            with self._fused_programs_lock:
-                cached = self._tiled_programs.get(key)
-                if cached is not None:
-                    self._tiled_programs.move_to_end(key)
-            if cached is None:
-                cached = tiled.TiledEvaluator(
-                    snapshot, targets, bindings, preset=preset, band_rows=band_rows,
-                    mesh=self.tex_pro.mesh,
-                )
-                with self._fused_programs_lock:
-                    self._tiled_programs[key] = cached
-                    while len(self._tiled_programs) > self.FUSED_PROGRAM_CACHE_CAP:
-                        self._tiled_programs.popitem(last=False)
-            evaluator = cached.with_bindings(bindings)
             nodes_by_id = {n.node_id: n for n in snapshot.nodes}
 
             def canceled() -> bool:
@@ -971,10 +980,98 @@ class Engine:
     def _worker(self, node, input_data, embedded_slot_datas, input_slot_datas, edges,
                 live_graph, event=None, recipe=None):
         try:
-            result = ops.process_node(
-                node, input_data, embedded_slot_datas, input_slot_datas, edges, self.tex_pro
-            )
+            result = None
+            if self.tex_pro.tile_bytes is not None:
+                result = self._tiled_single_node(node, input_data, edges)
+            if result is None:
+                result = ops.process_node(
+                    node, input_data, embedded_slot_datas, input_slot_datas, edges,
+                    self.tex_pro,
+                )
         except BaseException as e:  # noqa: BLE001 — commit decides fatality
             result = e
         self._results.put(_ThreadMessage(node.node_id, result, live_graph, event, recipe))
         self.wake()
+
+    def _tiled_single_node(self, node, input_data, edges):
+        """Row-banded evaluation of ONE oversized node — the capacity story
+        for the per-node path (used under `auto_update`, where per-node
+        commit order is observable), mirroring `_try_tiled` for fused
+        partitions. Returns list[SlotData], or None to fall through to the
+        eager whole-plane kernel (leaves, non-tileable kinds, small nodes,
+        or any inference error — eager then reproduces exact reference
+        behavior, e.g. HeightToNormal's silent [] on an RGBA input)."""
+        import numpy as np
+
+        from . import tiled
+        from .node import Node, NodeType, NodeTypeKind, ResizePolicyKind
+        from .node_graph import NodeGraph as _NG
+        from .slot_data import SlotData
+        from .slot_image import SlotImage
+        from .transient_buffer import plane_from_host
+
+        K = NodeTypeKind
+        kind = node.node_type.kind
+        if kind not in tiled.TILEABLE_KINDS or kind in (
+            K.VALUE, K.IMAGE, K.EMBED, K.INPUT_GRAY, K.INPUT_RGBA,
+        ):
+            return None  # leaves decode/pass through whole-plane by nature
+        if not input_data:
+            return None
+
+        # cheap gate on cached sizes (no tier faults): inputs + an output
+        # upper bound; SpecificSize can exceed every input
+        tile_bytes = self.tex_pro.tile_bytes
+        est = sum(
+            sd.size().pixel_count() * 4 * len(sd.image.planes) for sd in input_data
+        )
+        est += 16 * max(sd.size().pixel_count() for sd in input_data)
+        if node.resize_policy.kind == ResizePolicyKind.SPECIFIC_SIZE:
+            est += 16 * node.resize_policy.payload.pixel_count()
+        if est <= tile_bytes:
+            return None
+
+        try:
+            graph = _NG()
+            parents = []
+            seen = set()
+            for sd in input_data:
+                if sd.node_id in seen:
+                    continue
+                seen.add(sd.node_id)
+                stub = Node(NodeType.OutputGray("preset_stub"))
+                stub.node_id = sd.node_id
+                parents.append(stub)
+            graph.nodes = parents + [node.clone()]
+            graph.edges = list(edges)
+
+            preset = {
+                (sd.node_id, sd.slot_id): len(sd.image.planes) for sd in input_data
+            }
+            bindings = {
+                f"preset_{int(sd.node_id)}_{int(sd.slot_id)}": tuple(
+                    b.host_data() for b in sd.image.planes
+                )
+                for sd in input_data
+            }
+            infos = tiled.infer_sizes(graph, bindings, preset)
+            info = infos[node.node_id]
+            targets = [(node.node_id, slot) for slot in info.out_planes]
+            bytes_per_row = sum(
+                4 * i.out_size.width * sum(i.out_planes.values())
+                for i in infos.values()
+            )
+            band_rows = max(8, int(tile_bytes // max(bytes_per_row, 1)))
+            evaluator = self._cached_tiled_evaluator(
+                graph, targets, bindings, preset, band_rows
+            )
+        except TexProError:
+            return None  # eager path owns the error/edge-case semantics
+
+        outs = evaluator.run(cancel_check=lambda: node.cancel.load())
+        return [
+            SlotData(
+                node.node_id, slot, SlotImage([plane_from_host(p) for p in planes])
+            )
+            for (nid, slot), planes in sorted(outs.items(), key=lambda kv: kv[0][1])
+        ]

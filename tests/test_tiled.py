@@ -289,6 +289,43 @@ def test_tiled_preset_boundary_with_per_slot_sizes():
         assert np.array_equal(np.asarray(d), b)
 
 
+def test_engine_tiled_per_node_auto_update():
+    """Under auto_update the per-node path (observable incremental commits)
+    routes oversized nodes through single-node tiled evaluation — the
+    capacity story holds on BOTH scheduler paths, bit-identically."""
+    from kanter_core_tpu import Node, NodeType
+
+    def build():
+        graph = NodeGraph()
+        img = graph.add_node(Node(NodeType.Image(str(HEART_128))))
+        sep = graph.add_node(Node(NodeType.SeparateRgba()))
+        graph.connect(img, sep, SlotId(0), SlotId(0))
+        blur = graph.add_node(Node(NodeType.Blur(1.5)))
+        graph.connect(sep, blur, SlotId(0), SlotId(0))
+        h2n = graph.add_node(Node(NodeType.HeightToNormal()))
+        graph.connect(blur, h2n, SlotId(0), SlotId(0))
+        out = graph.add_node(Node(NodeType.OutputRgba("out")))
+        graph.connect(h2n, out, SlotId(0), SlotId(0))
+        return graph, out
+
+    results = {}
+    for tile_bytes in (None, 1):
+        tp = TextureProcessor(10_000_000, tile_bytes=tile_bytes)
+        try:
+            graph, out = build()
+            lg = tp.new_live_graph()
+            with lg.write() as g:
+                g.auto_update = True  # forces the per-node scheduler path
+                g.set_node_graph(graph)
+            results[tile_bytes] = render_u8(lg, out)
+            if tile_bytes is not None:
+                # single-node evaluators were cached (blur, h2n, output, …)
+                assert len(tp.engine._tiled_programs) >= 2
+        finally:
+            tp.shutdown_now()
+    assert np.array_equal(results[None], results[1])
+
+
 def test_engine_tiled_evaluator_cache_reuse():
     """Value edits must reuse the cached band programs (one evaluator entry
     across re-dispatches), mirroring the dense path's program cache."""
