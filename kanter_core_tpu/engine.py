@@ -1025,7 +1025,11 @@ class Engine:
         est = sum(
             sd.size().pixel_count() * 4 * len(sd.image.planes) for sd in input_data
         )
-        est += 16 * max(sd.size().pixel_count() for sd in input_data)
+        # output upper bound: LargestAxes can combine one input's width with
+        # another's height, so bound by the axis maxima, not any one input
+        wmax = max(sd.size().width for sd in input_data)
+        hmax = max(sd.size().height for sd in input_data)
+        est += 16 * wmax * hmax
         if node.resize_policy.kind == ResizePolicyKind.SPECIFIC_SIZE:
             est += 16 * node.resize_policy.payload.pixel_count()
         if est <= tile_bytes:

@@ -160,6 +160,7 @@ class TextureProcessor:
             "bytes_storage": self.buffer_queue.bytes_storage(),
             "processing_node_count": self.processing_node_count(),
             "fused_programs": len(self.engine._fused_programs),
+            "tiled_programs": len(self.engine._tiled_programs),
             "recipe_cache": self.recipe_cache.stats(),
             "timeline": self.timeline.summary(),
         }
