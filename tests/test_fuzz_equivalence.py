@@ -155,30 +155,40 @@ def test_fused_pernode_compiler_equivalence(seed):
     if not targets:
         pytest.skip("degenerate graph")
 
-    tp = TextureProcessor(10_000_000)
-    try:
-        results = {}
-        for fused in (True, False):
+    results = {}
+    # four engine paths, all required to be bit-identical: fused partitions,
+    # per-node, tiled partitions (row bands), and per-node tiled — nested
+    # Graph nodes make the tiled gate fall back per partition, which is part
+    # of what this asserts (path choice must be unobservable)
+    modes = [
+        ("fused", True, None),
+        ("pernode", False, None),
+        ("tiled", True, 1),
+        ("pernode_tiled", False, 1),
+    ]
+    for name, fused, tile_bytes in modes:
+        tp = TextureProcessor(10_000_000, tile_bytes=tile_bytes)
+        try:
             lg = tp.new_live_graph()
             with lg.write() as g:
                 g.fuse_subgraphs = fused
                 g.set_node_graph(graph.clone())
             for target in targets:
-                results[(fused, target)] = render_u8(lg, target)
+                results[(name, target)] = render_u8(lg, target)
             tp.remove_live_graph(lg)
+        finally:
+            tp.shutdown_now()
 
-        prog = CompiledGraph(
-            graph.clone(), targets=[(t, SlotId(0)) for t in targets], include_u8=True
-        )
-        compiled = prog()
-        for target in targets:
-            fused_px = results[(True, target)]
-            pernode_px = results[(False, target)]
-            comp_px = np.asarray(compiled[(target, SlotId(0))]).reshape(-1)
-            assert np.array_equal(fused_px, pernode_px), f"fused != per-node (seed {seed})"
-            assert np.array_equal(fused_px, comp_px), f"fused != compiler (seed {seed})"
-    finally:
-        tp.shutdown_now()
+    prog = CompiledGraph(
+        graph.clone(), targets=[(t, SlotId(0)) for t in targets], include_u8=True
+    )
+    compiled = prog()
+    for target in targets:
+        comp_px = np.asarray(compiled[(target, SlotId(0))]).reshape(-1)
+        for name, _, _ in modes:
+            assert np.array_equal(results[(name, target)], comp_px), (
+                f"{name} != compiler (seed {seed})"
+            )
 
 
 def test_resize_tie_break_parity(tex_pro):
