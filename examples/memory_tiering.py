@@ -70,14 +70,29 @@ def main():
     print(f"device={m['bytes_device']/1e6:.1f}MB host={m['bytes_host']/1e6:.1f}MB "
           f"disk={m['bytes_storage']/1e6:.1f}MB")
 
-    # touching an evicted node's pixels faults it back in transparently
     with lg.read() as g:
         mid = outs[0]
         print("mid node in_memory before touch:", g.slot_in_memory(mid, SlotId(0)))
+
+    # u8 export reads spilled planes HOST-side (the measured-fastest path)
+    # without promoting them to the device tier:
     pixels = TextureProcessor.buffer_rgba(lg, mid, SlotId(0))
     with lg.read() as g:
-        print(f"fault-in returned {len(pixels)} bytes; "
-              f"in_memory after touch: {g.slot_in_memory(mid, SlotId(0))}")
+        print(f"u8 export returned {len(pixels)} bytes without device "
+              f"promotion; in_memory: {g.slot_in_memory(mid, SlotId(0))}")
+
+    # DEVICE fault-in happens when compute touches the plane. Lift the
+    # budget first (thresholds are live-mutable, like the reference's
+    # tests) — otherwise the over-subscribed LRU would evict the freshly
+    # faulted plane again within a millisecond.
+    tp.memory_threshold.store(16 * plane_bytes)
+    with lg.read() as g:
+        for plane in g.slot_data(mid, SlotId(0)).image.planes:
+            plane.data()  # device handles (in_memory needs EVERY plane)
+    time.sleep(0.1)  # let the manager thread settle
+    with lg.read() as g:
+        print("after a compute-path touch, in_memory:",
+              g.slot_in_memory(mid, SlotId(0)))
 
     tp.shutdown_now()
 
