@@ -3,9 +3,10 @@ run plainly) and report per-golden bit-exactness, then (off-CPU) an f32-PLANE
 determinism section comparing production kernels against XLA:CPU production
 kernels run in a subprocess.
 
-Expected result on TPU: 16/16 goldens bit-exact (ops/exact_math.py corrects
-TPU div/sqrt/pow rounding; the last two rows re-run goldens through the
-blockwise tiled engine path, `tile_bytes=1`), and every determinism row OK — the only allowed
+Expected result on TPU: 17/17 goldens bit-exact (ops/exact_math.py corrects
+TPU div/sqrt/pow rounding; the last three rows re-run goldens through the
+blockwise tiled engine paths — fused partitions and the per-node
+auto_update path — with `tile_bytes=1`), and every determinism row OK — the only allowed
 f32-level difference is mix POW, where glibc powf itself misrounds ~48 of
 the 65536 u8-grid points (ds_pow returns the correctly-rounded value; u8
 export absorbs all of them). See kanter_core_tpu.precision.
@@ -163,6 +164,23 @@ def main():
         g.connect(i2, mix, SlotId(0), SlotId(1))
         g.connect(mix, out, SlotId(0), SlotId(0))
     check("irregular_sizes.png", lg, out, label="irregular_sizes.png (tiled)")
+
+    # per-node path (auto_update) with the tile budget: oversized single
+    # nodes evaluate row-banded on the REAL device
+    lg = tp.new_live_graph()
+    with lg.write() as g:
+        g.auto_update = True
+        img = g.add_node(Node(NodeType.Image(os.path.join(DATA, "clouds.png"))))
+        sep = g.add_node(Node(NodeType.SeparateRgba()))
+        h2n = g.add_node(Node(NodeType.HeightToNormal()))
+        out = g.add_node(Node(NodeType.OutputRgba("out")))
+        g.connect(img, sep, SlotId(0), SlotId(0))
+        g.connect(sep, h2n, SlotId(0), SlotId(0))
+        g.connect(h2n, out, SlotId(0), SlotId(0))
+    check(
+        "height_to_normal_node.png", lg, out,
+        label="height_to_normal_node.png (per-node tiled, auto_update)",
+    )
     tp.shutdown_now()
 
     passed = sum(1 for _, same, _, _ in results if same)
