@@ -54,6 +54,29 @@ def stages(canvas: int):
         8, 64, 0.25,
     )
 
+    # --- row-gather calibration: the resample rows below are gather-bound;
+    #     this measures what a bare [H] row gather achieves (historically
+    #     ~4× below the copy roofline on this chip), so their GB/s can be
+    #     judged against the achievable ceiling, not the copy ceiling ---
+    import numpy as _np
+
+    gather_idx = _np.random.default_rng(0).integers(0, canvas, canvas).astype(_np.int32)
+    gather_idx.sort()
+
+    def gather_body(c, ps):
+        import jax.numpy as _jnp
+
+        return ((ps[0] + c)[_jnp.asarray(gather_idx), :],)
+
+    yield (
+        "gather_rows_calib",
+        gather_body,
+        (p1,),
+        2 * plane_bytes,
+        canvas * canvas,
+        8, 64, 0.25,
+    )
+
     # --- mix chain ×16 (fusion probe: still 2 reads + 1 write) ---
     def chain_body(c, ps):
         x = ps[0] + c
