@@ -18,6 +18,37 @@ from kanter_core_tpu.checkpoint import load_checkpoint, save_checkpoint
 from kanter_core_tpu.graphs import invert_graph
 
 
+def test_checkpoint_of_tiled_state(tmp_path):
+    """State produced by the row-banded engine path (host-tier planes)
+    checkpoints and resumes into a plain processor, pixels identical and
+    clean (zero recompute)."""
+    tp = TextureProcessor(10_000_000, tile_bytes=1)
+    tp2 = TextureProcessor(10_000_000)
+    try:
+        lg = tp.new_live_graph()
+        with lg.write() as g:
+            g.use_cache = True
+            img = g.add_node(Node(NodeType.Image(IMAGE_1)))
+            sep = g.add_node(Node(NodeType.SeparateRgba()))
+            h2n = g.add_node(Node(NodeType.HeightToNormal()))
+            out = g.add_node(Node(NodeType.OutputRgba("out")))
+            g.connect(img, sep, SlotId(0), SlotId(0))
+            g.connect(sep, h2n, SlotId(0), SlotId(0))
+            g.connect(h2n, out, SlotId(0), SlotId(0))
+        pixels = render_u8(lg, out)
+
+        path = str(tmp_path / "tiled_ckpt.npz")
+        save_checkpoint(lg, path)
+        restored = load_checkpoint(tp2, path)
+        with restored.read() as g:
+            assert g.node_state(out) == NodeState.CLEAN
+            resumed = np.asarray(g.buffer_rgba(out, SlotId(0)))
+        assert np.array_equal(resumed, pixels)
+    finally:
+        tp.shutdown_now()
+        tp2.shutdown_now()
+
+
 def test_full_checkpoint_roundtrip(tmp_path, tex_pro):
     lg = tex_pro.new_live_graph()
     with lg.write() as g:
