@@ -83,6 +83,56 @@ def test_emboss_centers_on_mid_gray():
     assert abs(emboss.mean() - 127.5) < 12.0
 
 
+def test_material_as_nested_graph_node():
+    """The material pipeline embeds as a `Graph` node: the outer graph wires
+    a height source into it and reads each named output through the node's
+    output slots — multi-output nested graphs through the real engine."""
+    from kanter_core_tpu import Node, NodeType
+
+    inner = pbr_material_graph()
+    outer = NodeGraph()
+    gray = _height_plane(32)
+    gin = outer.add_node(Node(NodeType.InputGray("height")))
+    material = outer.add_node(Node(NodeType.Graph(inner)))
+    outer.connect(gin, material, SlotId(0), inner.input_slot_id_with_name("height"))
+    outs = {}
+    for name in ("normal", "ao", "roughness", "albedo"):
+        out_kind = NodeType.OutputRgba(name) if name in ("normal", "albedo") else NodeType.OutputGray(name)
+        oid = outer.add_node(Node(out_kind))
+        outer.connect(material, oid, inner.output_slot_id_with_name(name), SlotId(0))
+        outs[name] = oid
+
+    tp = TextureProcessor(10_000_000)
+    try:
+        lg = tp.new_live_graph()
+        with lg.write() as g:
+            g.set_node_graph(outer)
+            g.add_input_slot_data(SlotData(gin, SlotId(0), SlotImage.Gray(gray)))
+        nested = {
+            name: np.asarray(TextureProcessor.buffer_rgba(lg, oid, SlotId(0)))
+            for name, oid in outs.items()
+        }
+    finally:
+        tp.shutdown_now()
+
+    # must match evaluating the material graph directly
+    direct_tp = TextureProcessor(10_000_000)
+    try:
+        lg = direct_tp.new_live_graph()
+        with lg.write() as g:
+            g.set_node_graph(pbr_material_graph())
+            (inp,) = [
+                n for n in g.node_graph.nodes if "Input" in n.node_type.kind.value
+            ]
+            g.add_input_slot_data(SlotData(inp.node_id, SlotId(0), SlotImage.Gray(gray)))
+        for oid in lg.node_graph.output_ids():
+            name = lg.node_graph.node(oid).node_type.payload
+            direct = np.asarray(TextureProcessor.buffer_rgba(lg, oid, SlotId(0)))
+            assert np.array_equal(nested[name], direct), name
+    finally:
+        direct_tp.shutdown_now()
+
+
 def test_material_graph_serde_round_trip():
     """Material pipelines (incl. the extension Blur node) survive JSON
     round-trips byte-identically, so they checkpoint/share like any graph."""
