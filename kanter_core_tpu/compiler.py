@@ -141,12 +141,16 @@ class GraphCompiler:
     """Traces a NodeGraph into a single jittable function."""
 
     def __init__(self, node_graph: NodeGraph, include_u8: bool = False, preset=None,
-                 pallas_ok: bool = True):
+                 pallas_ok: bool = True, mesh=None):
         self.node_graph = node_graph
         self.include_u8 = include_u8
-        # False when the program will run GSPMD-sharded over a mesh (Mosaic
-        # custom calls are not partitionable); ops then use jnp lowerings
+        # False when the program must avoid Pallas entirely (vmapped mesh
+        # programs — Mosaic custom calls aren't GSPMD-partitionable and
+        # shard_map doesn't compose with the batch vmap); ops then use jnp
+        # lowerings. `mesh` instead keeps kernels viable under GSPMD by
+        # emitting their shard_map'd forms (ops/pallas_blur.py).
         self.pallas_ok = pallas_ok
+        self.mesh = mesh
         # preset: {(NodeId, SlotId): n_planes} — nodes whose outputs are
         # already computed (clean boundary of a dirty partition); their
         # planes are program arguments instead of being re-evaluated.
@@ -308,7 +312,10 @@ class GraphCompiler:
             sigma = node.node_type.payload
             return [(
                 SlotId(0),
-                ImgVal([blur_plane(p, sigma, pallas_ok=self.pallas_ok) for p in inp.planes]),
+                ImgVal([
+                    blur_plane(p, sigma, pallas_ok=self.pallas_ok, mesh=self.mesh)
+                    for p in inp.planes
+                ]),
             )]
 
         if kind == K.SEPARATE_RGBA:
@@ -389,6 +396,7 @@ class CompiledGraph:
         preset=None,
         emit_all: bool = False,
         pallas_ok: bool = True,
+        mesh=None,
     ):
         import jax
 
@@ -412,7 +420,7 @@ class CompiledGraph:
         self.include_u8 = include_u8
 
         self._compiler = GraphCompiler(
-            node_graph, include_u8, preset=self.preset, pallas_ok=pallas_ok
+            node_graph, include_u8, preset=self.preset, pallas_ok=pallas_ok, mesh=mesh
         )
         self._bindings = self._collect_bindings(node_graph, prefix="")
 

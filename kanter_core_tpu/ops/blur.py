@@ -64,22 +64,42 @@ def _blur_axis0(plane, taps: np.ndarray):
     return acc
 
 
-def blur_plane(plane, sigma: float, pallas_ok: bool = True):
-    """Traceable separable wrap blur of one `[H, W]` plane (see module
-    docstring for the TPU Pallas dispatch; both lowerings are bit-equal).
+#: test hook: force the Pallas lowerings (interpret mode) off-TPU so the
+#: CPU suite exercises the kernel paths the chip runs
+FORCE_PALLAS_INTERPRET = False
 
-    `pallas_ok=False` forces the jnp lowering — required when the caller
-    jits over a `Mesh` with sharded planes: GSPMD cannot partition a Mosaic
-    custom call, so sharded programs (mesh engine, BatchedGraph with a
-    mesh) must trace the fusable jnp form instead.
+
+def blur_plane(plane, sigma: float, pallas_ok: bool = True, mesh=None):
+    """Traceable separable wrap blur of one `[H, W]` plane (see module
+    docstring for the TPU Pallas dispatch; all lowerings are bit-equal).
+
+    `mesh` (a `jax.sharding.Mesh`) selects the shard_map'd kernel: the plane
+    is row-sharded over the mesh's first axis, each shard runs the Mosaic
+    kernel on its block after a ring `ppermute` halo exchange
+    (`pallas_blur._blur_pallas_sharded`). GSPMD cannot partition a plain
+    Mosaic custom call, so mesh programs previously had to trace the jnp
+    form (`pallas_ok=False`) and lost the kernel's 7-10× win.
+
+    `pallas_ok=False` still forces the jnp lowering — the gate for contexts
+    neither kernel supports (vmapped mesh programs, unviable geometries).
     """
     import jax
 
     taps = gaussian_taps(round(float(sigma), 6))
-    if pallas_ok and jax.default_backend() == "tpu" and plane.shape[1] % 128 == 0:
-        from .pallas_blur import _blur_pallas_wrapped
+    on_tpu = jax.default_backend() == "tpu" or FORCE_PALLAS_INTERPRET
+    taps_tuple = tuple(float(w) for w in taps)
+    if pallas_ok and on_tpu and mesh is not None:
+        from .pallas_blur import _blur_pallas_sharded, fits_sharded
 
-        return _blur_pallas_wrapped(tuple(float(w) for w in taps))(plane)
+        n = int(mesh.shape[mesh.axis_names[0]])
+        if fits_sharded(plane.shape[0], plane.shape[1], len(taps), n):
+            interpret = jax.default_backend() != "tpu"
+            return _blur_pallas_sharded(taps_tuple, mesh, interpret)(plane)
+    if pallas_ok and mesh is None and on_tpu and plane.shape[1] % 128 == 0:
+        from .pallas_blur import _blur_pallas_wrapped, fits_kernel
+
+        if fits_kernel(plane.shape[1], len(taps)):
+            return _blur_pallas_wrapped(taps_tuple)(plane)
     vert = _blur_axis0(plane, taps)
     return _blur_axis0(vert.T, taps).T
 

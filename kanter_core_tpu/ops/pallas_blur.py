@@ -41,7 +41,17 @@ def _ceil_div(a: int, b: int) -> int:
 
 
 @functools.lru_cache(maxsize=256)  # (shape, taps) keyed; bound for long sessions
-def _blur_kernel(height: int, width: int, taps: tuple, chunk_rows: int, interpret: bool):
+def _padded_call(height: int, width: int, taps: tuple, chunk_rows: int, interpret: bool):
+    """The raw kernel over an already-halo-padded input.
+
+    Input shape `(n_chunks*chunk_rows + 2*rp, width)` where row `rp + j` is
+    logical input row `j`; rows `[rp - radius, rp)` must hold the true
+    preceding rows and rows `[rp + height, rp + height + radius)` the true
+    following rows (toroidal wrap for the single-device path, a neighbor
+    shard's halo for the shard_map path); every other pad row is never read
+    by an output row < `height` and may hold anything. Output is
+    `(n_chunks*chunk_rows, width)`; rows ≥ `height` are garbage to slice off.
+    """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -50,7 +60,6 @@ def _blur_kernel(height: int, width: int, taps: tuple, chunk_rows: int, interpre
     radius = (len(taps) - 1) // 2
     rp = _ceil_div(radius, 8) * 8  # 8-row-aligned halo
     n_chunks = _ceil_div(height, chunk_rows)
-    padded_rows = n_chunks * chunk_rows + 2 * rp
 
     def kernel(hpad_hbm, out_hbm):
         def body(ibuf, vbuf, obuf, isem, osem):
@@ -126,13 +135,25 @@ def _blur_kernel(height: int, width: int, taps: tuple, chunk_rows: int, interpre
             osem=pltpu.SemaphoreType.DMA((2,)),
         )
 
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n_chunks * chunk_rows, width), jnp.float32),
         interpret=interpret,
     )
+
+
+@functools.lru_cache(maxsize=256)
+def _blur_kernel(height: int, width: int, taps: tuple, chunk_rows: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+
+    radius = (len(taps) - 1) // 2
+    rp = _ceil_div(radius, 8) * 8
+    n_chunks = _ceil_div(height, chunk_rows)
+    padded_rows = n_chunks * chunk_rows + 2 * rp
+    call = _padded_call(height, width, taps, chunk_rows, interpret)
 
     @jax.jit
     def blur(p):
@@ -187,6 +208,118 @@ def blur_pallas(plane, taps, chunk_rows: int | None = None, interpret: bool | No
         chunk_rows = default_chunk_rows(width, len(taps))
     chunk_rows = min(chunk_rows, _ceil_div(height, 8) * 8)
     return _blur_kernel(height, width, tuple(float(w) for w in taps), chunk_rows, interpret)(plane)
+
+
+def _blur_block(block, taps: tuple, top, bot, interpret: bool | None = None):
+    """Kernel over one row block whose ±radius neighbor rows arrive as
+    explicit halos (`top` = the `radius` rows preceding the block, `bot` =
+    the `radius` rows following it). Identical arithmetic to the wrap path —
+    only the pad construction differs, and pad rows beyond the ±radius halo
+    are never read by a kept output row (see `_padded_call`)."""
+    import jax
+    import jax.numpy as jnp
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    block_h, width = block.shape
+    radius = (len(taps) - 1) // 2
+    rp = _ceil_div(radius, 8) * 8
+    chunk_rows = min(default_chunk_rows(width, len(taps)), _ceil_div(block_h, 8) * 8)
+    n_chunks = _ceil_div(block_h, chunk_rows)
+    padded_rows = n_chunks * chunk_rows + 2 * rp
+    hpad = jnp.concatenate(
+        [
+            jnp.zeros((rp - radius, width), jnp.float32),
+            top,
+            block,
+            bot,
+            jnp.zeros((padded_rows - rp - block_h - radius, width), jnp.float32),
+        ],
+        axis=0,
+    )
+    call = _padded_call(block_h, width, taps, chunk_rows, interpret)
+    return call(hpad)[:block_h]
+
+
+def fits_sharded(height: int, width: int, taps_len: int, n_shards: int) -> bool:
+    """Viability of the shard_map'd kernel: rows must divide the mesh axis,
+    each shard's block must cover the halo (one ppermute hop per side), and
+    the per-shard kernel must itself be viable."""
+    radius = (taps_len - 1) // 2
+    return (
+        height % n_shards == 0
+        and height // n_shards >= max(radius, 8)
+        and width % 128 == 0
+        and fits_kernel(width, taps_len)
+    )
+
+
+@functools.cache
+def _blur_pallas_sharded(taps: tuple, mesh, interpret: bool):
+    """shard_map'd kernel: each device runs the Mosaic kernel on its row
+    block after a ring `ppermute` exchange of the ±radius halo rows — the
+    wrap-stencil sampling of `height_to_normal.rs:55-56` reproduced at mesh
+    scale (ring neighbors ARE the toroidal continuation, so global wrap
+    falls out of the exchange). GSPMD cannot partition a Mosaic custom call,
+    so without this every `TextureProcessor(mesh=…)` program lost the
+    kernel's 7-10× win; with it the kernel stays per-shard and only
+    2·radius·W f32 rows ride the ICI per device.
+
+    Wrapped in custom_vjp (backward re-traces the bit-identical jnp
+    formulation, which GSPMD differentiates and partitions on its own)."""
+    import jax
+    import numpy as np
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n = int(mesh.shape[axis])
+    radius = (len(taps) - 1) // 2
+
+    def body(block):
+        import jax.numpy as jnp
+
+        if n == 1:
+            top = block[-radius:]
+            bot = block[:radius]
+        else:
+            fwd = [(i, (i + 1) % n) for i in range(n)]
+            bwd = [(i, (i - 1) % n) for i in range(n)]
+            # device j receives shard j-1's bottom rows (its preceding rows)
+            top = jax.lax.ppermute(block[-radius:], axis, fwd)
+            # … and shard j+1's top rows (its following rows)
+            bot = jax.lax.ppermute(block[:radius], axis, bwd)
+        return _blur_block(block, taps, top, bot, interpret=interpret)
+
+    # check_vma=False: pallas_call can't declare its output's varying-axes
+    # set, so shard_map's replication checker must be off (the body is
+    # honestly varying over `axis` and nothing else)
+    sharded = shard_map(
+        body, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
+        check_vma=False,
+    )
+
+    @jax.custom_vjp
+    def blur_fn(p):
+        return sharded(p)
+
+    def fwd_rule(p):
+        return sharded(p), p
+
+    def bwd_rule(p, cotangent):
+        from .blur import _blur_axis0
+
+        taps_arr = np.asarray(taps, dtype=np.float32)
+
+        def jnp_blur(q):
+            vert = _blur_axis0(q, taps_arr)
+            return _blur_axis0(vert.T, taps_arr).T
+
+        _, vjp = jax.vjp(jnp_blur, p)
+        return vjp(cotangent)
+
+    blur_fn.defvjp(fwd_rule, bwd_rule)
+    return blur_fn
 
 
 @functools.cache

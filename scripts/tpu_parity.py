@@ -220,6 +220,23 @@ def _determinism_kernels():
     cases.append(
         ("blur_sigma2.2", lambda: jax.jit(lambda x: blur_plane(x, 2.2))(src), 0)
     )
+    # lane-aligned width so the TPU side actually takes the Mosaic kernel
+    # (the 211-wide row above gates to jnp on every backend); the CPU ref
+    # side still runs jnp — this is the kernel-vs-jnp cross-backend proof
+    src_al = rng.integers(0, 256, (160, 256)).astype(np.float32) / np.float32(255.0)
+    cases.append(
+        ("blur_pallas_aligned", lambda: jax.jit(lambda x: blur_plane(x, 2.2))(src_al), 0)
+    )
+
+    def _sharded_blur():
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("rows",))
+        return jax.jit(lambda x: blur_plane(x, 2.2, mesh=mesh))(src_al)
+
+    # the shard_map'd kernel (ppermute halo exchange) on a 1-device mesh —
+    # re-runs the battery for the NEW formulation per CLAUDE.md's rule
+    cases.append(("blur_pallas_sharded", _sharded_blur, 0))
     from kanter_core_tpu.slot_image import _jitted_converters
 
     sweep = (np.arange(65536, dtype=np.float32) / 65535.0).reshape(256, 256)
