@@ -709,7 +709,7 @@ class Engine:
             if prog is None:
                 prog = CompiledGraph(
                     snapshot, emit_all=True, preset=preset,
-                    pallas_ok=self.tex_pro.mesh is None,
+                    mesh=self.tex_pro.mesh,
                 )
                 with self._fused_programs_lock:
                     self._fused_programs[fingerprint] = prog
@@ -832,7 +832,7 @@ class Engine:
         from .transient_buffer import plane_from_host
 
         preset_nodes = {nid for nid, _ in preset}
-        if not tiled.graph_is_tileable(snapshot, preset_nodes):
+        if not tiled.graph_is_tileable(snapshot, preset_nodes, allow_graph=True):
             return False
         try:
             bindings = collect_value_bindings(snapshot)
@@ -865,18 +865,33 @@ class Engine:
                         b.host_data() for b in sd.image.planes
                     )
 
-            infos = tiled.infer_sizes(snapshot, bindings, preset)
+            # inline nested Graph nodes so >HBM partitions containing them
+            # band instead of falling back to an unfittable dense program
+            # (`graph.rs:25-48`; flattener doc in tiled.py)
+            try:
+                flat = tiled.flatten_graph_nodes(snapshot, bindings, preset)
+            except TexProError:
+                flat = None  # dense path owns the error semantics
+            if flat is None:
+                return False
+            flat_graph, remap_back, extra_bindings = flat
+            bindings.update(extra_bindings)
+
+            infos = tiled.infer_sizes(flat_graph, bindings, preset)
             if tiled.total_plane_bytes(infos) <= tile_bytes:
                 return False
 
             partition_set = set(partition)
-            interior = {
-                e.output_id for e in snapshot.edges if e.input_id in partition_set
-            }
+            consumed = {e.output_id for e in flat_graph.edges}
             targets = []
-            for nid in partition:
-                if nid not in interior:
-                    targets.extend((nid, slot) for slot in infos[nid].out_planes)
+            for fnode in flat_graph.nodes:
+                fnid = fnode.node_id
+                if fnid in consumed or fnid in preset_nodes:
+                    continue
+                for slot in infos[fnid].out_planes:
+                    onid, _oslot = remap_back.get((fnid, slot), (fnid, slot))
+                    if onid in partition_set:
+                        targets.append((fnid, slot))
             if not targets:
                 return False
 
@@ -889,7 +904,7 @@ class Engine:
             band_rows = max(8, int(tile_bytes // max(bytes_per_row, 1)))
 
             evaluator = self._cached_tiled_evaluator(
-                snapshot, targets, bindings, preset, band_rows
+                flat_graph, targets, bindings, preset, band_rows
             )
             nodes_by_id = {n.node_id: n for n in snapshot.nodes}
 
@@ -904,8 +919,9 @@ class Engine:
 
             results: dict = {}
             for (nid, slot), planes in outs.items():
+                onid, oslot = remap_back.get((nid, slot), (nid, slot))
                 image = SlotImage([plane_from_host(p) for p in planes])
-                results.setdefault(nid, []).append(SlotData(nid, slot, image))
+                results.setdefault(onid, []).append(SlotData(onid, oslot, image))
             node_results = [
                 (nid, sorted(results.get(nid, []), key=lambda sd: sd.slot_id))
                 for nid in partition

@@ -27,9 +27,11 @@ engine path can drop to tiled evaluation under a device budget without
 observable differences except peak memory. `tests/test_tiled.py` asserts
 bit parity over mixed graphs.
 
-Not tileable (the engine keeps the dense fused path): nested Graph nodes
-(the tracing compiler inline-flattens them; flatten first if banding is
-needed) and Write sinks (never fused anyway, `engine._contains_write`).
+Nested Graph nodes are inline-flattened first (`flatten_graph_nodes`, the
+tiled analog of the fused compiler's trace-time inlining) so >HBM graphs
+containing them still band. Not tileable (the engine keeps the dense fused
+path): inner Embed nodes (per-LiveGraph side channel) and Write sinks
+(never fused anyway, `engine._contains_write`).
 """
 
 from __future__ import annotations
@@ -63,12 +65,222 @@ TILEABLE_KINDS = frozenset(
 )
 
 
-def graph_is_tileable(graph, preset_nodes=frozenset()) -> bool:
-    """True if every (non-preset) node kind has a banded twin."""
-    return all(
-        n.node_type.kind in TILEABLE_KINDS or n.node_id in preset_nodes
-        for n in graph.nodes
-    )
+def graph_is_tileable(graph, preset_nodes=frozenset(), allow_graph: bool = False) -> bool:
+    """True if every (non-preset) node kind has a banded twin.
+
+    `allow_graph=True` additionally accepts nested Graph nodes whose inner
+    graphs are themselves tileable — the engine then flattens them via
+    `flatten_graph_nodes` before banding. Inner Embed nodes stay untileable
+    (their binding side-channel is per-LiveGraph; the dense path owns that
+    error case)."""
+
+    def ok(node, top: bool) -> bool:
+        kind = node.node_type.kind
+        if top and node.node_id in preset_nodes:
+            return True
+        if allow_graph and kind == K.GRAPH:
+            return all(ok(m, False) for m in node.node_type.payload.nodes)
+        if not top and kind == K.EMBED:
+            return False
+        return kind in TILEABLE_KINDS
+
+    return all(ok(n, True) for n in graph.nodes)
+
+
+def _ancestor_subgraph(graph, node_id):
+    """The strict-ancestor closure of `node_id` as a standalone graph (for
+    size inference while flattening; in topo order every ancestor of the
+    first Graph node is already flattened)."""
+    keep: set = set()
+    stack = [node_id]
+    while stack:
+        nid = stack.pop()
+        for e in graph.edges:
+            if e.input_id == nid and e.output_id not in keep:
+                keep.add(e.output_id)
+                stack.append(e.output_id)
+    sub = type(graph)()
+    sub.nodes = [n for n in graph.nodes if n.node_id in keep]
+    sub.edges = [e for e in graph.edges if e.output_id in keep and e.input_id in keep]
+    return sub
+
+
+def flatten_graph_nodes(graph, bindings, preset=None):
+    """Inline nested Graph nodes (`/root/reference/src/node/graph.rs:25-48`)
+    into a flat graph of banded-twin-capable nodes — the tiled analog of the
+    fused compiler's trace-time inlining (`compiler.GraphCompiler._emit`,
+    K.GRAPH), so a >HBM partition containing Graph nodes can band instead
+    of falling back to a dense program that cannot fit.
+
+    Semantics preserved exactly:
+
+    - the reference resizes a Graph node's inputs to its working size
+      BEFORE handing them to inner Input nodes (`node_type.rs:213-248` then
+      `graph.rs:25-31`), so each connected inner Input node becomes a
+      pass-through Output node with `SpecificSize(working)` and the Graph
+      node's resize filter — the banded resize twin replays the identical
+      resample;
+    - inner Input node id `n` binds the outer edge at input slot `n`
+      (InputRgba: the lowest connected slot — `input_rgba.rs:7-13` indexes
+      `input_slot_datas[0]`); an inner Input with outer-edge consumers but
+      no outer edge aborts flattening (the dense path owns that error);
+    - inner Output node `m` stands in for the Graph node's output slot `m`
+      (`SlotId(m) ≡ inner NodeId(m)`, `node_graph.rs:271-313`).
+
+    Returns `(flat_graph, remap_back, extra_bindings)` where `remap_back`
+    maps flat `(node_id, SlotId)` → original Graph-node `(node_id, SlotId)`
+    for result commit and `extra_bindings` carries decoded inner Image
+    planes and inner Value payloads; or `None` when the graph cannot be
+    flattened (inner Embed, unbound inner Input, dangling output slot).
+    """
+    from .compiler import _topo_order
+    from .edge import Edge
+    from .errors import TexProError
+    from .node import Node, NodeType, ResizePolicy
+    from .ops import image_io
+
+    preset_nodes = {nid for nid, _ in (preset or {})}
+    flat = type(graph)()
+    flat.nodes = list(graph.nodes)
+    flat.edges = list(graph.edges)
+    remap_back: dict = {}
+    extra_bindings: dict = {}
+    next_id = max((int(n.node_id) for n in flat.nodes), default=0) + 1
+
+    def fresh() -> NodeId:
+        nonlocal next_id
+        nid = NodeId(next_id)
+        next_id += 1
+        return nid
+
+    while True:
+        # first Graph node in topo order: all its ancestors are flattened,
+        # so their sizes are inferable
+        gnode = next(
+            (
+                flat.node(nid)
+                for nid in _topo_order(flat)
+                if flat.node(nid).node_type.kind == K.GRAPH
+                and nid not in preset_nodes
+            ),
+            None,
+        )
+        if gnode is None:
+            return flat, remap_back, extra_bindings
+        gid = gnode.node_id
+        inner = gnode.node_type.payload
+        in_edges = [e for e in flat.edges if e.input_id == gid]  # insertion order
+        in_edges_sorted = sorted(in_edges, key=lambda e: e.input_slot)
+        out_edges = [e for e in flat.edges if e.output_id == gid]
+
+        working = None
+        if in_edges:
+            anc = _ancestor_subgraph(flat, gid)
+            anc_infos = infer_sizes(anc, {**bindings, **extra_bindings}, preset)
+            sized = [
+                _Sized(
+                    e.output_id,
+                    e.output_slot,
+                    anc_infos[e.output_id].slot_size(e.output_slot),
+                )
+                for e in in_edges
+            ]
+            working = calculate_size(sized, in_edges_sorted, gnode.resize_policy)
+
+        id_map: dict = {}
+        new_nodes: list = []
+        new_edges: list = []
+        for n in inner.nodes:
+            kind = n.node_type.kind
+            if kind in (K.INPUT_GRAY, K.INPUT_RGBA):
+                if not any(e.output_id == n.node_id for e in inner.edges):
+                    continue  # unused inner input: drop
+                if kind == K.INPUT_RGBA:
+                    edge = in_edges_sorted[0] if in_edges_sorted else None
+                else:
+                    edge = next(
+                        (
+                            e
+                            for e in in_edges
+                            if int(e.input_slot) == int(n.node_id)
+                        ),
+                        None,
+                    )
+                if edge is None:
+                    return None  # unbound inner input: dense path owns the error
+                pt = Node(NodeType.OutputGray(f"flat_in_{int(gid)}_{int(n.node_id)}"))
+                pt.node_id = fresh()
+                pt.resize_policy = ResizePolicy.SpecificSize(working)
+                pt.resize_filter = gnode.resize_filter
+                new_nodes.append(pt)
+                new_edges.append(
+                    Edge(
+                        output_id=edge.output_id,
+                        input_id=pt.node_id,
+                        output_slot=edge.output_slot,
+                        input_slot=SlotId(0),
+                    )
+                )
+                id_map[n.node_id] = pt.node_id
+                continue
+            if kind == K.EMBED:
+                return None  # per-LiveGraph side channel; not flattenable
+            if kind not in TILEABLE_KINDS and kind != K.GRAPH:
+                return None
+            clone = n.deep_clone_type()
+            clone.node_id = fresh()
+            id_map[n.node_id] = clone.node_id
+            new_nodes.append(clone)
+            if kind == K.VALUE:
+                # bind the CURRENT payload: a cached evaluator's baked graph
+                # may hold a stale constant, bindings always win
+                extra_bindings[f"value_{int(clone.node_id)}"] = np.float32(
+                    n.node_type.payload
+                )
+            elif kind == K.IMAGE:
+                try:
+                    si = image_io.read_slot_image(n.node_type.payload)
+                except TexProError:
+                    si = image_io.magenta_placeholder()
+                extra_bindings[f"image_{int(clone.node_id)}"] = tuple(
+                    p.host_data() for p in si.planes
+                )
+
+        for e in inner.edges:
+            src = id_map.get(e.output_id)
+            dst = id_map.get(e.input_id)
+            if src is None or dst is None:
+                continue  # edge from a dropped unused input
+            new_edges.append(
+                Edge(
+                    output_id=src,
+                    input_id=dst,
+                    output_slot=e.output_slot,
+                    input_slot=e.input_slot,
+                )
+            )
+
+        inner_out = {int(oid): id_map.get(oid) for oid in inner.output_ids()}
+        for e in out_edges:
+            src = inner_out.get(int(e.output_slot))
+            if src is None:
+                return None  # consumer of a nonexistent output slot
+            new_edges.append(
+                Edge(
+                    output_id=src,
+                    input_id=e.input_id,
+                    output_slot=SlotId(0),
+                    input_slot=e.input_slot,
+                )
+            )
+        for oid_int, fid in inner_out.items():
+            if fid is not None:
+                remap_back[(fid, SlotId(0))] = (gid, SlotId(oid_int))
+
+        flat.nodes = [n for n in flat.nodes if n.node_id != gid] + new_nodes
+        flat.edges = [
+            e for e in flat.edges if e.output_id != gid and e.input_id != gid
+        ] + new_edges
 
 
 class _Sized:
