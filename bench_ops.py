@@ -118,6 +118,25 @@ def stages(canvas: int):
             4, 16, 0.25,
         )
 
+    # --- blur through the shard_map'd kernel on a 1-chip mesh: the sharded
+    #     composition's overhead vs the plain kernel (the ring halo exchange
+    #     is a self-permute here; multi-chip adds 2·radius·W rows over ICI) ---
+    import jax as _jax
+    from jax.sharding import Mesh as _Mesh
+
+    mesh1 = _Mesh(np.asarray(_jax.devices()[:1]), ("rows",))
+    for sigma in (1.0, 5.0):
+        yield (
+            f"blur_sharded_s{int(sigma)}",
+            (lambda s, m: lambda c, ps: (blur_plane(ps[0] + c, s, mesh=m),))(
+                sigma, mesh1
+            ),
+            (p1,),
+            4 * plane_bytes,
+            canvas * canvas,
+            4, 16, 0.25,
+        )
+
     # --- resample up ×2 and down ×2, Triangle + Lanczos3
     #     (traffic: in read + tmp[outH,inW] write+read + out write) ---
     for filt, fname in ((ResizeFilter.TRIANGLE, "tri"), (ResizeFilter.LANCZOS3, "lcz")):

@@ -31,6 +31,11 @@ class ErrorKind(enum.Enum):
     NODE_DIRTY = "NodeDirty"
     IO = "Io"
     INVALID_NAME = "InvalidName"
+    # extension: device-capacity failure that could not be row-banded away
+    # (no reference counterpart — the reference aborts the process on any
+    # allocation failure; here the error is graph-fatal but the processor
+    # and its other live graphs keep running)
+    RESOURCE_EXHAUSTED = "ResourceExhausted"
 
 
 _MESSAGES = {

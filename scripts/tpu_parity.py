@@ -293,5 +293,10 @@ def dump_ref(path: str) -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--dump-ref":
         dump_ref(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--determinism-only":
+        # the f32-plane battery alone (the goldens take many tunnel minutes;
+        # re-verifying a NEW kernel formulation only needs these rows)
+        print(f"backend: {jax.default_backend()}")
+        f32_determinism()
     else:
         main()
