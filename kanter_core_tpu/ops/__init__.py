@@ -60,7 +60,7 @@ def process_node_internal(node, slot_datas, embedded_slot_datas, input_slot_data
     elif kind == K.HEIGHT_TO_NORMAL:
         output = height_to_normal.process(shutdown, slot_datas, node)
     elif kind == K.BLUR:
-        output = blur.process(slot_datas, node, node.node_type.payload)
+        output = blur.process(slot_datas, node, node.node_type.payload, mesh=tex_pro.mesh)
     elif kind == K.SEPARATE_RGBA:
         output = separate_combine.process_separate(slot_datas, node)
     elif kind == K.COMBINE_RGBA:
@@ -77,10 +77,52 @@ def process_node_internal(node, slot_datas, embedded_slot_datas, input_slot_data
     return output
 
 
+def _shard_inputs(slot_datas, mesh):
+    """Row-shard a per-node dispatch's input planes over the mesh's first
+    axis so GSPMD partitions the eager kernels — the auto_update path's
+    mesh story, mirroring `engine._shard_overrides` for fused programs
+    (SURVEY §2 #2: device streams replace threads).
+
+    Steady state is free: a node's outputs commit sharded, so its
+    consumers' `device_put` with the same sharding is an identity and the
+    original PlaneBuffers (with their aliasing) flow through untouched;
+    only unsharded leaves (fresh image decodes) pay one placement."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..slot_image import SlotImage
+    from ..transient_buffer import plane_from_device
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.shape[0]
+    sharding = NamedSharding(mesh, P(axis, None))
+
+    out = []
+    for slot_data in slot_datas:
+        planes = []
+        changed = False
+        for plane in slot_data.image.planes:
+            data = plane.data()
+            if getattr(data, "ndim", 0) == 2 and data.shape[0] >= n:
+                placed = jax.device_put(data, sharding)
+                if placed is not data:
+                    plane = plane_from_device(placed)
+                    changed = True
+            planes.append(plane)
+        out.append(
+            SlotData(slot_data.node_id, slot_data.slot_id, SlotImage(planes))
+            if changed
+            else slot_data
+        )
+    return out
+
+
 def process_node(node, slot_datas, embedded_slot_datas, input_slot_datas, edges, tex_pro):
     assert len(edges) == len(slot_datas), f"NodeType: {node.node_type!r}"
 
     edges = sorted(edges, key=lambda e: e.input_slot)
+    if tex_pro.mesh is not None:
+        slot_datas = _shard_inputs(slot_datas, tex_pro.mesh)
     slot_datas = resize_buffers(slot_datas, edges, node.resize_policy, node.resize_filter)
     slot_datas = assign_slot_ids(slot_datas, edges)
 

@@ -105,20 +105,20 @@ def blur_plane(plane, sigma: float, pallas_ok: bool = True, mesh=None):
 
 
 @functools.lru_cache(maxsize=64)  # sigma edits mint new programs; bound them
-def _kernel(sigma: float, planes: int):
+def _kernel(sigma: float, planes: int, mesh=None):
     import jax
 
     def f(*ps):
-        return tuple(blur_plane(p, sigma) for p in ps)
+        return tuple(blur_plane(p, sigma, mesh=mesh) for p in ps)
 
     return jax.jit(f)
 
 
-def process(slot_datas, node, sigma: float):
+def process(slot_datas, node, sigma: float, mesh=None):
     slot_data = slot_data_with_name(slot_datas, node, "input")
     if slot_data is None:
         return []
     planes = [p.data() for p in slot_data.image.planes]
-    outs = _kernel(round(float(sigma), 6), len(planes))(*planes)
+    outs = _kernel(round(float(sigma), 6), len(planes), mesh)(*planes)
     image = SlotImage([plane_from_device(o) for o in outs])
     return [SlotData(node.node_id, SlotId(0), image)]
