@@ -39,7 +39,10 @@ acks). Every stage here instead:
 re-evaluation including the tunnel round trip and a forcing read
 (`tunnel_roundtrip_ms` records the measured floor — a no-op dispatch+fetch);
 `incremental_device_ms` is the amortized on-device time a local deployment
-would see.
+would see. `sustained_edit_ms` is the pipelined interactive number: K edits
+(value tick + input roll) dispatched asynchronously with ONE forcing read at
+the end — a single synchronous edit can never beat the RTT on this tunnel,
+but an editor pipelining slider ticks amortizes it below the 10 ms target.
 
 The north-star target is >=50 Gpixel/s fused-graph throughput on a v5e-8;
 per chip that is 6.25 Gpixel/s. The headline `value` counts RAW OUTPUT
@@ -156,10 +159,66 @@ def main() -> None:
     incremental_p50_ms = float(np.percentile(lat, 50))
     extras["incremental_device_ms"] = round(chain_s * 1e3, 3)
 
+    # --- sustained (pipelined) editing: K edits submitted asynchronously,
+    # all forced at the end. One SYNCHRONOUS edit can never beat the tunnel
+    # round trip (incremental_p50_ms ≈ tunnel_roundtrip_ms + device time);
+    # an editor that pipelines slider ticks amortizes the RTT across K
+    # in-flight evaluations — this is the deployment-relevant interactive
+    # number, and on local hardware it converges to the device time. ---
+    K = 32
+    import jax.numpy as jnp
+
+    # distinctness driver: a value edit PLUS a per-iteration roll of one
+    # input plane (value steps alone can collide — the chaotic chain needs
+    # ~log2(1/δ) iterations to decorrelate a δ-sized edit, and the in-band
+    # step budget is too small at K=32); the roll is data movement the
+    # checksum's corner slice sees directly. Also the realistic editor mix:
+    # slider ticks + canvas strokes.
+    base0 = prog._bindings[f"input_{int(inputs[0])}"][0]
+    roll_jit = jax.jit(lambda p, k: jnp.roll(p, k, axis=0))
+    in0_key = f"input_{int(inputs[0])}"
+    # warm the override-shape executable, roll program, AND the K-way stack
+    # outside the window (each compile costs seconds through the tunnel)
+    warm_chk = chk_jit(prog(**{in0_key: (roll_jit(base0, 999),)})[out_key])
+    np.asarray(jnp.stack([warm_chk] * K))
+    chks = []
+    t0 = time.perf_counter()
+    for i in range(K):
+        prog.set_value(white, 0.9 - (i + 1) * 1e-4)
+        rolled = roll_jit(base0, i + 1)
+        r = prog(**{in0_key: (rolled,)})
+        chks.append(chk_jit(r[out_key]))  # async device checksum, no force yet
+    # ONE forcing read for all K results (an editor fetches only the latest
+    # preview; fetching each intermediate would serialize K tunnel RTTs)
+    sustained_vals = np.asarray(jnp.stack(chks)).tolist()
+    sustained_ms = (time.perf_counter() - t0) * 1000.0 / K
+    sus_ok = len(set(sustained_vals)) == len(sustained_vals)
+    distinct &= sus_ok
+    extras["sustained_edit_k"] = K
+    extras["sustained_edit_ms"] = round(sustained_ms, 3)
+    extras["sustained_edit_checksums_distinct"] = sus_ok
+
     # --- config 5 AT SPEC: BATCH×BATCH_CANVAS² (default 16×4096²) batched
     # re-eval. Inputs 4×16×4k² f32 = 4.3 GB + outputs 4.3 GB fit a 16 GB
     # chip; if this backend OOMs, halve the canvas and SAY SO. ---
     del chain, prog  # release the 4k chain's planes before the 4.3 GB stage
+
+    # per-shape roofline for config 5: achievable pointwise bandwidth at the
+    # batched stage's 1 GB buffers is measurably LOWER than at 64 MB planes
+    # (measured ~667 vs ~800 GB/s on this chip) — batched_implied_gbps must
+    # be read against THIS calibration, not the small-plane roofline (the
+    # r2 "20% below roofline" gap was exactly this artifact).
+    cal = tuple(
+        _device_random((BATCH, BATCH_CANVAS, BATCH_CANVAS), seed=60 + i)
+        for i in range(3)
+    )
+    calb = _ScanBench(lambda c, ps: tuple(p * c for p in ps), cal, n1=2, n2=8)
+    cal_s, cal_ok = calb.run(repeats=3)
+    roofline_batched = 2 * 3 * BATCH * BATCH_CANVAS * BATCH_CANVAS * 4 / cal_s / 1e9
+    distinct &= cal_ok
+    extras["roofline_batched_gbps"] = round(roofline_batched, 1)
+    del cal, calb
+
     batch_canvas = BATCH_CANVAS
     bgraph, binputs, bwhite, bout = bounded_chain_graph(depth=16)
     bwhite_key = f"value_{int(bwhite)}"
@@ -198,9 +257,9 @@ def main() -> None:
     extras["batched_canvas"] = batch_canvas
     extras["batched_reeval_device_ms"] = round(batched_s * 1e3, 3)
     extras["batched_raw_gpix_s"] = round(batched_raw_gpix, 2)
-    extras["batched_implied_gbps"] = round(
-        6 * BATCH * batch_canvas * batch_canvas * 4 / batched_s / 1e9, 1
-    )
+    batched_gbps = 6 * BATCH * batch_canvas * batch_canvas * 4 / batched_s / 1e9
+    extras["batched_implied_gbps"] = round(batched_gbps, 1)
+    extras["batched_of_batched_roofline"] = round(batched_gbps / roofline_batched, 3)
 
     # --- config 4 eviction clause: the SAME 64-node chain through the live
     # engine with a device tier too small for the chain's ~(CHAIN+1) gray

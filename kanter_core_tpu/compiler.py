@@ -392,7 +392,6 @@ class CompiledGraph:
         node_graph: NodeGraph,
         targets: Optional[list[tuple]] = None,
         include_u8: bool = False,
-        donate: bool = False,
         preset=None,
         emit_all: bool = False,
         pallas_ok: bool = True,
@@ -464,8 +463,14 @@ class CompiledGraph:
                     out[key] = tuple(img.planes)
             return out
 
+        # NOT donated: every plane argument is owned by a live PlaneBuffer
+        # (boundary/embed/input slot datas) or reused across interactive
+        # re-runs (image bindings), so input-output aliasing would free
+        # buffers the engine still reads. Donation lives where buffers are
+        # genuinely one-shot: the tiled evaluator's band arguments
+        # (`tiled.TiledEvaluator`).
         self._raw_fn = fn  # un-jitted traceable fn (vmap/shard composition)
-        self._fn = jax.jit(fn, donate_argnums=(0,) if donate else ())
+        self._fn = jax.jit(fn)
 
     @staticmethod
     def _shape_signature(args: dict):

@@ -570,7 +570,18 @@ class TiledEvaluator:
         from .compiler import _topo_order
 
         self._topo = _topo_order(graph)
-        self._jit = jax.jit(self._band_fn)
+        # leaf band planes are one-shot per band (freshly gathered host
+        # slices, never reused) — donate them so XLA reuses their device
+        # buffers for the output bands, trimming peak band memory; scalars
+        # and index vectors stay in the non-donated operand. Halo-expanded
+        # bands whose shapes match no output are legitimately not aliased —
+        # silence XLA's best-effort warning about exactly that.
+        import warnings
+
+        warnings.filterwarnings(
+            "ignore", message="Some donated buffers were not usable"
+        )
+        self._jit = jax.jit(self._band_fn, donate_argnums=(0,))
         self.peak_band_bytes = 0  # max per-band host↔device traffic, for tests
 
     # --- backward pass: per-band row requirements ---
@@ -703,8 +714,10 @@ class TiledEvaluator:
     # pytree signature) and on per-evaluator static metadata (`self.infos`),
     # never on mutable per-band Python state — so cached executables are
     # reused across bands with matching structure.
-    def _band_fn(self, args: dict) -> dict:
+    def _band_fn(self, donated: dict, rest: dict) -> dict:
         import jax.numpy as jnp
+
+        args = {**donated, **rest}
 
         from .compiler import ImgVal, _as_type, _from_value, _zeros
         from .ops.resize import _apply_axis0, _apply_axis0_indexed
@@ -936,10 +949,12 @@ class TiledEvaluator:
                 hi = min(lo + self.band_rows, height)
                 R = self._band_rows_needed(group, lo, hi)
                 args = self._band_args(R)
+                band_bytes = sum(np.asarray(v).nbytes for v in args.values())
                 if self.mesh is not None:
                     args = self._shard_band_args(args)
-                out = self._jit(args)
-                band_bytes = sum(np.asarray(v).nbytes for v in args.values())
+                donated = {k: v for k, v in args.items() if k.startswith("leaf_")}
+                rest = {k: v for k, v in args.items() if not k.startswith("leaf_")}
+                out = self._jit(donated, rest)
                 for tnid, tslot in group:
                     planes = out[f"t{int(tnid)}_{int(tslot)}"]
                     for p, plane in enumerate(planes):
