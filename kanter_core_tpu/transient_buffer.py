@@ -215,8 +215,26 @@ class PlaneBuffer:
         self._tier = Tier.DEVICE
 
     # --- tier transitions (manager thread) ---
+    def begin_evict(self) -> bool:
+        """Phase 1 of a pipelined DEVICE→HOST eviction: start the async
+        device→host copy without blocking, so the manager can overlap many
+        victims' transfers instead of serializing one round trip per plane
+        (the r2 evict stage spent 123 s moving ~1 GB at ~8 MB/s effective
+        because each `np.asarray` waited out the tunnel alone). Returns True
+        if this plane is a device-resident eviction candidate."""
+        with self._lock:
+            if self._tier != Tier.DEVICE:
+                return False
+            try:
+                self._device.copy_to_host_async()
+            except AttributeError:  # non-jax array (tests) — phase 2 copies
+                pass
+            return True
+
     def evict_to_host(self) -> bool:
-        """DEVICE → HOST. Returns True if a move happened."""
+        """DEVICE → HOST (phase 2 when `begin_evict` ran: the async copy has
+        landed and `np.asarray` is a cheap materialization). Returns True if
+        a move happened."""
         with self._lock:
             if self._tier != Tier.DEVICE:
                 return False
@@ -383,9 +401,18 @@ class PlaneBufferQueue:
                 b.bytes() for b in self._entries.values() if b.tier == Tier.DEVICE
             )
             if in_memory > threshold:
+                # two-phase: start ALL victims' async device→host copies,
+                # then materialize — transfers overlap instead of paying one
+                # blocking round trip per plane
+                victims = []
+                pending = in_memory
                 for buf in list(self._entries.values()):
-                    if in_memory <= threshold:
+                    if pending <= threshold:
                         break
+                    if buf.begin_evict():
+                        victims.append(buf)
+                        pending -= buf.bytes()
+                for buf in victims:
                     if buf.evict_to_host():
                         in_memory -= buf.bytes()
                         worked = True
