@@ -1,17 +1,152 @@
-"""Model zoo — for a texture engine, "models" are graph templates.
+"""Model zoo: material pipelines + canned graph templates.
 
-Re-exports the canonical pipelines from `kanter_core_tpu.graphs` (the
-reference ships exactly one: the invert subgraph in `data/invert_graph.json`)
-and adds the material generators in `models.materials` — multi-output
-height→PBR pipelines (normal/AO/roughness/albedo) built from the node
-vocabulary.
+Material pipelines — multi-output graph templates for PBR texture maps.
+
+The reference ships exactly one canned pipeline (the invert subgraph,
+`/root/reference/data/invert_graph.json`); real texture tools ship material
+generators. These templates compose the engine's node vocabulary (Mix ×5,
+Blur, HeightToNormal, Separate/CombineRgba — `/root/reference/src/node/`)
+into complete height→material pipelines with multiple named outputs, usable
+directly or embedded as nested `Graph` nodes.
+
+All math happens in the graph (no host post-processing), so the pipelines
+inherit everything the engine gives graphs: incremental dirty re-eval of
+single maps, fused one-dispatch evaluation, recipe-cache hits on parameter
+undo, batch/mesh sharding, tiled > HBM evaluation, and `jax.grad` through
+`kanter_core_tpu.autodiff` (e.g. fit `ao_sigma` to a target AO map).
+
+Also re-exports the canonical graph templates from `kanter_core_tpu.graphs`
+(the reference ships exactly one: the invert subgraph in
+`data/invert_graph.json`).
 """
 
-from .materials import (
-    ambient_occlusion_graph,
-    emboss_graph,
-    pbr_material_graph,
-)
+
+from __future__ import annotations
+
+from ..ids import NodeId, SlotId
+from ..node import MixType, Node, NodeType
+from ..node_graph import NodeGraph
+
+
+def _value(graph: NodeGraph, v: float) -> NodeId:
+    return graph.add_node(Node(NodeType.Value(v)))
+
+
+def _mix(graph: NodeGraph, mix_type: MixType, left: NodeId, right: NodeId,
+         left_slot: SlotId = SlotId(0), right_slot: SlotId = SlotId(0)) -> NodeId:
+    node = graph.add_node(Node(NodeType.Mix(mix_type)))
+    graph.connect(left, node, left_slot, SlotId(0))
+    graph.connect(right, node, right_slot, SlotId(1))
+    return node
+
+
+def ambient_occlusion_graph(sigma: float = 6.0, strength: float = 0.75) -> NodeGraph:
+    """Gray heightmap in → screen-space-style AO approximation out.
+
+    Local concavity: `ao = 1 − strength·max(blur_σ(h) − h, 0)` — cavities
+    (where the neighborhood average exceeds the height) darken, ridges stay
+    white. Mix clamps to [0, 1] exactly like the reference's kernels
+    (`mix.rs:136-192` operates on raw f32; the clamp comes from the u8
+    export and the SUBTRACT's consumers here keep values in range).
+    """
+    graph = NodeGraph()
+    height = graph.add_node(Node(NodeType.InputGray("height")))
+    blur = graph.add_node(Node(NodeType.Blur(sigma)))
+    graph.connect(height, blur, SlotId(0), SlotId(0))
+    # cavity = blur(h) - h  (negative on ridges; SUBTRACT keeps raw f32)
+    cavity = _mix(graph, MixType.SUBTRACT, blur, height)
+    # scaled = cavity * strength
+    scaled = _mix(graph, MixType.MULTIPLY, cavity, _value(graph, strength))
+    # ao = 1 - scaled  (ridges: scaled < 0 → ao > 1, clamped at u8 export,
+    # and by the resize clamp if consumed at another size — reference parity)
+    ao = _mix(graph, MixType.SUBTRACT, _value(graph, 1.0), scaled,
+              right_slot=SlotId(0))
+    out = graph.add_node(Node(NodeType.OutputGray("ao")))
+    graph.connect(ao, out, SlotId(0), SlotId(0))
+    return graph
+
+
+def pbr_material_graph(
+    normal_pre_sigma: float = 0.8,
+    ao_sigma: float = 6.0,
+    ao_strength: float = 0.75,
+    roughness_base: float = 0.35,
+    roughness_cavity: float = 0.5,
+) -> NodeGraph:
+    """Gray heightmap in → four PBR texture maps out, one graph:
+
+    - `normal`  (RGBA): pre-blurred height → tangent-space normal map;
+    - `ao`      (gray): cavity AO, `1 − k·max(blur(h) − h, 0)`;
+    - `roughness` (gray): `base + cavity_weight·(1 − ao)` — cavities are
+      rougher (dirt/wear accumulates there);
+    - `albedo`  (RGBA): height-tinted base color (height-lerped channels).
+
+    The whole material is ONE dirty-tracked graph: editing `ao_sigma`
+    re-evaluates only the AO/roughness branch; the engine fuses whatever is
+    dirty into a single program per read. Embed it as a `Graph` node to
+    stamp materials inside larger compositions.
+    """
+    graph = NodeGraph()
+    height = graph.add_node(Node(NodeType.InputGray("height")))
+
+    # --- normal branch ---
+    pre = graph.add_node(Node(NodeType.Blur(normal_pre_sigma)))
+    graph.connect(height, pre, SlotId(0), SlotId(0))
+    h2n = graph.add_node(Node(NodeType.HeightToNormal()))
+    graph.connect(pre, h2n, SlotId(0), SlotId(0))
+    normal_out = graph.add_node(Node(NodeType.OutputRgba("normal")))
+    graph.connect(h2n, normal_out, SlotId(0), SlotId(0))
+
+    # --- ao branch: 1 - strength * (blur(h) - h) ---
+    ao_blur = graph.add_node(Node(NodeType.Blur(ao_sigma)))
+    graph.connect(height, ao_blur, SlotId(0), SlotId(0))
+    cavity = _mix(graph, MixType.SUBTRACT, ao_blur, height)
+    scaled = _mix(graph, MixType.MULTIPLY, cavity, _value(graph, ao_strength))
+    ao = _mix(graph, MixType.SUBTRACT, _value(graph, 1.0), scaled)
+    ao_out = graph.add_node(Node(NodeType.OutputGray("ao")))
+    graph.connect(ao, ao_out, SlotId(0), SlotId(0))
+
+    # --- roughness branch: base + cavity_weight * (1 - ao) = base + cw*scaled
+    rough = _mix(
+        graph, MixType.ADD,
+        _mix(graph, MixType.MULTIPLY, scaled, _value(graph, roughness_cavity)),
+        _value(graph, roughness_base),
+    )
+    rough_out = graph.add_node(Node(NodeType.OutputGray("roughness")))
+    graph.connect(rough, rough_out, SlotId(0), SlotId(0))
+
+    # --- albedo branch: per-channel lerp between two tints by height ---
+    # channel = low + h * (high - low), expressed with Value nodes so tint
+    # edits are fused-program argument swaps (no recompilation)
+    low = (0.22, 0.17, 0.12)   # cavity tint
+    high = (0.58, 0.52, 0.45)  # ridge tint
+    channels = []
+    for lo, hi in zip(low, high):
+        span = _mix(graph, MixType.MULTIPLY, height, _value(graph, hi - lo))
+        channels.append(_mix(graph, MixType.ADD, span, _value(graph, lo)))
+    combine = graph.add_node(Node(NodeType.CombineRgba()))
+    for i, ch in enumerate(channels):
+        graph.connect(ch, combine, SlotId(0), SlotId(i))
+    albedo_out = graph.add_node(Node(NodeType.OutputRgba("albedo")))
+    graph.connect(combine, albedo_out, SlotId(0), SlotId(0))
+
+    return graph
+
+
+def emboss_graph(strength: float = 0.6) -> NodeGraph:
+    """Gray in → emboss-style relief: `0.5 + k·(h − blur₁(h))` sharpens
+    local detail around mid-gray (an unsharp mask re-centered at 0.5)."""
+    graph = NodeGraph()
+    height = graph.add_node(Node(NodeType.InputGray("height")))
+    blur = graph.add_node(Node(NodeType.Blur(1.0)))
+    graph.connect(height, blur, SlotId(0), SlotId(0))
+    detail = _mix(graph, MixType.SUBTRACT, height, blur)
+    scaled = _mix(graph, MixType.MULTIPLY, detail, _value(graph, strength))
+    emboss = _mix(graph, MixType.ADD, scaled, _value(graph, 0.5))
+    out = graph.add_node(Node(NodeType.OutputGray("emboss")))
+    graph.connect(emboss, out, SlotId(0), SlotId(0))
+    return graph
+
 
 from ..graphs import (
     blend_graph,

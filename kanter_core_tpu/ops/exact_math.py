@@ -2,7 +2,7 @@
 
 The reference's pixel math is Rust f32 linked against glibc (`mix.rs:136-192`
 does plain `/` and `powf`). XLA CPU matches glibc bit-for-bit (verified over
-the full u8-decoded grid — see kanter_core_tpu.precision), but TPU hardware
+the full u8-decoded grid — see DESIGN.md §7), but TPU hardware
 computes divide as reciprocal-multiply (~1 ulp) and pow via its own exp/log
 (~1-2 ulp). This module recovers reference-grade rounding ON DEVICE with
 double-single arithmetic: every intermediate is an unevaluated pair of f32s

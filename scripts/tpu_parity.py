@@ -9,7 +9,7 @@ blockwise tiled engine paths — fused partitions and the per-node
 auto_update path — with `tile_bytes=1`), and every determinism row OK — the only allowed
 f32-level difference is mix POW, where glibc powf itself misrounds ~48 of
 the 65536 u8-grid points (ds_pow returns the correctly-rounded value; u8
-export absorbs all of them). See kanter_core_tpu.precision.
+export absorbs all of them). See DESIGN.md §7.
 
 Run: python scripts/tpu_parity.py
 """
