@@ -103,16 +103,38 @@ class _SymData:
         return self.img.size
 
 
+def _const_guard(plane):
+    """Barrier constant-origin planes (default fills, forced alphas).
+
+    XLA's constant folder is NOT bit-identical to its runtime kernels: a
+    compile-time-constant plane flowing through a tap-sum chain (resample,
+    blur) folds to values up to 1 ulp off what the same formulas compute at
+    runtime (measured: Value→H2N→resize+Blur alpha folded to 0.99999994
+    where eager/tiled runtime — and Rust — give 1.0). The barrier keeps
+    constant planes out of the folder so every traced consumer (fused,
+    tiled, bucketed) matches the eager path's runtime bits. Eager kernels
+    are safe by construction — their inputs arrive as runtime arrays."""
+    from jax import lax
+
+    return lax.optimization_barrier(plane)
+
+
 def _ones_like(plane):
     import jax.numpy as jnp
 
-    return jnp.ones_like(plane)
+    return _const_guard(jnp.ones_like(plane))
+
+
+def _ones(shape):
+    import jax.numpy as jnp
+
+    return _const_guard(jnp.ones(shape, jnp.float32))
 
 
 def _zeros(shape):
     import jax.numpy as jnp
 
-    return jnp.zeros(shape, jnp.float32)
+    return _const_guard(jnp.zeros(shape, jnp.float32))
 
 
 def _as_type(img: ImgVal, rgba: bool) -> ImgVal:
@@ -131,9 +153,9 @@ def _from_value(size: Size, value: float, rgba: bool) -> ImgVal:
     import jax.numpy as jnp
 
     shape = (size.height, size.width)
-    plane = jnp.full(shape, jnp.float32(value), jnp.float32)
+    plane = _const_guard(jnp.full(shape, jnp.float32(value), jnp.float32))
     if rgba:
-        return ImgVal([plane, plane, plane, jnp.ones(shape, jnp.float32)])
+        return ImgVal([plane, plane, plane, _ones(shape)])
     return ImgVal([plane])
 
 
@@ -265,7 +287,7 @@ class GraphCompiler:
                 return [(SlotId(0), by_slot[min(by_slot)])]
             if kind == K.OUTPUT_RGBA:
                 z = _zeros((1, 1))
-                return [(SlotId(0), ImgVal([z, z, z, jnp.ones((1, 1), jnp.float32)]))]
+                return [(SlotId(0), ImgVal([z, z, z, _ones((1, 1))]))]
             return [(SlotId(0), ImgVal([_zeros((1, 1))]))]
 
         if kind == K.MIX:
@@ -351,7 +373,7 @@ class GraphCompiler:
                     ErrorKind.INVALID_SLOT_TYPE,
                     "RGBA image connected to a CombineRgba input slot",
                 )
-            alpha = alpha_img.planes[0] if alpha_img is not None else jnp.ones(shape, jnp.float32)
+            alpha = alpha_img.planes[0] if alpha_img is not None else _ones(shape)
             return [(SlotId(0), ImgVal([color(0), color(1), color(2), alpha]))]
 
         if kind == K.GRAPH:

@@ -58,8 +58,12 @@ def _blur_axis0(plane, taps: np.ndarray):
 
     radius = (len(taps) - 1) // 2
     acc = jnp.zeros_like(plane)
+    # roll on a length-1 axis is the identity — short-circuit it (same
+    # bits, and the degenerate roll chains otherwise hang XLA:CPU's
+    # compile when composed: blur(1×1)→resample→blur measured >100 s)
+    degenerate = plane.shape[0] == 1
     for t, w in enumerate(taps):
-        shifted = jnp.roll(plane, radius - t, axis=0)  # wrap addressing
+        shifted = plane if degenerate else jnp.roll(plane, radius - t, axis=0)
         acc = acc + nc_mul(shifted, jnp.float32(w))
     return acc
 
@@ -100,7 +104,14 @@ def blur_plane(plane, sigma: float, pallas_ok: bool = True, mesh=None):
 
         if fits_kernel(plane.shape[1], len(taps)):
             return _blur_pallas_wrapped(taps_tuple)(plane)
-    vert = _blur_axis0(plane, taps)
+    from jax import lax
+
+    # barrier the operand: without it XLA:CPU duplicates the producer
+    # expression into every rolled tap and its simplifier blows up on
+    # composed chains (blur→resample→blur from a 1×1 Value measured >100 s
+    # of compile; with the barrier 1.7 s). Runtime bits are unchanged — the
+    # blur reads a materialized input either way.
+    vert = _blur_axis0(lax.optimization_barrier(plane), taps)
     return _blur_axis0(vert.T, taps).T
 
 

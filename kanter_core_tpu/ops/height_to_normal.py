@@ -44,17 +44,26 @@ def _h2n_jnp(h):
     """jnp implementation (bit-exact vs the Rust scalar loop)."""
     import jax.numpy as jnp
 
-    up = jnp.roll(h, 1, axis=0)  # sample at (x, y-1) wrapped
+    # roll on a length-1 axis is the identity (see ops/blur._blur_axis0's
+    # degenerate-roll note)
+    up = h if h.shape[0] == 1 else jnp.roll(h, 1, axis=0)
     return _h2n_core(h, up, *h.shape)
 
 
-def _h2n_core(h, up, height: int, width: int):
+def _h2n_core(h, up, height: int, width: int, left=None, pdx=None, pdy=None):
     """The per-pixel normal math given pre-gathered `up` rows.
 
     `h`/`up` may be a row band of a larger plane (tiled evaluation gathers
     the wrapped y-1 rows host-side); `height`/`width` are the GLOBAL canvas
     dims (they set the texel step, `height_to_normal.rs:49-52`). Arithmetic
     is identical to evaluating the full plane — bands are bit-transparent.
+
+    The shape-bucketed evaluator (`kanter_core_tpu.bucketed`) additionally
+    pre-gathers the x−1 wrap column (`left`, since a roll on a padded-width
+    plane would wrap into the pad) and passes HOST-computed f32 texel steps
+    (`pdx`/`pdy` as traced scalars — computing 1/width on device would hit
+    TPU's ~1 ulp division); both default to the formulations above, so the
+    non-bucketed paths are unchanged.
     """
     import jax
     import jax.numpy as jnp
@@ -67,19 +76,27 @@ def _h2n_core(h, up, height: int, width: int):
     else:
         from .exact_math import corrected_div as _div, corrected_sqrt as _sqrt
 
-    pdx = jnp.float32(1.0) / jnp.float32(width)
-    pdy = jnp.float32(1.0) / jnp.float32(height)
+    if pdx is None:
+        pdx = jnp.float32(1.0) / jnp.float32(width)
+    if pdy is None:
+        pdy = jnp.float32(1.0) / jnp.float32(height)
 
-    left = jnp.roll(h, 1, axis=1)  # sample at (x-1, y) wrapped
+    if left is None:
+        # sample at (x-1, y) wrapped; identity on a single-column plane
+        left = h if h.shape[1] == 1 else jnp.roll(h, 1, axis=1)
 
     # tangent = normalize([pdx, 0, h - left])
+    # pdx²/pdy² go through nc_mul: with STATIC sizes they are compile-time
+    # constants either way, but the bucketed path passes pdx/pdy as traced
+    # scalars and XLA:CPU's LLVM would contract `pdx*pdx + X` into a
+    # one-rounding FMA (measured: 18 f32-bit diffs at 97×411)
     tz = h - left
-    tnorm = _sqrt((pdx * pdx + jnp.float32(0.0)) + nc_mul(tz, tz))
+    tnorm = _sqrt((nc_mul(pdx, pdx) + jnp.float32(0.0)) + nc_mul(tz, tz))
     tx, ty, tzn = _div(pdx, tnorm), _div(jnp.float32(0.0), tnorm), _div(tz, tnorm)
 
     # bitangent = normalize([0, pdy, up - h])
     bz = up - h
-    bnorm = _sqrt((jnp.float32(0.0) + pdy * pdy) + nc_mul(bz, bz))
+    bnorm = _sqrt((jnp.float32(0.0) + nc_mul(pdy, pdy)) + nc_mul(bz, bz))
     bx, by, bzn = _div(jnp.float32(0.0), bnorm), _div(pdy, bnorm), _div(bz, bnorm)
 
     # normal = normalize(cross(tangent, bitangent))
@@ -90,7 +107,9 @@ def _h2n_core(h, up, height: int, width: int):
     nx, ny, nz = _div(cx, cnorm), _div(cy, cnorm), _div(cz, cnorm)
 
     half = jnp.float32(0.5)
-    alpha = jnp.ones_like(h)
+    from jax import lax
+
+    alpha = lax.optimization_barrier(jnp.ones_like(h))  # see compiler._const_guard
     return (
         nc_mul(nx, half) + half,
         nc_mul(ny, half) + half,

@@ -23,7 +23,7 @@ from ..slot_data import SlotData
 from ..slot_image import SlotImage
 from ..transient_buffer import plane_from_device
 from .common import slot_data_with_name
-from .exact_math import corrected_div, ds_pow
+from .exact_math import corrected_div, ds_pow, nc_mul
 
 
 def _binary(mix_type: MixType):
@@ -43,7 +43,16 @@ def _binary(mix_type: MixType):
     if mix_type == MixType.SUBTRACT:
         return lambda l, r: l - r
     if mix_type == MixType.MULTIPLY:
-        return lambda l, r: l * r
+        # nc_mul, not a bare `l * r`: value-identical everywhere (plain mul
+        # on TPU), but on XLA:CPU the Dekker guard stops LLVM from
+        # contracting the product into a consumer's add/sub as a
+        # one-rounding FMA. Measured: with the product exposed to inlining
+        # (the bucketed evaluator's gather-argument data movement),
+        # Mix(MULTIPLY)→HeightToNormal produced 43 f32-bit diffs at 97×411;
+        # the roll-based paths only avoided it because rolls force the
+        # operand to materialize. CLAUDE.md's rule applied: any product
+        # that can feed an add goes through nc_mul on CPU.
+        return nc_mul
     if mix_type == MixType.DIVIDE:
         return corrected_div
     if mix_type == MixType.POW:

@@ -719,7 +719,7 @@ class TiledEvaluator:
 
         args = {**donated, **rest}
 
-        from .compiler import ImgVal, _as_type, _from_value, _zeros
+        from .compiler import ImgVal, _as_type, _from_value, _ones, _ones_like, _zeros
         from .ops.resize import _apply_axis0, _apply_axis0_indexed
 
         env: dict = {}  # (node_id, slot_id) -> ImgVal of band planes
@@ -784,7 +784,7 @@ class TiledEvaluator:
                 elif kind == K.OUTPUT_RGBA:
                     z = _zeros((1, 1))
                     env[(node_id, SlotId(0))] = ImgVal(
-                        [z, z, z, jnp.ones((1, 1), jnp.float32)]
+                        [z, z, z, _ones((1, 1))]
                     )
                 else:
                     env[(node_id, SlotId(0))] = ImgVal([_zeros((1, 1))])
@@ -809,7 +809,7 @@ class TiledEvaluator:
                 op = _binary(node.node_type.payload)
                 if left.is_rgba:
                     planes = [op(left.planes[i], right.planes[i]) for i in range(3)]
-                    planes.append(jnp.ones_like(planes[0]))
+                    planes.append(_ones_like(planes[0]))
                 else:
                     planes = [op(left.planes[0], right.planes[0])]
                 env[(node_id, SlotId(0))] = ImgVal(planes)
@@ -871,7 +871,7 @@ class TiledEvaluator:
                 alpha = (
                     alpha_img.planes[0]
                     if alpha_img is not None
-                    else jnp.ones(shape, jnp.float32)
+                    else _ones(shape)
                 )
                 env[(node_id, SlotId(0))] = ImgVal(
                     [color(0), color(1), color(2), alpha]
