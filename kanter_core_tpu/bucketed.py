@@ -1,0 +1,480 @@
+"""Shape-bucketed interactive evaluation: size drags compile per BUCKET.
+
+SURVEY §7 hard-part 2 / VERDICT r2 missing #5: dragging a canvas size
+(editing a `ResizePolicy.SpecificSize` payload, the reference's
+`node/mod.rs:33-47` target-size mechanism) changes plane shapes, and XLA
+compiles per shape — through a remote tunnel that costs seconds per
+compile, a 1000→1400 px drag meant ~400 compiles. Here every computed
+node's plane is PADDED to a size bucket and all size-dependent data
+movement rides in program *arguments*:
+
+- every inter-node edge is mediated by host-computed gather indices
+  (`g_`/`c_` row/column pads) or resample tap indices + weights
+  (`ri_`/`rw_`/`ci_`/`cw_`, exactly `ops.resize.resample_weights`' output,
+  zero-padded in the tap dimension — the production `_apply_axis0` already
+  masks zero-weight taps, so padding taps is the SAME transformation the
+  golden-proven kernels perform);
+- wrap stencils gather their toroidal neighbors through index arguments
+  computed from the TRUE size (`u_`/`hl_` for HeightToNormal — the tiled
+  evaluator's chip-proven gather formulation — and `bv_`/`bh_` for Blur);
+- texel-step scalars (1/width) are computed host-side and passed as f32
+  scalar arguments (an on-device division would hit TPU's ~1 ulp rounding).
+
+Pad regions are never read: gathers index only true rows/columns, and
+garbage propagates harmlessly through elementwise ops until the final
+[:true_h, :true_w] slice. Two sizes in the same bucket therefore produce
+identical argument SHAPES → one jitted executable serves the whole bucket,
+and a drag costs one compile per bucket crossed (`traces` counts them).
+
+Bit-exactness: every op re-uses the lockstep twins (`_apply_axis0_indexed`,
+`_h2n_core`, `mix._binary`, the blur tap loop), so output planes are
+bit-identical to `compiler.CompiledGraph` — `tests/test_bucketed.py`
+fuzzes the equivalence. This is the FOURTH consumer of the op set
+(CLAUDE.md: eager / fused / tiled / bucketed stay in lockstep).
+
+Scope: the tileable op set minus nested Graph nodes (flatten first with
+`tiled.flatten_graph_nodes`) and Write sinks; topology or plane-count
+changes require a new `BucketedGraph` (size edits do not).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .errors import ErrorKind, TexProError
+from .geometry import Size
+from .ids import NodeId, SlotId
+from .node import NodeTypeKind
+from .ops.resize import resample_weights
+
+K = NodeTypeKind
+
+#: kinds the bucketed trace supports (Graph must be pre-flattened)
+BUCKETABLE_KINDS = frozenset(
+    {
+        K.VALUE, K.IMAGE, K.INPUT_GRAY, K.INPUT_RGBA, K.EMBED,
+        K.OUTPUT_GRAY, K.OUTPUT_RGBA, K.MIX, K.HEIGHT_TO_NORMAL, K.BLUR,
+        K.SEPARATE_RGBA, K.COMBINE_RGBA,
+    }
+)
+
+_LEAF_KINDS = frozenset({K.IMAGE, K.EMBED, K.INPUT_GRAY, K.INPUT_RGBA})
+
+
+def bucket_of(n: int, bucket: int) -> int:
+    """Pad target for a true extent: tiny sizes stay exact (defaults and
+    Value planes), sub-bucket sizes round to powers of two, larger sizes to
+    the next `bucket` multiple."""
+    n = int(n)
+    if n <= 16:
+        return n
+    if n < bucket:
+        p = 16
+        while p < n:
+            p *= 2
+        return p
+    return -(-n // bucket) * bucket
+
+
+def _bucket_lo(p: int, bucket: int) -> int:
+    """Smallest true extent mapping to pad target `p` (for tap bounds)."""
+    if p <= 16:
+        return p
+    if p < bucket:
+        return p // 2 + 1
+    return p - bucket + 1
+
+
+def _pad1(a: np.ndarray, target: int) -> np.ndarray:
+    a = np.asarray(a, dtype=np.int32)
+    if len(a) >= target:
+        return a[:target]
+    fill = a[-1] if len(a) else 0
+    return np.concatenate([a, np.full(target - len(a), fill, np.int32)])
+
+
+class BucketedGraph:
+    """Compile-once-per-bucket interactive evaluator for a flat node graph.
+
+    Usage: build, then per size edit mutate the graph's node payloads
+    (e.g. a SpecificSize resize policy) and call — the call marshals fresh
+    index/weight arguments host-side (~ms) and reuses the bucket's compiled
+    executable. `traces` counts actual (re)traces for tests/telemetry.
+    """
+
+    def __init__(self, node_graph, targets=None, bucket: int = 256):
+        import jax
+
+        from . import tiled
+        from .compiler import _topo_order
+        from .node import NodeTypeKind as _K
+        from .ops import image_io
+
+        for node in node_graph.nodes:
+            if node.node_type.kind not in BUCKETABLE_KINDS:
+                raise TexProError(
+                    ErrorKind.INVALID_NODE_TYPE,
+                    f"not bucketable: {node.node_type!r} (flatten Graph nodes "
+                    "with tiled.flatten_graph_nodes first)",
+                )
+        self.graph = node_graph
+        self.bucket = int(bucket)
+        self._topo = _topo_order(node_graph)
+        self.traces = 0
+
+        import jax.numpy as jnp
+
+        # leaf bindings (device-resident jnp arrays, uploaded once — numpy
+        # here would re-upload per call; re-bind via bind_*)
+        self._bindings: dict = {}
+        for node in node_graph.nodes:
+            if node.node_type.kind == _K.IMAGE:
+                try:
+                    si = image_io.read_slot_image(node.node_type.payload)
+                except TexProError:
+                    si = image_io.magenta_placeholder()
+                self._bindings[f"image_{int(node.node_id)}"] = tuple(
+                    jnp.asarray(p.host_data()) for p in si.planes
+                )
+
+        if targets is None:
+            with_children = {e.output_id for e in node_graph.edges}
+            targets = [
+                (n.node_id, SlotId(0))
+                for n in node_graph.nodes
+                if n.node_id not in with_children
+            ]
+        self.targets = [(NodeId(n), SlotId(s)) for n, s in targets]
+
+        # structural metadata (plane counts + input lists) from one
+        # inference pass — size-independent as long as topology/bindings
+        # plane counts stay fixed
+        infos0 = tiled.infer_sizes(node_graph, self._tiled_bindings(), {})
+        self._counts = {nid: dict(info.out_planes) for nid, info in infos0.items()}
+        self._inputs = {nid: list(info.inputs) for nid, info in infos0.items()}
+
+        self._jit = jax.jit(self._fn)
+
+    # --- bindings ---
+    def _tiled_bindings(self) -> dict:
+        from .compiler import collect_value_bindings
+
+        b = dict(self._bindings)
+        b.update(collect_value_bindings(self.graph))
+        return b
+
+    def bind_input(self, node_id, planes) -> None:
+        import jax.numpy as jnp
+
+        self._bindings[f"input_{int(node_id)}"] = tuple(
+            jnp.asarray(np.asarray(p, np.float32)) for p in planes
+        )
+
+    def bind_embed(self, embedded_slot_data_id, planes) -> None:
+        import jax.numpy as jnp
+
+        self._bindings[f"embed_{int(embedded_slot_data_id)}"] = tuple(
+            jnp.asarray(np.asarray(p, np.float32)) for p in planes
+        )
+
+    def set_size(self, node_id, size: Size) -> None:
+        """Interactive size edit: point `node_id`'s resize policy at `size`
+        (`NodeGraph.node` returns clones, so a convenience mutator is the
+        honest API here)."""
+        from .node import ResizePolicy
+
+        node = self.graph._node_with_id_mut(NodeId(int(node_id)))
+        if node is None:
+            raise TexProError(ErrorKind.INVALID_NODE_ID)
+        node.resize_policy = ResizePolicy.SpecificSize(size)
+
+    # --- per-call marshalling (host) ---
+    def _marshal(self, infos) -> dict:
+        B = self.bucket
+        args: dict = {}
+        for node_id in self._topo:
+            node = self.graph.node(node_id)
+            kind = node.node_type.kind
+            nid = int(node_id)
+            info = infos[node_id]
+
+            if kind == K.VALUE:
+                args[f"value_{nid}"] = np.float32(node.node_type.payload)
+                continue
+            if kind in _LEAF_KINDS:
+                if kind == K.IMAGE:
+                    key = f"image_{nid}"
+                elif kind == K.EMBED:
+                    key = f"embed_{int(node.node_type.payload)}"
+                else:
+                    key = f"input_{nid}"
+                if kind == K.INPUT_RGBA and key not in self._bindings:
+                    key = "input_rgba_first"
+                planes = self._bindings.get(key)
+                if planes is None:
+                    raise TexProError(
+                        ErrorKind.INVALID_BUFFER_COUNT, f"no binding {key}"
+                    )
+                for p, plane in enumerate(planes):
+                    args[f"leaf_{nid}_{p}"] = plane
+                continue
+
+            if info.working is None or not self._inputs[node_id]:
+                continue  # no inputs: the emit uses 1×1 defaults, no args
+            th, tw = info.working.height, info.working.width
+            ph_, pw_ = bucket_of(th, B), bucket_of(tw, B)
+
+            for slot, pid, pslot in self._inputs[node_id]:
+                parent = infos[pid]
+                pk = parent.node.node_type.kind
+                psz = parent.slot_size(pslot)
+                base = f"{nid}_{int(slot)}"
+                if (psz.height, psz.width) != (th, tw):
+                    # argumentized two-pass resample (resample_plane twin)
+                    filt = node.resize_filter
+                    for axis, in_len, out_len, out_pad in (
+                        ("r", psz.height, th, ph_),
+                        ("c", psz.width, tw, pw_),
+                    ):
+                        lefts, weights = resample_weights(in_len, out_len, filt)
+                        taps = weights.shape[1]
+                        t_bound = self._tap_bound(pk, in_len, out_pad, filt)
+                        t_bound = max(t_bound, taps)
+                        idx = np.clip(
+                            lefts[:, None] + np.arange(taps)[None, :],
+                            0,
+                            in_len - 1,
+                        ).astype(np.int32)
+                        idxp = np.zeros((out_pad, t_bound), np.int32)
+                        wp = np.zeros((out_pad, t_bound), np.float32)
+                        idxp[:out_len, :taps] = idx
+                        wp[:out_len, :taps] = weights
+                        args[f"{axis}i_{base}"] = idxp
+                        args[f"{axis}w_{base}"] = wp
+                else:
+                    # same size: pad-gather only if the parent's plane shape
+                    # differs from this node's padded shape
+                    psh = self._plane_shape(pk, psz, B)
+                    if psh != (ph_, pw_):
+                        args[f"g_{base}"] = _pad1(np.arange(th), ph_)
+                        args[f"c_{base}"] = _pad1(np.arange(tw), pw_)
+
+            if kind == K.HEIGHT_TO_NORMAL:
+                args[f"u_{nid}"] = _pad1((np.arange(th) - 1) % th, ph_)
+                args[f"hl_{nid}"] = _pad1((np.arange(tw) - 1) % tw, pw_)
+                args[f"pdx_{nid}"] = np.float32(1.0) / np.float32(tw)
+                args[f"pdy_{nid}"] = np.float32(1.0) / np.float32(th)
+            elif kind == K.BLUR:
+                from .ops.blur import gaussian_taps
+
+                taps = gaussian_taps(round(float(node.node_type.payload), 6))
+                r = (len(taps) - 1) // 2
+                args[f"bv_{nid}"] = np.stack(
+                    [_pad1((np.arange(th) + t - r) % th, ph_) for t in range(len(taps))]
+                )
+                args[f"bh_{nid}"] = np.stack(
+                    [_pad1((np.arange(tw) + t - r) % tw, pw_) for t in range(len(taps))]
+                )
+        return args
+
+    def _plane_shape(self, kind, size: Size, B: int) -> tuple:
+        """In-trace plane shape of a producer: leaves stay at true shape,
+        computed nodes are padded."""
+        if kind in _LEAF_KINDS or kind == K.VALUE:
+            return (size.height, size.width)
+        return (bucket_of(size.height, B), bucket_of(size.width, B))
+
+    def _tap_bound(self, pk, in_len, out_pad, filt) -> int:
+        """Bucket-stable tap-count bound: worst ratio over the bucket =
+        largest in extent (the parent's pad target; leaves are static) over
+        the smallest out extent mapping to `out_pad`."""
+        B = self.bucket
+        in_hi = (
+            in_len
+            if pk in _LEAF_KINDS or pk == K.VALUE
+            else bucket_of(in_len, B)
+        )
+        out_lo = _bucket_lo(out_pad, B)
+        return resample_weights(in_hi, max(1, out_lo), filt)[1].shape[1]
+
+    # --- the traced evaluation (shapes come ONLY from args) ---
+    def _fn(self, args: dict) -> dict:
+        import jax.numpy as jnp
+
+        from .compiler import ImgVal, _as_type, _from_value, _ones, _ones_like, _zeros
+        from .ops.resize import _apply_axis0_indexed
+
+        self.traces += 1
+        env: dict = {}
+
+        for node_id in self._topo:
+            node = self.graph.node(node_id)
+            kind = node.node_type.kind
+            nid = int(node_id)
+
+            if kind == K.VALUE:
+                env[(node_id, SlotId(0))] = ImgVal(
+                    [jnp.reshape(jnp.asarray(args[f"value_{nid}"], jnp.float32), (1, 1))]
+                )
+                continue
+            if kind in _LEAF_KINDS:
+                count = self._counts[node_id][SlotId(0)]
+                env[(node_id, SlotId(0))] = ImgVal(
+                    [args[f"leaf_{nid}_{p}"] for p in range(count)]
+                )
+                continue
+
+            def edge_val(slot, pid, pslot):
+                planes = env[(pid, pslot)].planes
+                base = f"{nid}_{int(slot)}"
+                if f"ri_{base}" in args:
+                    vert = [
+                        _apply_axis0_indexed(p, args[f"ri_{base}"], args[f"rw_{base}"])
+                        for p in planes
+                    ]
+                    return ImgVal(
+                        [
+                            _apply_axis0_indexed(
+                                v.T, args[f"ci_{base}"], args[f"cw_{base}"]
+                            ).T
+                            for v in vert
+                        ]
+                    )
+                if f"g_{base}" in args:
+                    g, c = args[f"g_{base}"], args[f"c_{base}"]
+                    return ImgVal([p[g][:, c] for p in planes])
+                return ImgVal(list(planes))
+
+            by_slot = {
+                slot: edge_val(slot, pid, pslot)
+                for slot, pid, pslot in self._inputs[node_id]
+            }
+
+            if kind in (K.OUTPUT_GRAY, K.OUTPUT_RGBA):
+                if by_slot:
+                    env[(node_id, SlotId(0))] = by_slot[min(by_slot)]
+                elif kind == K.OUTPUT_RGBA:
+                    z = _zeros((1, 1))
+                    env[(node_id, SlotId(0))] = ImgVal(
+                        [z, z, z, _ones((1, 1))]
+                    )
+                else:
+                    env[(node_id, SlotId(0))] = ImgVal([_zeros((1, 1))])
+                continue
+
+            if kind == K.MIX:
+                from .ops.mix import _binary
+
+                left, right = by_slot.get(SlotId(0)), by_slot.get(SlotId(1))
+                if left is not None:
+                    rgba = left.is_rgba
+                    right = (
+                        _as_type(right, rgba)
+                        if right is not None
+                        else _from_value(left.size, 0.0, rgba)
+                    )
+                elif right is not None:
+                    left = _from_value(right.size, 0.0, right.is_rgba)
+                else:
+                    env[(node_id, SlotId(0))] = ImgVal([_zeros((1, 1))])
+                    continue
+                op = _binary(node.node_type.payload)
+                if left.is_rgba:
+                    planes = [op(left.planes[i], right.planes[i]) for i in range(3)]
+                    planes.append(_ones_like(planes[0]))
+                else:
+                    planes = [op(left.planes[0], right.planes[0])]
+                env[(node_id, SlotId(0))] = ImgVal(planes)
+                continue
+
+            if kind == K.HEIGHT_TO_NORMAL:
+                from .ops.height_to_normal import _h2n_core
+
+                h = by_slot[SlotId(0)].planes[0]
+                up = h[args[f"u_{nid}"]]
+                left = h[:, args[f"hl_{nid}"]]
+                outs = _h2n_core(
+                    h, up, 0, 0,
+                    left=left, pdx=args[f"pdx_{nid}"], pdy=args[f"pdy_{nid}"],
+                )
+                env[(node_id, SlotId(0))] = ImgVal(list(outs))
+                continue
+
+            if kind == K.BLUR:
+                from .ops.blur import gaussian_taps
+                from .ops.exact_math import nc_mul
+
+                taps = gaussian_taps(round(float(node.node_type.payload), 6))
+                bv, bh = args[f"bv_{nid}"], args[f"bh_{nid}"]
+                planes = []
+                for p in by_slot[SlotId(0)].planes:
+                    acc = jnp.zeros_like(p)
+                    for t, w in enumerate(taps):
+                        acc = acc + nc_mul(p[bv[t]], jnp.float32(w))
+                    out = jnp.zeros_like(acc)
+                    for t, w in enumerate(taps):
+                        out = out + nc_mul(acc[:, bh[t]], jnp.float32(w))
+                    planes.append(out)
+                env[(node_id, SlotId(0))] = ImgVal(planes)
+                continue
+
+            if kind == K.SEPARATE_RGBA:
+                inp = by_slot.get(SlotId(0))
+                if inp is not None and inp.is_rgba:
+                    for i in range(4):
+                        env[(node_id, SlotId(i))] = ImgVal([inp.planes[i]])
+                else:
+                    for i in range(4):
+                        env[(node_id, SlotId(i))] = ImgVal([_zeros((1, 1))])
+                continue
+
+            if kind == K.COMBINE_RGBA:
+                size = by_slot[min(by_slot)].size if by_slot else Size(1, 1)
+                shape = (size.height, size.width)
+                shared_zero = None
+
+                def color(slot):
+                    nonlocal shared_zero
+                    img = by_slot.get(SlotId(slot))
+                    if img is not None:
+                        return img.planes[0]
+                    if shared_zero is None:
+                        shared_zero = _zeros(shape)
+                    return shared_zero
+
+                alpha_img = by_slot.get(SlotId(3))
+                alpha = (
+                    alpha_img.planes[0]
+                    if alpha_img is not None
+                    else _ones(shape)
+                )
+                env[(node_id, SlotId(0))] = ImgVal(
+                    [color(0), color(1), color(2), alpha]
+                )
+                continue
+
+            raise TexProError(  # pragma: no cover — gated in __init__
+                ErrorKind.INVALID_NODE_TYPE, f"cannot bucket {node.node_type!r}"
+            )
+
+        return {
+            f"t{int(tnid)}_{int(tslot)}": tuple(env[(tnid, tslot)].planes)
+            for tnid, tslot in self.targets
+        }
+
+    # --- evaluation ---
+    def __call__(self) -> dict:
+        from . import tiled
+
+        infos = tiled.infer_sizes(self.graph, self._tiled_bindings(), {})
+        args = self._marshal(infos)
+        out = self._jit(args)
+        results: dict = {}
+        for tnid, tslot in self.targets:
+            info = infos[tnid]
+            size = info.slot_size(tslot)
+            results[(tnid, tslot)] = [
+                np.asarray(p)[: size.height, : size.width]
+                for p in out[f"t{int(tnid)}_{int(tslot)}"]
+            ]
+        return results

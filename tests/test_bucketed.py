@@ -1,0 +1,146 @@
+"""Shape-bucketed evaluation (`kanter_core_tpu.bucketed`) — compile counts
+and bit parity vs the unbucketed fused compiler.
+
+The bucketed evaluator is the FOURTH lockstep consumer of the op set
+(eager / fused / tiled / bucketed); these tests enforce its half of the
+contract: bit-identical pixels at every size, executables shared per size
+bucket.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import HEART_128
+from test_fuzz_equivalence import _build_random_graph
+
+from kanter_core_tpu import (
+    MixType,
+    Node,
+    NodeGraph,
+    NodeType,
+    ResizePolicy,
+    Size,
+    SlotId,
+)
+from kanter_core_tpu.bucketed import BucketedGraph, bucket_of
+from kanter_core_tpu.compiler import CompiledGraph
+
+
+def _drag_chain(w=300, h=300):
+    g = NodeGraph()
+    img = g.add_node(Node(NodeType.Image(str(HEART_128))))
+    sep = g.add_node(Node(NodeType.SeparateRgba()))
+    g.connect(img, sep, SlotId(0), SlotId(0))
+    val = g.add_node(Node(NodeType.Value(0.7)))
+    mix = Node(NodeType.Mix(MixType.MULTIPLY))
+    mix.resize_policy = ResizePolicy.SpecificSize(Size(w, h))
+    mix = g.add_node(mix)
+    g.connect(sep, mix, SlotId(0), SlotId(0))
+    g.connect(val, mix, SlotId(0), SlotId(1))
+    h2n = g.add_node(Node(NodeType.HeightToNormal()))
+    g.connect(mix, h2n, SlotId(0), SlotId(0))
+    bl = g.add_node(Node(NodeType.Blur(1.3)))
+    g.connect(h2n, bl, SlotId(0), SlotId(0))
+    out = g.add_node(Node(NodeType.OutputRgba("out")))
+    g.connect(bl, out, SlotId(0), SlotId(0))
+    return g, mix, out
+
+
+def _ref(graph_builder, w, h, out_key):
+    g, _, out = graph_builder(w, h)
+    return [
+        np.asarray(p)
+        for p in CompiledGraph(g, targets=[(out, SlotId(0))])()[(out, SlotId(0))]
+    ]
+
+
+def test_size_drag_compiles_per_bucket():
+    """VERDICT r2 missing #5 'done' criterion: a size drag compiles once
+    per bucket crossed, not once per size, with bit-exact unpadded output
+    vs the unbucketed path at sampled sizes. (Drag range 360→560 px — two
+    buckets at 256: 512 and 768 — keeps the single-core CPU suite fast;
+    scripts/bench_bucketed.py runs the 1000→1400 spec drag on chip.)"""
+    g, mix, out = _drag_chain()
+    bg = BucketedGraph(g, targets=[(out, SlotId(0))])
+
+    sizes = list(range(360, 561, 10))  # 21 sizes
+    checked = {360, 460, 560}
+    for s in sizes:
+        bg.set_size(mix, Size(s, s))
+        got = bg()[(out, SlotId(0))]
+        if s in checked:
+            ref = _ref(_drag_chain, s, s, out)
+            for r, gp in zip(ref, got):
+                assert np.array_equal(r, gp), f"size {s} diverged"
+    assert bg.traces <= 2, f"{bg.traces} compiles for {len(sizes)} sizes"
+
+
+def test_mixed_aspect_drags_bit_exact():
+    """Irregular aspect drags (up/down per axis, sub-bucket sizes) stay
+    bit-exact; buckets shared where pad targets coincide."""
+    g, mix, out = _drag_chain()
+    bg = BucketedGraph(g, targets=[(out, SlotId(0))])
+    for w, h in [(300, 300), (301, 290), (512, 200), (97, 411), (55, 710), (411, 97)]:
+        bg.set_size(mix, Size(w, h))
+        got = bg()[(out, SlotId(0))]
+        ref = _ref(_drag_chain, w, h, out)
+        for r, gp in zip(ref, got):
+            assert r.shape == gp.shape
+            assert np.array_equal(r, gp), f"{w}x{h} diverged"
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_bucketed_fuzz_matches_compiled(seed):
+    """Random op-soup graphs evaluate bit-identically through the bucketed
+    evaluator, including after random SpecificSize edits (the lockstep
+    fuzz contract extended to the fourth consumer)."""
+    rng = np.random.default_rng(1000 + seed)
+    graph, _ = _build_random_graph(seed, allow_graph_nodes=False)
+
+    with_children = {e.output_id for e in graph.edges}
+    targets = [
+        (n.node_id, SlotId(0)) for n in graph.nodes if n.node_id not in with_children
+    ]
+    bg = BucketedGraph(graph, targets=targets)
+
+    resizable = [
+        n.node_id
+        for n in graph.nodes
+        if any(e.input_id == n.node_id for e in graph.edges)
+    ]
+    for round_ in range(2):
+        if round_ > 0 and resizable:
+            nid = resizable[rng.integers(len(resizable))]
+            bg.set_size(
+                nid, Size(int(rng.integers(20, 300)), int(rng.integers(20, 300)))
+            )
+        got = bg()
+        ref_prog = CompiledGraph(graph, targets=targets)
+        ref = ref_prog()
+        for key in targets:
+            k = (key[0], SlotId(key[1]))
+            for r, gp in zip(ref[k], got[k]):
+                assert np.array_equal(np.asarray(r), gp), f"seed {seed} {k} diverged"
+
+
+def test_tiny_sizes_stay_exact():
+    """Sizes ≤16 are not padded (defaults and Value planes keep their exact
+    shapes); the pow-2 ladder covers sub-bucket sizes."""
+    assert bucket_of(1, 256) == 1
+    assert bucket_of(16, 256) == 16
+    assert bucket_of(17, 256) == 32
+    assert bucket_of(97, 256) == 128
+    assert bucket_of(256, 256) == 256
+    assert bucket_of(257, 256) == 512
+    assert bucket_of(1000, 256) == 1024
+
+
+def test_bucketed_rejects_graph_nodes():
+    from kanter_core_tpu import TexProError
+    from kanter_core_tpu.graphs import invert_graph
+
+    g = NodeGraph()
+    inner = invert_graph()
+    g.add_node(Node(NodeType.Graph(inner)))
+    with pytest.raises(TexProError):
+        BucketedGraph(g)
