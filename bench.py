@@ -267,13 +267,13 @@ def main() -> None:
     # includes those device→host transfers (over the tunnel, here); the
     # bytes_host metric proves eviction actually happened. ---
     del bprog, bound
-    # Default 2048: the stage's wall time is dominated by device→host
-    # eviction transfers through the remote tunnel, whose 30-240 s stalls
-    # (CLAUDE.md) make the 4k spec point too variable for a budgeted run
-    # (measured twice at 4096: 77 s and 346 s wall, identical pixel
-    # checksum 1548799557, evict_bytes_host 872 MB both times). Set
-    # KANTER_BENCH_EVICT_CANVAS=4096 to reproduce BASELINE config 4 at spec.
-    evict_canvas = int(os.environ.get("KANTER_BENCH_EVICT_CANVAS", "2048"))
+    # Default 4096 = BASELINE config 4 AT SPEC. Two-phase pipelined eviction
+    # (transient_buffer.begin_evict) overlaps the device→host copies, which
+    # brought the 4k point from 77-346 s (r2, serial per-plane round trips)
+    # to ~70 s wall (checksum 1548799557, evict_bytes_host 872 MB — matching
+    # the r2 out-of-band measurements). Override with
+    # KANTER_BENCH_EVICT_CANVAS=2048 if tunnel stalls blow the budget.
+    evict_canvas = int(os.environ.get("KANTER_BENCH_EVICT_CANVAS", "4096"))
     evict_threshold = int(
         os.environ.get("KANTER_BENCH_EVICT_THRESHOLD", str(4 * evict_canvas * evict_canvas))
     )  # default: ONE gray plane — every further commit forces eviction
