@@ -85,6 +85,31 @@ def _bucket_lo(p: int, bucket: int) -> int:
     return p - bucket + 1
 
 
+def size_normalized_fingerprint(graph, extra: str = "") -> str:
+    """Structure hash with SpecificSize payloads normalized out (on top of
+    the compiler's Value normalization): two graphs differing only in
+    dragged sizes share one bucketed evaluator — the size itself rides in
+    the marshalled arguments."""
+    import hashlib
+    import json
+
+    from .compiler import _normalize_values
+
+    def normalize_sizes(gj):
+        out = {"nodes": [], "edges": gj["edges"]}
+        for node in gj["nodes"]:
+            rp = node.get("resize_policy")
+            if isinstance(rp, dict) and "SpecificSize" in rp:
+                node = dict(node, resize_policy={"SpecificSize": {"width": 0, "height": 0}})
+            out["nodes"].append(node)
+        return out
+
+    blob = json.dumps(
+        normalize_sizes(_normalize_values(graph.to_json())), sort_keys=True
+    ) + extra
+    return hashlib.blake2b(blob.encode(), digest_size=16).hexdigest()
+
+
 def _pad1(a: np.ndarray, target: int) -> np.ndarray:
     a = np.asarray(a, dtype=np.int32)
     if len(a) >= target:
@@ -102,7 +127,8 @@ class BucketedGraph:
     executable. `traces` counts actual (re)traces for tests/telemetry.
     """
 
-    def __init__(self, node_graph, targets=None, bucket: int = 256):
+    def __init__(self, node_graph, targets=None, bucket: int = 256, preset=None,
+                 device_out: bool = False, bindings=None):
         import jax
 
         from . import tiled
@@ -110,8 +136,19 @@ class BucketedGraph:
         from .node import NodeTypeKind as _K
         from .ops import image_io
 
+        # preset: {(NodeId, SlotId): n_planes} — clean-boundary nodes whose
+        # planes arrive via `preset_<n>_<s>` bindings (engine integration,
+        # mirroring the fused/tiled preset convention)
+        self.preset = dict(preset or {})
+        self._preset_nodes = {nid for nid, _ in self.preset}
+        #: True → __call__ returns device arrays (lazy device slices);
+        #: False → host numpy
+        self.device_out = device_out
         for node in node_graph.nodes:
-            if node.node_type.kind not in BUCKETABLE_KINDS:
+            if (
+                node.node_type.kind not in BUCKETABLE_KINDS
+                and node.node_id not in self._preset_nodes
+            ):
                 raise TexProError(
                     ErrorKind.INVALID_NODE_TYPE,
                     f"not bucketable: {node.node_type!r} (flatten Graph nodes "
@@ -125,17 +162,21 @@ class BucketedGraph:
         import jax.numpy as jnp
 
         # leaf bindings (device-resident jnp arrays, uploaded once — numpy
-        # here would re-upload per call; re-bind via bind_*)
-        self._bindings: dict = {}
-        for node in node_graph.nodes:
-            if node.node_type.kind == _K.IMAGE:
-                try:
-                    si = image_io.read_slot_image(node.node_type.payload)
-                except TexProError:
-                    si = image_io.magenta_placeholder()
-                self._bindings[f"image_{int(node.node_id)}"] = tuple(
-                    jnp.asarray(p.host_data()) for p in si.planes
-                )
+        # here would re-upload per call; re-bind via bind_*). An explicit
+        # `bindings` dict (engine integration) supersedes the image decode.
+        if bindings is not None:
+            self._bindings = dict(bindings)
+        else:
+            self._bindings = {}
+            for node in node_graph.nodes:
+                if node.node_type.kind == _K.IMAGE:
+                    try:
+                        si = image_io.read_slot_image(node.node_type.payload)
+                    except TexProError:
+                        si = image_io.magenta_placeholder()
+                    self._bindings[f"image_{int(node.node_id)}"] = tuple(
+                        jnp.asarray(p.host_data()) for p in si.planes
+                    )
 
         if targets is None:
             with_children = {e.output_id for e in node_graph.edges}
@@ -149,11 +190,26 @@ class BucketedGraph:
         # structural metadata (plane counts + input lists) from one
         # inference pass — size-independent as long as topology/bindings
         # plane counts stay fixed
-        infos0 = tiled.infer_sizes(node_graph, self._tiled_bindings(), {})
+        infos0 = tiled.infer_sizes(node_graph, self._tiled_bindings(), self.preset)
         self._counts = {nid: dict(info.out_planes) for nid, info in infos0.items()}
         self._inputs = {nid: list(info.inputs) for nid, info in infos0.items()}
 
         self._jit = jax.jit(self._fn)
+
+    def with_state(self, graph, bindings: dict) -> "BucketedGraph":
+        """A shallow handle sharing this evaluator's compiled executables
+        (`self._jit`) and structural metadata but reading node payloads and
+        leaf bindings from fresh state — the engine hands these out per
+        dispatch so a cached evaluator serves edited graphs (structure must
+        match: same size-normalized fingerprint). The traced function reads
+        only structural metadata from its ORIGINAL instance; all values and
+        sizes ride in the marshalled arguments."""
+        import copy
+
+        handle = copy.copy(self)
+        handle.graph = graph
+        handle._bindings = dict(bindings)
+        return handle
 
     # --- bindings ---
     def _tiled_bindings(self) -> dict:
@@ -198,6 +254,20 @@ class BucketedGraph:
             nid = int(node_id)
             info = infos[node_id]
 
+            if node_id in self._preset_nodes:
+                for (pn, slot), count in self.preset.items():
+                    if pn != node_id:
+                        continue
+                    planes = self._bindings.get(f"preset_{nid}_{int(slot)}")
+                    if planes is None:
+                        raise TexProError(
+                            ErrorKind.INVALID_BUFFER_COUNT,
+                            f"no binding preset_{nid}_{int(slot)}",
+                        )
+                    for p in range(count):
+                        args[f"pleaf_{nid}_{int(slot)}_{p}"] = planes[p]
+                continue
+
             if kind == K.VALUE:
                 args[f"value_{nid}"] = np.float32(node.node_type.payload)
                 continue
@@ -238,7 +308,7 @@ class BucketedGraph:
                     ):
                         lefts, weights = resample_weights(in_len, out_len, filt)
                         taps = weights.shape[1]
-                        t_bound = self._tap_bound(pk, in_len, out_pad, filt)
+                        t_bound = self._tap_bound(pid, pk, in_len, out_pad, filt)
                         t_bound = max(t_bound, taps)
                         idx = np.clip(
                             lefts[:, None] + np.arange(taps)[None, :],
@@ -254,7 +324,7 @@ class BucketedGraph:
                 else:
                     # same size: pad-gather only if the parent's plane shape
                     # differs from this node's padded shape
-                    psh = self._plane_shape(pk, psz, B)
+                    psh = self._plane_shape(pid, pk, psz, B)
                     if psh != (ph_, pw_):
                         args[f"g_{base}"] = _pad1(np.arange(th), ph_)
                         args[f"c_{base}"] = _pad1(np.arange(tw), pw_)
@@ -277,21 +347,21 @@ class BucketedGraph:
                 )
         return args
 
-    def _plane_shape(self, kind, size: Size, B: int) -> tuple:
-        """In-trace plane shape of a producer: leaves stay at true shape,
-        computed nodes are padded."""
-        if kind in _LEAF_KINDS or kind == K.VALUE:
+    def _plane_shape(self, pid, kind, size: Size, B: int) -> tuple:
+        """In-trace plane shape of a producer: leaves and preset boundary
+        planes stay at true shape, computed nodes are padded."""
+        if kind in _LEAF_KINDS or kind == K.VALUE or pid in self._preset_nodes:
             return (size.height, size.width)
         return (bucket_of(size.height, B), bucket_of(size.width, B))
 
-    def _tap_bound(self, pk, in_len, out_pad, filt) -> int:
+    def _tap_bound(self, pid, pk, in_len, out_pad, filt) -> int:
         """Bucket-stable tap-count bound: worst ratio over the bucket =
-        largest in extent (the parent's pad target; leaves are static) over
-        the smallest out extent mapping to `out_pad`."""
+        largest in extent (the parent's pad target; leaves/preset are
+        static) over the smallest out extent mapping to `out_pad`."""
         B = self.bucket
         in_hi = (
             in_len
-            if pk in _LEAF_KINDS or pk == K.VALUE
+            if pk in _LEAF_KINDS or pk == K.VALUE or pid in self._preset_nodes
             else bucket_of(in_len, B)
         )
         out_lo = _bucket_lo(out_pad, B)
@@ -311,6 +381,17 @@ class BucketedGraph:
             node = self.graph.node(node_id)
             kind = node.node_type.kind
             nid = int(node_id)
+
+            if node_id in self._preset_nodes:
+                for (pn, slot), count in self.preset.items():
+                    if pn == node_id:
+                        env[(node_id, slot)] = ImgVal(
+                            [
+                                args[f"pleaf_{nid}_{int(slot)}_{p}"]
+                                for p in range(count)
+                            ]
+                        )
+                continue
 
             if kind == K.VALUE:
                 env[(node_id, SlotId(0))] = ImgVal(
@@ -466,7 +547,7 @@ class BucketedGraph:
     def __call__(self) -> dict:
         from . import tiled
 
-        infos = tiled.infer_sizes(self.graph, self._tiled_bindings(), {})
+        infos = tiled.infer_sizes(self.graph, self._tiled_bindings(), self.preset)
         args = self._marshal(infos)
         out = self._jit(args)
         results: dict = {}
@@ -474,7 +555,9 @@ class BucketedGraph:
             info = infos[tnid]
             size = info.slot_size(tslot)
             results[(tnid, tslot)] = [
-                np.asarray(p)[: size.height, : size.width]
+                p[: size.height, : size.width]
+                if self.device_out
+                else np.asarray(p)[: size.height, : size.width]
                 for p in out[f"t{int(tnid)}_{int(tslot)}"]
             ]
         return results

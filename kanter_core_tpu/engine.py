@@ -199,6 +199,7 @@ class Engine:
         self._wake_cv = threading.Condition(threading.Lock())
         self._fused_programs: "OrderedDict" = OrderedDict()  # fingerprint → CompiledGraph
         self._tiled_programs: "OrderedDict" = OrderedDict()  # (fingerprint, shapes) → TiledEvaluator
+        self._bucketed_programs: "OrderedDict" = OrderedDict()  # size-normalized fp → BucketedGraph
         self._fused_programs_lock = threading.Lock()
         self._pool = _WorkerPool()
         self._auto_tile_cache = ()  # lazily-computed (value,) tuple
@@ -756,6 +757,13 @@ class Engine:
             ):
                 return
 
+        if self.tex_pro.bucket_sizes and self.tex_pro.mesh is None:
+            if self._try_bucketed(
+                snapshot, partition, boundary, embedded, input_datas, preset,
+                live_graph, events, recipes,
+            ):
+                return
+
         try:
             fingerprint = graph_fingerprint(
                 snapshot,
@@ -929,6 +937,133 @@ class Engine:
 
         scan(snapshot)
         return state["leaf_bytes"] + state["n_nodes"] * 16 * state["wmax"] * state["hmax"]
+
+    def _try_bucketed(
+        self, snapshot, partition, boundary, embedded, input_datas, preset,
+        live_graph, events, recipes,
+    ) -> bool:
+        """Shape-bucketed dispatch (`TextureProcessor(bucket_sizes=True)`):
+        fused partitions of bucketable ops evaluate through
+        `bucketed.BucketedGraph`, cached per SIZE-NORMALIZED structure
+        fingerprint — a SpecificSize drag re-uses one executable per size
+        bucket instead of recompiling per pixel size (SURVEY §7 hard-part 2).
+        Commits every partition node's planes device-resident, like the
+        dense path; falls back (False) for unbucketable structures."""
+        from . import bucketed, tiled
+        from .compiler import collect_value_bindings
+        from .node import NodeTypeKind
+        from .ops import image_io
+        from .slot_data import SlotData
+        from .slot_image import SlotImage
+        from .transient_buffer import plane_from_device
+
+        preset_nodes = {nid for nid, _ in preset}
+        if not tiled.graph_is_tileable(snapshot, preset_nodes, allow_graph=True):
+            return False
+        try:
+            bindings = collect_value_bindings(snapshot)
+            for node in snapshot.nodes:
+                if (
+                    node.node_type.kind == NodeTypeKind.IMAGE
+                    and node.node_id not in preset_nodes
+                ):
+                    try:
+                        si = image_io.read_slot_image(node.node_type.payload)
+                    except TexProError:
+                        si = image_io.magenta_placeholder()
+                    bindings[f"image_{int(node.node_id)}"] = tuple(
+                        p.data() for p in si.planes
+                    )
+            for (nid, slot), slot_data in boundary.items():
+                bindings[f"preset_{int(nid)}_{int(slot)}"] = tuple(
+                    b.data() for b in slot_data.image.planes
+                )
+            for esd in embedded:
+                bindings[f"embed_{int(esd.slot_data_id)}"] = tuple(
+                    b.data() for b in esd.image.planes
+                )
+            if input_datas:
+                bindings["input_rgba_first"] = tuple(
+                    b.data() for b in input_datas[0].image.planes
+                )
+                for sd in input_datas:
+                    bindings[f"input_{int(sd.node_id)}"] = tuple(
+                        b.data() for b in sd.image.planes
+                    )
+
+            try:
+                flat = tiled.flatten_graph_nodes(snapshot, bindings, preset)
+            except TexProError:
+                flat = None
+            if flat is None:
+                return False
+            flat_graph, remap_back, extra = flat
+            bindings.update(extra)
+
+            infos = tiled.infer_sizes(flat_graph, bindings, preset)
+            partition_set = set(partition)
+            targets = []
+            for fnode in flat_graph.nodes:
+                fnid = fnode.node_id
+                if fnid in preset_nodes:
+                    continue
+                for slot in infos[fnid].out_planes:
+                    onid, _oslot = remap_back.get((fnid, slot), (fnid, slot))
+                    if onid in partition_set:
+                        targets.append((fnid, slot))
+            if not targets:
+                return False
+
+            # cache key: size-normalized structure + targets + leaf plane
+            # COUNTS (shapes may vary per size; counts must not)
+            counts_sig = tuple(
+                sorted(
+                    (k, len(v))
+                    for k, v in bindings.items()
+                    if isinstance(v, tuple)
+                )
+            )
+            key = (
+                bucketed.size_normalized_fingerprint(
+                    flat_graph,
+                    extra=repr(sorted((int(n), int(s)) for n, s in targets))
+                    + repr(sorted((int(n), int(s), c) for (n, s), c in preset.items())),
+                ),
+                counts_sig,
+            )
+            with self._fused_programs_lock:
+                cached = self._bucketed_programs.get(key)
+                if cached is not None:
+                    self._bucketed_programs.move_to_end(key)
+            if cached is None:
+                cached = bucketed.BucketedGraph(
+                    flat_graph, targets=targets, preset=preset,
+                    device_out=True, bindings=bindings,
+                )
+                with self._fused_programs_lock:
+                    self._bucketed_programs[key] = cached
+                    while len(self._bucketed_programs) > self.FUSED_PROGRAM_CACHE_CAP:
+                        self._bucketed_programs.popitem(last=False)
+
+            outs = cached.with_state(flat_graph, bindings)()
+
+            results: dict = {}
+            for (fnid, slot), planes in outs.items():
+                onid, oslot = remap_back.get((fnid, slot), (fnid, slot))
+                image = SlotImage([plane_from_device(p) for p in planes])
+                results.setdefault(onid, []).append(SlotData(onid, oslot, image))
+            node_results = [
+                (nid, sorted(results.get(nid, []), key=lambda sd: sd.slot_id))
+                for nid in partition
+            ]
+            message = _FusedMessage(node_results, None, live_graph, events, recipes)
+        except BaseException as e:  # noqa: BLE001 — commit decides fatality
+            if _is_oom(e):
+                return False  # let the dense path's capacity machinery own OOMs
+            message = _FusedMessage([(nid, []) for nid in partition], e, live_graph, events)
+        self._results.put(message)
+        self.wake()
+        return True
 
     def _try_tiled(
         self, snapshot, partition, boundary, embedded, input_datas, preset,

@@ -30,6 +30,7 @@ class TextureProcessor:
         host_memory_threshold: Optional[int] = None,
         mesh=None,
         tile_bytes: Optional[int] = None,
+        bucket_sizes: bool = False,
     ):
         """`mesh`: an optional `jax.sharding.Mesh`. When set, the engine's
         fused-partition dispatches place every large plane row-sharded over
@@ -47,12 +48,21 @@ class TextureProcessor:
         can only spill whole finished planes (`transient_buffer.rs:388-406`)
         and cannot process a working set bigger than memory at all. Composes
         with `mesh`: each band's row axis is itself GSPMD-sharded across the
-        mesh (capacity × scale)."""
+        mesh (capacity × scale).
+
+        `bucket_sizes`: opt-in interactive sizing mode — fused partitions of
+        bucketable ops evaluate through the shape-bucketed path
+        (`kanter_core_tpu.bucketed`), so a canvas-size drag (SpecificSize
+        edits) recompiles once per size BUCKET instead of once per pixel
+        size, bit-identically. Trade-offs: plane aliasing across outputs is
+        not preserved (sliced copies), and device memory briefly holds the
+        padded planes."""
         if not isinstance(memory_threshold, AtomicUsize):
             memory_threshold = AtomicUsize(memory_threshold)
         self.memory_threshold = memory_threshold
         self.mesh = mesh
         self.tile_bytes = tile_bytes
+        self.bucket_sizes = bucket_sizes
         self.host_memory_threshold = (
             AtomicUsize(host_memory_threshold) if host_memory_threshold is not None else None
         )

@@ -123,6 +123,60 @@ def test_bucketed_fuzz_matches_compiled(seed):
                 assert np.array_equal(np.asarray(r), gp), f"seed {seed} {k} diverged"
 
 
+def test_engine_bucket_sizes_drag():
+    """TextureProcessor(bucket_sizes=True): SpecificSize drags through the
+    LIVE engine route to the bucketed evaluator — one cached evaluator, one
+    compile per size bucket (clean-boundary planes arrive as preset
+    bindings on re-dispatches) — and every size stays bit-identical to the
+    plain dense processor."""
+    from conftest import render_u8
+    from kanter_core_tpu import TextureProcessor
+
+    def build(g):
+        img = g.add_node(Node(NodeType.Image(str(HEART_128))))
+        sep = g.add_node(Node(NodeType.SeparateRgba()))
+        g.connect(img, sep, SlotId(0), SlotId(0))
+        val = g.add_node(Node(NodeType.Value(0.7)))
+        mix = g.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+        g.connect(sep, mix, SlotId(0), SlotId(0))
+        g.connect(val, mix, SlotId(0), SlotId(1))
+        h2n = g.add_node(Node(NodeType.HeightToNormal()))
+        g.connect(mix, h2n, SlotId(0), SlotId(0))
+        out = g.add_node(Node(NodeType.OutputRgba("out")))
+        g.connect(h2n, out, SlotId(0), SlotId(0))
+        return mix, out
+
+    sizes = [(300, 300), (310, 300), (340, 330), (97, 411), (350, 300)]
+    plain = TextureProcessor(10_000_000)
+    bucketed_tp = TextureProcessor(10_000_000, bucket_sizes=True)
+    try:
+        lg_p = plain.new_live_graph()
+        with lg_p.write() as g:
+            mix_p, out_p = build(g)
+        lg_b = bucketed_tp.new_live_graph()
+        with lg_b.write() as g:
+            mix_b, out_b = build(g)
+
+        for w, h in sizes:
+            for lg, mix in ((lg_p, mix_p), (lg_b, mix_b)):
+                with lg.write() as g:
+                    g.node_mut(mix).resize_policy = ResizePolicy.SpecificSize(Size(w, h))
+            a = render_u8(lg_p, out_p)
+            b = render_u8(lg_b, out_b)
+            assert np.array_equal(a, b), f"{w}x{h} diverged through the engine"
+
+        assert len(bucketed_tp.engine._bucketed_programs) >= 1
+        traces = sum(
+            ev.traces for ev in bucketed_tp.engine._bucketed_programs.values()
+        )
+        # 5 sizes land in ≤3 bucket signatures (512², 512×512 variants, 512×128)
+        assert traces <= 4, f"{traces} bucketed compiles for {len(sizes)} sizes"
+        assert len(bucketed_tp.engine._fused_programs) == 0, "dense fallback ran"
+    finally:
+        plain.shutdown_now()
+        bucketed_tp.shutdown_now()
+
+
 def test_tiny_sizes_stay_exact():
     """Sizes ≤16 are not padded (defaults and Value planes keep their exact
     shapes); the pow-2 ladder covers sub-bucket sizes."""
