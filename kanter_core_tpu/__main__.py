@@ -44,7 +44,10 @@ def _cmd_render(args) -> int:
 
     graph = NodeGraph.from_path(args.graph)
 
-    with TextureProcessor(args.memory_threshold, tile_bytes=args.tile_bytes) as tex_pro:
+    with TextureProcessor(
+        args.memory_threshold, tile_bytes=args.tile_bytes,
+        bucket_sizes=args.bucket_sizes,
+    ) as tex_pro:
         live_graph = tex_pro.new_live_graph()
         with live_graph.write() as lg:
             lg.set_node_graph(graph)
@@ -126,6 +129,11 @@ def main(argv=None) -> int:
         help="device working-set budget: partitions whose dense footprint "
         "exceeds it evaluate in row bands (canvases larger than device "
         "memory render bit-identically; see kanter_core_tpu.tiled)",
+    )
+    p_render.add_argument(
+        "--bucket-sizes", action="store_true",
+        help="shape-bucketed sizing: SpecificSize edits recompile once per "
+        "size bucket instead of once per pixel size (kanter_core_tpu.bucketed)",
     )
     p_render.set_defaults(fn=_cmd_render)
 
