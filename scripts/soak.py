@@ -49,9 +49,12 @@ def main():
     # ~half the soaks force the blockwise tiled engine path (tile_bytes=1:
     # every partition exceeds the budget) — its banded twins must be as
     # unobservable as fusion/memoization/eviction are
-    tile_bytes = 1 if rng.integers(2) else None
+    mode = rng.integers(3)
+    tile_bytes = 1 if mode == 1 else None
+    bucket_sizes = mode == 2  # shape-bucketed engine route
     tp = TextureProcessor(
-        memory_threshold=int(rng.integers(64, 4096)), tile_bytes=tile_bytes
+        memory_threshold=int(rng.integers(64, 4096)), tile_bytes=tile_bytes,
+        bucket_sizes=bucket_sizes,
     )
     lg = tp.new_live_graph()
 
@@ -61,7 +64,8 @@ def main():
         g.fuse_subgraphs = bool(rng.integers(2))
         g.memoize = bool(rng.integers(2))
         print(f"mode: fuse={g.fuse_subgraphs} memoize={g.memoize} "
-              f"use_cache={g.use_cache} tiled={tile_bytes is not None}")
+              f"use_cache={g.use_cache} tiled={tile_bytes is not None} "
+              f"bucketed={bucket_sizes}")
         for v in range(4):
             values.append(g.add_node(Node(NodeType.Value(float(rng.random())))))
         for m in range(4):
