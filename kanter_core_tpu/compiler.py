@@ -163,7 +163,7 @@ class GraphCompiler:
     """Traces a NodeGraph into a single jittable function."""
 
     def __init__(self, node_graph: NodeGraph, include_u8: bool = False, preset=None,
-                 pallas_ok: bool = True, mesh=None):
+                 pallas_ok: bool = True, mesh=None, mesh_axis=None):
         self.node_graph = node_graph
         self.include_u8 = include_u8
         # False when the program must avoid Pallas entirely (vmapped mesh
@@ -173,6 +173,7 @@ class GraphCompiler:
         # emitting their shard_map'd forms (ops/pallas_blur.py).
         self.pallas_ok = pallas_ok
         self.mesh = mesh
+        self.mesh_axis = mesh_axis  # spatial axis name for shard_map kernels
         # preset: {(NodeId, SlotId): n_planes} — nodes whose outputs are
         # already computed (clean boundary of a dirty partition); their
         # planes are program arguments instead of being re-evaluated.
@@ -335,7 +336,8 @@ class GraphCompiler:
             return [(
                 SlotId(0),
                 ImgVal([
-                    blur_plane(p, sigma, pallas_ok=self.pallas_ok, mesh=self.mesh)
+                    blur_plane(p, sigma, pallas_ok=self.pallas_ok,
+                               mesh=self.mesh, mesh_axis=self.mesh_axis)
                     for p in inp.planes
                 ]),
             )]
@@ -418,6 +420,7 @@ class CompiledGraph:
         emit_all: bool = False,
         pallas_ok: bool = True,
         mesh=None,
+        mesh_axis=None,
     ):
         import jax
 
@@ -441,7 +444,8 @@ class CompiledGraph:
         self.include_u8 = include_u8
 
         self._compiler = GraphCompiler(
-            node_graph, include_u8, preset=self.preset, pallas_ok=pallas_ok, mesh=mesh
+            node_graph, include_u8, preset=self.preset, pallas_ok=pallas_ok,
+            mesh=mesh, mesh_axis=mesh_axis,
         )
         self._bindings = self._collect_bindings(node_graph, prefix="")
 

@@ -73,7 +73,8 @@ def _blur_axis0(plane, taps: np.ndarray):
 FORCE_PALLAS_INTERPRET = False
 
 
-def blur_plane(plane, sigma: float, pallas_ok: bool = True, mesh=None):
+def blur_plane(plane, sigma: float, pallas_ok: bool = True, mesh=None,
+               mesh_axis=None):
     """Traceable separable wrap blur of one `[H, W]` plane (see module
     docstring for the TPU Pallas dispatch; all lowerings are bit-equal).
 
@@ -95,10 +96,11 @@ def blur_plane(plane, sigma: float, pallas_ok: bool = True, mesh=None):
     if pallas_ok and on_tpu and mesh is not None:
         from .pallas_blur import _blur_pallas_sharded, fits_sharded
 
-        n = int(mesh.shape[mesh.axis_names[0]])
+        axis = mesh_axis or mesh.axis_names[0]
+        n = int(mesh.shape[axis])
         if fits_sharded(plane.shape[0], plane.shape[1], len(taps), n):
             interpret = jax.default_backend() != "tpu"
-            return _blur_pallas_sharded(taps_tuple, mesh, interpret)(plane)
+            return _blur_pallas_sharded(taps_tuple, mesh, interpret, axis)(plane)
     if pallas_ok and mesh is None and on_tpu and plane.shape[1] % 128 == 0:
         from .pallas_blur import _blur_pallas_wrapped, fits_kernel
 

@@ -255,7 +255,7 @@ def fits_sharded(height: int, width: int, taps_len: int, n_shards: int) -> bool:
 
 
 @functools.cache
-def _blur_pallas_sharded(taps: tuple, mesh, interpret: bool):
+def _blur_pallas_sharded(taps: tuple, mesh, interpret: bool, axis=None):
     """shard_map'd kernel: each device runs the Mosaic kernel on its row
     block after a ring `ppermute` exchange of the ±radius halo rows — the
     wrap-stencil sampling of `height_to_normal.rs:55-56` reproduced at mesh
@@ -272,7 +272,7 @@ def _blur_pallas_sharded(taps: tuple, mesh, interpret: bool):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    axis = mesh.axis_names[0]
+    axis = axis or mesh.axis_names[0]
     n = int(mesh.shape[axis])
     radius = (len(taps) - 1) // 2
 

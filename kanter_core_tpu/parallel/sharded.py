@@ -64,7 +64,20 @@ class BatchedGraph:
     ):
         import jax
 
-        base = CompiledGraph(node_graph, targets, include_u8, pallas_ok=mesh is None)
+        # a mesh with a spatial "rows" axis keeps the Pallas blur viable:
+        # the shard_map'd kernel (ring halo exchange) shards over that axis
+        # and composes with the batch vmap (vmap-of-shard_map is supported
+        # and bit-identical). A batch-only mesh disables Pallas as before
+        # (an unsharded Mosaic custom call is not GSPMD-partitionable).
+        spatial_axis = (
+            ROW_AXIS if (mesh is not None and ROW_AXIS in mesh.axis_names) else None
+        )
+        base = CompiledGraph(
+            node_graph, targets, include_u8,
+            pallas_ok=mesh is None or spatial_axis is not None,
+            mesh=mesh if spatial_axis is not None else None,
+            mesh_axis=spatial_axis,
+        )
         self.base = base
         self.batch_keys = set(batch_keys)
         self.mesh = mesh

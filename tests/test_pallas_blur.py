@@ -142,6 +142,49 @@ def test_blur_plane_sharded_dispatch_and_grad(monkeypatch):
     np.testing.assert_array_equal(np.asarray(g_ref), np.asarray(g_pal))
 
 
+def test_batched_graph_mesh_keeps_sharded_pallas(monkeypatch):
+    """A BatchedGraph over a batch×rows mesh now keeps the Pallas blur: the
+    shard_map'd kernel shards over the ROWS axis and composes with the
+    batch vmap, bit-identically to the jnp lowering (previously any mesh
+    forced pallas_ok=False for the whole program)."""
+    from jax.sharding import Mesh
+
+    from kanter_core_tpu import Node, NodeGraph, NodeType, SlotId
+    from kanter_core_tpu.ops import blur as blur_mod
+    from kanter_core_tpu.ops import pallas_blur
+    from kanter_core_tpu.parallel import BatchedGraph
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    monkeypatch.setattr(blur_mod, "FORCE_PALLAS_INTERPRET", True)
+    calls = []
+    real = pallas_blur._blur_block
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pallas_blur, "_blur_block", counting)
+
+    graph = NodeGraph()
+    gin = graph.add_node(Node(NodeType.InputGray("in")))
+    bl = graph.add_node(Node(NodeType.Blur(1.5)))
+    out = graph.add_node(Node(NodeType.OutputGray("out")))
+    graph.connect(gin, bl, SlotId(0), SlotId(0))
+    graph.connect(bl, out, SlotId(0), SlotId(0))
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("batch", "rows"))
+    key = f"input_{int(gin)}"
+    bg = BatchedGraph(graph, batch_keys={key}, targets=[(out, SlotId(0))], mesh=mesh)
+    batch = np.random.default_rng(3).random((4, 64, 128), dtype=np.float32)
+    result = bg(**{key: (bg.shard_batch_arg(batch),)})
+    got = np.asarray(result[(out, SlotId(0))][0])
+    assert calls, "sharded Pallas path was not traced under the batch mesh"
+    ref = np.stack([np.asarray(jax.jit(lambda x: _jnp_blur(x, 1.5))(b)) for b in batch])
+    assert np.array_equal(got, ref)
+
+
 def test_blur_plane_dispatch_is_jnp_on_cpu():
     """On the CPU backend blur_plane must keep the plain jnp lowering (the
     Pallas gate is TPU-only); golden bit-exactness depends on it."""
