@@ -100,6 +100,36 @@ def _shard_overrides(overrides: dict, mesh) -> dict:
     }
 
 
+_IMAGE_SIZE_CACHE: dict = {}  # path → (mtime, (w, h)); header-only PIL reads
+
+
+def _image_size(path) -> tuple:
+    """Cached PNG-header size probe: `_footprint_bound` runs on EVERY fused
+    dispatch under the automatic capacity gate, and re-opening each Image
+    node's file per interactive edit tick would put filesystem I/O on the
+    dispatch hot path. Invalidated by mtime (a dirtied Image node re-reads)."""
+    import os as _os
+
+    try:
+        mtime = _os.stat(path).st_mtime_ns
+    except OSError:
+        return (1, 1)  # magenta 1×1 fallback mirrors the decode path
+    hit = _IMAGE_SIZE_CACHE.get(path)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    try:
+        from PIL import Image as _PILImage
+
+        with _PILImage.open(path) as im:
+            size = im.size
+    except Exception:  # noqa: BLE001
+        size = (1, 1)
+    _IMAGE_SIZE_CACHE[path] = (mtime, size)
+    while len(_IMAGE_SIZE_CACHE) > 4096:
+        _IMAGE_SIZE_CACHE.pop(next(iter(_IMAGE_SIZE_CACHE)))
+    return size
+
+
 def _is_oom(error: BaseException) -> bool:
     """True for XLA device-allocation failures (they surface as RuntimeError
     text, not a typed exception)."""
@@ -920,13 +950,7 @@ class Engine:
                 state["n_nodes"] += 1
                 kind = node.node_type.kind
                 if kind == NodeTypeKind.IMAGE:
-                    try:
-                        from PIL import Image as _PILImage
-
-                        with _PILImage.open(node.node_type.payload) as im:
-                            w, h = im.size
-                    except Exception:  # noqa: BLE001 — magenta 1×1 fallback
-                        w = h = 1
+                    w, h = _image_size(node.node_type.payload)
                     visit_size(w, h, 4)
                 elif kind == NodeTypeKind.GRAPH:
                     scan(node.node_type.payload)

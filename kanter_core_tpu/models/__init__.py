@@ -43,7 +43,8 @@ def _mix(graph: NodeGraph, mix_type: MixType, left: NodeId, right: NodeId,
 def ambient_occlusion_graph(sigma: float = 6.0, strength: float = 0.75) -> NodeGraph:
     """Gray heightmap in → screen-space-style AO approximation out.
 
-    Local concavity: `ao = 1 − strength·max(blur_σ(h) − h, 0)` — cavities
+    Local concavity: `ao = 1 − strength·(blur_σ(h) − h)` (unclamped in f32;
+    ridges where blur(h) < h exceed 1.0 until u8 export clamps) — cavities
     (where the neighborhood average exceeds the height) darken, ridges stay
     white. Mix clamps to [0, 1] exactly like the reference's kernels
     (`mix.rs:136-192` operates on raw f32; the clamp comes from the u8
@@ -76,7 +77,7 @@ def pbr_material_graph(
     """Gray heightmap in → four PBR texture maps out, one graph:
 
     - `normal`  (RGBA): pre-blurred height → tangent-space normal map;
-    - `ao`      (gray): cavity AO, `1 − k·max(blur(h) − h, 0)`;
+    - `ao`      (gray): cavity AO, `1 − k·(blur(h) − h)` (f32-unclamped);
     - `roughness` (gray): `base + cavity_weight·(1 − ao)` — cavities are
       rougher (dirt/wear accumulates there);
     - `albedo`  (RGBA): height-tinted base color (height-lerped channels).

@@ -254,7 +254,7 @@ def fits_sharded(height: int, width: int, taps_len: int, n_shards: int) -> bool:
     )
 
 
-@functools.cache
+@functools.lru_cache(maxsize=32)  # sigma edits mint new programs; bound them
 def _blur_pallas_sharded(taps: tuple, mesh, interpret: bool, axis=None):
     """shard_map'd kernel: each device runs the Mosaic kernel on its row
     block after a ring `ppermute` exchange of the ±radius halo rows — the

@@ -36,9 +36,24 @@ path): inner Embed nodes (per-LiveGraph side channel) and Write sinks
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 from .errors import ErrorKind, TexProError
+
+_DONATION_WARNING = "Some donated buffers were not usable"
+
+
+def _ensure_donation_filter() -> None:
+    """Idempotently silence XLA's best-effort donation warning: halo-expanded
+    bands whose shapes match no output legitimately can't alias. Re-applied
+    per evaluation (pytest and other harnesses reset the global filters) but
+    never duplicated, so `warnings.filters` stays bounded."""
+    for f in warnings.filters:
+        if f[0] == "ignore" and getattr(f[1], "pattern", None) == _DONATION_WARNING:
+            return
+    warnings.filterwarnings("ignore", message=_DONATION_WARNING)
 from .geometry import Size
 from .ids import NodeId, SlotId
 from .node import NodeTypeKind
@@ -573,14 +588,11 @@ class TiledEvaluator:
         # leaf band planes are one-shot per band (freshly gathered host
         # slices, never reused) — donate them so XLA reuses their device
         # buffers for the output bands, trimming peak band memory; scalars
-        # and index vectors stay in the non-donated operand. Halo-expanded
+        # and index vectors stay in the non-donated operand. (Halo-expanded
         # bands whose shapes match no output are legitimately not aliased —
-        # silence XLA's best-effort warning about exactly that.
-        import warnings
-
-        warnings.filterwarnings(
-            "ignore", message="Some donated buffers were not usable"
-        )
+        # the module-level filter silences XLA's best-effort warning about
+        # exactly that, once, instead of growing warnings.filters per
+        # evaluator.)
         self._jit = jax.jit(self._band_fn, donate_argnums=(0,))
         self.peak_band_bytes = 0  # max per-band host↔device traffic, for tests
 
@@ -923,6 +935,7 @@ class TiledEvaluator:
         kernel so the engine's commit path re-dirties normally.
         """
         self.peak_band_bytes = 0
+        _ensure_donation_filter()
         results = {
             (tnid, tslot): [
                 np.empty(

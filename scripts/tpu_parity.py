@@ -237,6 +237,39 @@ def _determinism_kernels():
     # the shard_map'd kernel (ppermute halo exchange) on a 1-device mesh —
     # re-runs the battery for the NEW formulation per CLAUDE.md's rule
     cases.append(("blur_pallas_sharded", _sharded_blur, 0))
+
+    def _bucketed_row():
+        # the shape-bucketed evaluator's data-movement formulations (indexed
+        # two-pass resample over padded planes, gathered H2N neighbors with
+        # host-computed texel steps, column-gather blur horizontal pass) are
+        # NEW formulations around plain-mul tap sums — CLAUDE.md's rule:
+        # re-verify on chip. Cross-backend equality here, plus the CPU fuzz
+        # (bucketed == dense) and dense CPU==TPU rows, closes the square.
+        from kanter_core_tpu.bucketed import BucketedGraph
+        from kanter_core_tpu.node import MixType as _MT
+
+        g = NodeGraph()
+        gin = g.add_node(Node(NodeType.InputGray("in")))
+        val = g.add_node(Node(NodeType.Value(0.7)))
+        mix = Node(NodeType.Mix(_MT.MULTIPLY))
+        mix.resize_policy = ResizePolicy.SpecificSize(Size(97, 411))
+        mix = g.add_node(mix)
+        g.connect(gin, mix, SlotId(0), SlotId(0))
+        g.connect(val, mix, SlotId(0), SlotId(1))
+        h2n = g.add_node(Node(NodeType.HeightToNormal()))
+        g.connect(mix, h2n, SlotId(0), SlotId(0))
+        bl = g.add_node(Node(NodeType.Blur(1.3)))
+        g.connect(h2n, bl, SlotId(0), SlotId(0))
+        out_node = g.add_node(Node(NodeType.OutputRgba("out")))
+        g.connect(bl, out_node, SlotId(0), SlotId(0))
+        bg = BucketedGraph(
+            g,
+            targets=[(out_node, SlotId(0))],
+            bindings={f"input_{int(gin)}": (src,)},
+        )
+        return tuple(bg()[(out_node, SlotId(0))])
+
+    cases.append(("bucketed_mix_h2n_blur", _bucketed_row, 0))
     from kanter_core_tpu.slot_image import _jitted_converters
 
     sweep = (np.arange(65536, dtype=np.float32) / 65535.0).reshape(256, 256)
