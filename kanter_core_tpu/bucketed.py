@@ -144,6 +144,52 @@ class BucketedGraph:
         #: True → __call__ returns device arrays (lazy device slices);
         #: False → host numpy
         self.device_out = device_out
+        #: flat (node_id, slot) → original Graph-node (node_id, slot), for
+        #: result keys when nested Graph nodes were auto-flattened
+        self._remap_back: dict = {}
+
+        #: the pre-flatten graph when nested Graph nodes were inlined: edits
+        #: (set_size on the Graph node) target it, and __call__ re-flattens
+        #: so the baked pass-through policies track the live payloads
+        self._orig_graph = None
+        if any(
+            n.node_type.kind == _K.GRAPH and n.node_id not in self._preset_nodes
+            for n in node_graph.nodes
+        ):
+            # nested Graph nodes: inline-flatten with the tiled flattener
+            # (its size inference needs leaf shapes — decode images here
+            # when the caller didn't hand bindings in)
+            pre = dict(bindings or {})
+            if bindings is None:
+                for node in node_graph.nodes:
+                    if node.node_type.kind == _K.IMAGE:
+                        try:
+                            si = image_io.read_slot_image(node.node_type.payload)
+                        except TexProError:
+                            si = image_io.magenta_placeholder()
+                        pre[f"image_{int(node.node_id)}"] = tuple(
+                            p.host_data() for p in si.planes
+                        )
+            flat = tiled.flatten_graph_nodes(node_graph, pre, self.preset)
+            if flat is None:
+                raise TexProError(
+                    ErrorKind.INVALID_NODE_TYPE,
+                    "graph cannot be flattened for bucketed evaluation "
+                    "(inner Embed node or unbound inner Input)",
+                )
+            self._orig_graph = node_graph
+            node_graph, self._remap_back, extra = flat
+            pre.update(extra)
+            bindings = pre
+            if targets is not None:
+                # caller targets naming a Graph node's output slots map to
+                # the flattened stand-in nodes
+                fwd = {orig: flat_key for flat_key, orig in self._remap_back.items()}
+                targets = [
+                    fwd.get((NodeId(n), SlotId(s)), (NodeId(n), SlotId(s)))
+                    for n, s in targets
+                ]
+
         for node in node_graph.nodes:
             if (
                 node.node_type.kind not in BUCKETABLE_KINDS
@@ -151,8 +197,7 @@ class BucketedGraph:
             ):
                 raise TexProError(
                     ErrorKind.INVALID_NODE_TYPE,
-                    f"not bucketable: {node.node_type!r} (flatten Graph nodes "
-                    "with tiled.flatten_graph_nodes first)",
+                    f"not bucketable: {node.node_type!r}",
                 )
         self.graph = node_graph
         self.bucket = int(bucket)
@@ -236,10 +281,12 @@ class BucketedGraph:
     def set_size(self, node_id, size: Size) -> None:
         """Interactive size edit: point `node_id`'s resize policy at `size`
         (`NodeGraph.node` returns clones, so a convenience mutator is the
-        honest API here)."""
+        honest API here). With auto-flattened nested Graph nodes, edits
+        target the ORIGINAL graph and the next call re-flattens."""
         from .node import ResizePolicy
 
-        node = self.graph._node_with_id_mut(NodeId(int(node_id)))
+        target = self._orig_graph if self._orig_graph is not None else self.graph
+        node = target._node_with_id_mut(NodeId(int(node_id)))
         if node is None:
             raise TexProError(ErrorKind.INVALID_NODE_ID)
         node.resize_policy = ResizePolicy.SpecificSize(size)
@@ -547,6 +594,19 @@ class BucketedGraph:
     def __call__(self) -> dict:
         from . import tiled
 
+        if self._orig_graph is not None:
+            # re-flatten so the stand-in pass-through policies track the
+            # original Graph node's live payloads (node ids are derived
+            # deterministically, so the flat STRUCTURE — and therefore the
+            # jitted executables — are unchanged)
+            flat = tiled.flatten_graph_nodes(
+                self._orig_graph, self._bindings, self.preset
+            )
+            if flat is None:  # pragma: no cover — structure validated at init
+                raise TexProError(ErrorKind.INVALID_NODE_TYPE, "re-flatten failed")
+            self.graph, self._remap_back, extra = flat
+            self._bindings.update(extra)
+
         infos = tiled.infer_sizes(self.graph, self._tiled_bindings(), self.preset)
         args = self._marshal(infos)
         out = self._jit(args)
@@ -554,7 +614,10 @@ class BucketedGraph:
         for tnid, tslot in self.targets:
             info = infos[tnid]
             size = info.slot_size(tslot)
-            results[(tnid, tslot)] = [
+            # auto-flattened Graph-node outputs key back to the ORIGINAL
+            # (graph_node, slot) the caller targeted
+            key = self._remap_back.get((tnid, tslot), (tnid, tslot))
+            results[key] = [
                 p[: size.height, : size.width]
                 if self.device_out
                 else np.asarray(p)[: size.height, : size.width]

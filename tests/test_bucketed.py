@@ -189,12 +189,44 @@ def test_tiny_sizes_stay_exact():
     assert bucket_of(1000, 256) == 1024
 
 
-def test_bucketed_rejects_graph_nodes():
+def test_bucketed_flattens_nested_graph_nodes():
+    """Nested Graph nodes auto-flatten at construction (the tiled
+    flattener); a size drag THROUGH the subgraph boundary stays bit-exact
+    vs the unbucketed compiler, with result keys on the original nodes."""
+    from kanter_core_tpu.graphs import invert_graph
+
+    def build(w, h):
+        g = NodeGraph()
+        img = g.add_node(Node(NodeType.Image(str(HEART_128))))
+        sep = g.add_node(Node(NodeType.SeparateRgba()))
+        g.connect(img, sep, SlotId(0), SlotId(0))
+        inner = invert_graph()
+        gn = Node(NodeType.Graph(inner))
+        gn.resize_policy = ResizePolicy.SpecificSize(Size(w, h))
+        gn = g.add_node(gn)
+        g.connect(sep, gn, SlotId(0), inner.input_slot_id_with_name("in"))
+        out = g.add_node(Node(NodeType.OutputGray("out")))
+        g.connect(gn, out, inner.output_slot_id_with_name("out"), SlotId(0))
+        return g, gn, out
+
+    g, gn, out = build(150, 140)
+    bg = BucketedGraph(g, targets=[(out, SlotId(0))])
+    for w, h in [(150, 140), (170, 160), (97, 130)]:
+        bg.set_size(gn, Size(w, h))
+        got = bg()[(out, SlotId(0))]
+        g2, _, out2 = build(w, h)
+        ref = CompiledGraph(g2, targets=[(out2, SlotId(0))])()[(out2, SlotId(0))]
+        for r, gp in zip(ref, got):
+            assert np.array_equal(np.asarray(r), gp), f"{w}x{h} diverged"
+    assert bg.traces <= 2
+
+
+def test_bucketed_rejects_unflattenable_graph_nodes():
     from kanter_core_tpu import TexProError
     from kanter_core_tpu.graphs import invert_graph
 
     g = NodeGraph()
     inner = invert_graph()
-    g.add_node(Node(NodeType.Graph(inner)))
+    g.add_node(Node(NodeType.Graph(inner)))  # inner Input has no outer edge
     with pytest.raises(TexProError):
         BucketedGraph(g)
