@@ -32,9 +32,10 @@ bit-identical to `compiler.CompiledGraph` — `tests/test_bucketed.py`
 fuzzes the equivalence. This is the FOURTH consumer of the op set
 (CLAUDE.md: eager / fused / tiled / bucketed stay in lockstep).
 
-Scope: the tileable op set minus nested Graph nodes (flatten first with
-`tiled.flatten_graph_nodes`) and Write sinks; topology or plane-count
-changes require a new `BucketedGraph` (size edits do not).
+Scope: the tileable op set; nested Graph nodes are auto-flattened at
+construction (the tiled flattener), Write sinks are out (never fused);
+topology or plane-count changes require a new `BucketedGraph` (size edits
+do not).
 """
 
 from __future__ import annotations
@@ -77,10 +78,15 @@ def bucket_of(n: int, bucket: int) -> int:
 
 
 def _bucket_lo(p: int, bucket: int) -> int:
-    """Smallest true extent mapping to pad target `p` (for tap bounds)."""
+    """Smallest true extent mapping to pad target `p` (for tap bounds).
+
+    The first `bucket` multiple is still reached from the pow-2 ladder
+    (extents bucket/2+1 … bucket all pad to `bucket`), so it uses the
+    ladder's lower bound — `p - bucket + 1` would be 1 and inflate the tap
+    bound ~60× for downscales into the 129–256 px range."""
     if p <= 16:
         return p
-    if p < bucket:
+    if p <= bucket:
         return p // 2 + 1
     return p - bucket + 1
 
@@ -206,11 +212,16 @@ class BucketedGraph:
 
         import jax.numpy as jnp
 
-        # leaf bindings (device-resident jnp arrays, uploaded once — numpy
+        # leaf bindings, uploaded ONCE as device-resident jnp arrays (numpy
         # here would re-upload per call; re-bind via bind_*). An explicit
-        # `bindings` dict (engine integration) supersedes the image decode.
+        # `bindings` dict (engine integration) supersedes the image decode;
+        # the auto-flatten branch above hands host planes in, so normalize
+        # every plane tuple here.
         if bindings is not None:
-            self._bindings = dict(bindings)
+            self._bindings = {
+                k: tuple(jnp.asarray(p) for p in v) if isinstance(v, tuple) else v
+                for k, v in bindings.items()
+            }
         else:
             self._bindings = {}
             for node in node_graph.nodes:
@@ -591,10 +602,10 @@ class BucketedGraph:
         }
 
     # --- evaluation ---
-    def __call__(self) -> dict:
+    def __call__(self, infos=None) -> dict:
         from . import tiled
 
-        if self._orig_graph is not None:
+        if self._orig_graph is not None and infos is None:
             # re-flatten so the stand-in pass-through policies track the
             # original Graph node's live payloads (node ids are derived
             # deterministically, so the flat STRUCTURE — and therefore the
@@ -605,9 +616,21 @@ class BucketedGraph:
             if flat is None:  # pragma: no cover — structure validated at init
                 raise TexProError(ErrorKind.INVALID_NODE_TYPE, "re-flatten failed")
             self.graph, self._remap_back, extra = flat
-            self._bindings.update(extra)
+            # merge: scalars (inner Value payloads) always refresh; plane
+            # tuples keep the device-resident upload from construction
+            # (the flattener re-decodes inner images host-side every call —
+            # re-uploading them per drag tick would defeat the point)
+            import jax.numpy as jnp
 
-        infos = tiled.infer_sizes(self.graph, self._tiled_bindings(), self.preset)
+            for k, v in extra.items():
+                if isinstance(v, tuple):
+                    if k not in self._bindings:
+                        self._bindings[k] = tuple(jnp.asarray(p) for p in v)
+                else:
+                    self._bindings[k] = v
+
+        if infos is None:
+            infos = tiled.infer_sizes(self.graph, self._tiled_bindings(), self.preset)
         args = self._marshal(infos)
         out = self._jit(args)
         results: dict = {}

@@ -962,6 +962,86 @@ class Engine:
         scan(snapshot)
         return state["leaf_bytes"] + state["n_nodes"] * 16 * state["wmax"] * state["hmax"]
 
+    def _flat_dispatch_inputs(
+        self, snapshot, boundary, embedded, input_datas, preset, device: bool
+    ):
+        """Shared front half of the tiled/bucketed dispatch paths: build the
+        leaf bindings (the compiler's key conventions: `value_` / `image_` /
+        `preset_` / `embed_` / `input_` / `input_rgba_first`), inline-flatten
+        nested Graph nodes, and infer sizes. `device=True` keeps planes as
+        device arrays (bucketed program arguments); `False` gathers host
+        arrays (tiled bands are host-gathered per band). Returns
+        `(flat_graph, remap_back, bindings, infos)` or None when the
+        partition cannot be flattened (dense path owns those semantics)."""
+        from . import tiled
+        from .compiler import collect_value_bindings
+        from .node import NodeTypeKind
+        from .ops import image_io
+
+        preset_nodes = {nid for nid, _ in preset}
+
+        def planes_of(image):
+            return tuple(
+                (b.data() if device else b.host_data()) for b in image.planes
+            )
+
+        bindings = collect_value_bindings(snapshot)
+        for node in snapshot.nodes:
+            if (
+                node.node_type.kind == NodeTypeKind.IMAGE
+                and node.node_id not in preset_nodes
+            ):
+                try:
+                    si = image_io.read_slot_image(node.node_type.payload)
+                except TexProError:
+                    si = image_io.magenta_placeholder()
+                bindings[f"image_{int(node.node_id)}"] = planes_of(si)
+        for (nid, slot), slot_data in boundary.items():
+            bindings[f"preset_{int(nid)}_{int(slot)}"] = planes_of(slot_data.image)
+        for esd in embedded:
+            bindings[f"embed_{int(esd.slot_data_id)}"] = planes_of(esd.image)
+        if input_datas:
+            bindings["input_rgba_first"] = planes_of(input_datas[0].image)
+            for sd in input_datas:
+                bindings[f"input_{int(sd.node_id)}"] = planes_of(sd.image)
+
+        # inline nested Graph nodes (`graph.rs:25-48`; flattener doc in
+        # tiled.py) so partitions containing them still band/bucket
+        try:
+            flat = tiled.flatten_graph_nodes(snapshot, bindings, preset)
+        except TexProError:
+            flat = None  # dense path owns the error semantics
+        if flat is None:
+            return None
+        flat_graph, remap_back, extra_bindings = flat
+        bindings.update(extra_bindings)
+        infos = tiled.infer_sizes(flat_graph, bindings, preset)
+        return flat_graph, remap_back, bindings, infos
+
+    @staticmethod
+    def _flat_targets(
+        flat_graph, infos, remap_back, partition_set, preset_nodes,
+        frontier_only: bool,
+    ) -> list:
+        """Target (node, slot) pairs of a flattened partition, restricted to
+        nodes that commit back onto partition members. `frontier_only`
+        keeps only childless nodes (tiled: interior nodes commit dataless,
+        like use_cache=False eviction); the bucketed path materializes every
+        partition node like the dense path does."""
+        consumed = (
+            {e.output_id for e in flat_graph.edges} if frontier_only else frozenset()
+        )
+        targets = []
+        for fnode in flat_graph.nodes:
+            fnid = fnode.node_id
+            if fnid in consumed or fnid in preset_nodes:
+                continue
+            for slot in infos[fnid].out_planes:
+                onid, _oslot = remap_back.get((fnid, slot), (fnid, slot))
+                if onid in partition_set:
+                    targets.append((fnid, slot))
+        return targets
+
     def _try_bucketed(
         self, snapshot, partition, boundary, embedded, input_datas, preset,
         live_graph, events, recipes,
@@ -985,56 +1065,17 @@ class Engine:
         if not tiled.graph_is_tileable(snapshot, preset_nodes, allow_graph=True):
             return False
         try:
-            bindings = collect_value_bindings(snapshot)
-            for node in snapshot.nodes:
-                if (
-                    node.node_type.kind == NodeTypeKind.IMAGE
-                    and node.node_id not in preset_nodes
-                ):
-                    try:
-                        si = image_io.read_slot_image(node.node_type.payload)
-                    except TexProError:
-                        si = image_io.magenta_placeholder()
-                    bindings[f"image_{int(node.node_id)}"] = tuple(
-                        p.data() for p in si.planes
-                    )
-            for (nid, slot), slot_data in boundary.items():
-                bindings[f"preset_{int(nid)}_{int(slot)}"] = tuple(
-                    b.data() for b in slot_data.image.planes
-                )
-            for esd in embedded:
-                bindings[f"embed_{int(esd.slot_data_id)}"] = tuple(
-                    b.data() for b in esd.image.planes
-                )
-            if input_datas:
-                bindings["input_rgba_first"] = tuple(
-                    b.data() for b in input_datas[0].image.planes
-                )
-                for sd in input_datas:
-                    bindings[f"input_{int(sd.node_id)}"] = tuple(
-                        b.data() for b in sd.image.planes
-                    )
-
-            try:
-                flat = tiled.flatten_graph_nodes(snapshot, bindings, preset)
-            except TexProError:
-                flat = None
-            if flat is None:
+            prep = self._flat_dispatch_inputs(
+                snapshot, boundary, embedded, input_datas, preset, device=True
+            )
+            if prep is None:
                 return False
-            flat_graph, remap_back, extra = flat
-            bindings.update(extra)
-
-            infos = tiled.infer_sizes(flat_graph, bindings, preset)
+            flat_graph, remap_back, bindings, infos = prep
             partition_set = set(partition)
-            targets = []
-            for fnode in flat_graph.nodes:
-                fnid = fnode.node_id
-                if fnid in preset_nodes:
-                    continue
-                for slot in infos[fnid].out_planes:
-                    onid, _oslot = remap_back.get((fnid, slot), (fnid, slot))
-                    if onid in partition_set:
-                        targets.append((fnid, slot))
+            targets = self._flat_targets(
+                flat_graph, infos, remap_back, partition_set, preset_nodes,
+                frontier_only=False,
+            )
             if not targets:
                 return False
 
@@ -1069,7 +1110,7 @@ class Engine:
                     while len(self._bucketed_programs) > self.FUSED_PROGRAM_CACHE_CAP:
                         self._bucketed_programs.popitem(last=False)
 
-            outs = cached.with_state(flat_graph, bindings)()
+            outs = cached.with_state(flat_graph, bindings)(infos=infos)
 
             results: dict = {}
             for (fnid, slot), planes in outs.items():
@@ -1120,65 +1161,22 @@ class Engine:
         if not tiled.graph_is_tileable(snapshot, preset_nodes, allow_graph=True):
             return False
         try:
-            bindings = collect_value_bindings(snapshot)
-            for node in snapshot.nodes:
-                if (
-                    node.node_type.kind == NodeTypeKind.IMAGE
-                    and node.node_id not in preset_nodes
-                ):
-                    try:
-                        si = image_io.read_slot_image(node.node_type.payload)
-                    except TexProError:
-                        si = image_io.magenta_placeholder()
-                    bindings[f"image_{int(node.node_id)}"] = tuple(
-                        p.host_data() for p in si.planes
-                    )
-            for (nid, slot), slot_data in boundary.items():
-                bindings[f"preset_{int(nid)}_{int(slot)}"] = tuple(
-                    b.host_data() for b in slot_data.image.planes
-                )
-            for esd in embedded:
-                bindings[f"embed_{int(esd.slot_data_id)}"] = tuple(
-                    b.host_data() for b in esd.image.planes
-                )
-            if input_datas:
-                bindings["input_rgba_first"] = tuple(
-                    b.host_data() for b in input_datas[0].image.planes
-                )
-                for sd in input_datas:
-                    bindings[f"input_{int(sd.node_id)}"] = tuple(
-                        b.host_data() for b in sd.image.planes
-                    )
-
-            # inline nested Graph nodes so >HBM partitions containing them
-            # band instead of falling back to an unfittable dense program
-            # (`graph.rs:25-48`; flattener doc in tiled.py)
-            try:
-                flat = tiled.flatten_graph_nodes(snapshot, bindings, preset)
-            except TexProError:
-                flat = None  # dense path owns the error semantics
-            if flat is None:
+            prep = self._flat_dispatch_inputs(
+                snapshot, boundary, embedded, input_datas, preset, device=False
+            )
+            if prep is None:
                 return False
-            flat_graph, remap_back, extra_bindings = flat
-            bindings.update(extra_bindings)
-
-            infos = tiled.infer_sizes(flat_graph, bindings, preset)
+            flat_graph, remap_back, bindings, infos = prep
             # `force`: a dense attempt already OOM'd, so band regardless of
             # what the footprint estimate says
             if not force and tiled.total_plane_bytes(infos) <= tile_bytes:
                 return False
 
             partition_set = set(partition)
-            consumed = {e.output_id for e in flat_graph.edges}
-            targets = []
-            for fnode in flat_graph.nodes:
-                fnid = fnode.node_id
-                if fnid in consumed or fnid in preset_nodes:
-                    continue
-                for slot in infos[fnid].out_planes:
-                    onid, _oslot = remap_back.get((fnid, slot), (fnid, slot))
-                    if onid in partition_set:
-                        targets.append((fnid, slot))
+            targets = self._flat_targets(
+                flat_graph, infos, remap_back, partition_set, preset_nodes,
+                frontier_only=True,
+            )
             if not targets:
                 return False
 

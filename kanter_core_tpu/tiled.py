@@ -43,17 +43,6 @@ import numpy as np
 from .errors import ErrorKind, TexProError
 
 _DONATION_WARNING = "Some donated buffers were not usable"
-
-
-def _ensure_donation_filter() -> None:
-    """Idempotently silence XLA's best-effort donation warning: halo-expanded
-    bands whose shapes match no output legitimately can't alias. Re-applied
-    per evaluation (pytest and other harnesses reset the global filters) but
-    never duplicated, so `warnings.filters` stays bounded."""
-    for f in warnings.filters:
-        if f[0] == "ignore" and getattr(f[1], "pattern", None) == _DONATION_WARNING:
-            return
-    warnings.filterwarnings("ignore", message=_DONATION_WARNING)
 from .geometry import Size
 from .ids import NodeId, SlotId
 from .node import NodeTypeKind
@@ -935,7 +924,6 @@ class TiledEvaluator:
         kernel so the engine's commit path re-dirties normally.
         """
         self.peak_band_bytes = 0
-        _ensure_donation_filter()
         results = {
             (tnid, tslot): [
                 np.empty(
@@ -967,7 +955,13 @@ class TiledEvaluator:
                     args = self._shard_band_args(args)
                 donated = {k: v for k, v in args.items() if k.startswith("leaf_")}
                 rest = {k: v for k, v in args.items() if not k.startswith("leaf_")}
-                out = self._jit(donated, rest)
+                # scoped: halo-expanded bands whose shapes match no output
+                # legitimately can't alias — silence XLA's best-effort
+                # donation warning for THIS call only, leaving the
+                # diagnostic intact for other jits in the process
+                with warnings.catch_warnings():
+                    warnings.filterwarnings("ignore", message=_DONATION_WARNING)
+                    out = self._jit(donated, rest)
                 for tnid, tslot in group:
                     planes = out[f"t{int(tnid)}_{int(tslot)}"]
                     for p, plane in enumerate(planes):
