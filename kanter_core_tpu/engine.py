@@ -500,8 +500,6 @@ class Engine:
         Returns None to fall back to per-node scheduling for this tick
         (nothing fusable but unfusable work pending), or [] / [one _FusedPack].
         """
-        from .node import NodeTypeKind
-
         requested = [
             nid
             for nid, state in sorted(live_graph.node_states().items())
@@ -757,7 +755,6 @@ class Engine:
             collect_value_bindings,
             graph_fingerprint,
         )
-        from .node import NodeTypeKind
         from .slot_data import SlotData
         from .slot_image import SlotImage
         from .transient_buffer import plane_from_device
@@ -1054,9 +1051,6 @@ class Engine:
         Commits every partition node's planes device-resident, like the
         dense path; falls back (False) for unbucketable structures."""
         from . import bucketed, tiled
-        from .compiler import collect_value_bindings
-        from .node import NodeTypeKind
-        from .ops import image_io
         from .slot_data import SlotData
         from .slot_image import SlotImage
         from .transient_buffer import plane_from_device
@@ -1147,12 +1141,7 @@ class Engine:
         Cancellation is polled between bands (the tiled analog of the
         reference's per-pixel cancel checks, `height_to_normal.rs:45-47`).
         """
-        import numpy as np
-
         from . import tiled
-        from .compiler import collect_value_bindings
-        from .node import NodeTypeKind
-        from .ops import image_io
         from .slot_data import SlotData
         from .slot_image import SlotImage
         from .transient_buffer import plane_from_host
