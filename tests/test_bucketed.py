@@ -26,6 +26,16 @@ from kanter_core_tpu.bucketed import BucketedGraph, bucket_of
 from kanter_core_tpu.compiler import CompiledGraph
 
 
+def _assert_planes_equal(ref, got, label=""):
+    """Bit-compare plane lists with an explicit length check — a bare zip
+    would silently compare nothing if one side dropped planes."""
+    assert len(ref) == len(got), f"{label}: {len(ref)} vs {len(got)} planes"
+    for r, gp in zip(ref, got):
+        r = np.asarray(r)
+        assert r.shape == np.asarray(gp).shape, label
+        assert np.array_equal(r, gp), f"{label} diverged"
+
+
 def _drag_chain(w=300, h=300):
     g = NodeGraph()
     img = g.add_node(Node(NodeType.Image(str(HEART_128))))
@@ -70,8 +80,7 @@ def test_size_drag_compiles_per_bucket():
         got = bg()[(out, SlotId(0))]
         if s in checked:
             ref = _ref(_drag_chain, s, s, out)
-            for r, gp in zip(ref, got):
-                assert np.array_equal(r, gp), f"size {s} diverged"
+            _assert_planes_equal(ref, got, f"size {s}")
     assert bg.traces <= 2, f"{bg.traces} compiles for {len(sizes)} sizes"
 
 
@@ -84,9 +93,7 @@ def test_mixed_aspect_drags_bit_exact():
         bg.set_size(mix, Size(w, h))
         got = bg()[(out, SlotId(0))]
         ref = _ref(_drag_chain, w, h, out)
-        for r, gp in zip(ref, got):
-            assert r.shape == gp.shape
-            assert np.array_equal(r, gp), f"{w}x{h} diverged"
+        _assert_planes_equal(ref, got, f"{w}x{h}")
 
 
 @pytest.mark.parametrize("seed", range(5))
@@ -119,8 +126,7 @@ def test_bucketed_fuzz_matches_compiled(seed):
         ref = ref_prog()
         for key in targets:
             k = (key[0], SlotId(key[1]))
-            for r, gp in zip(ref[k], got[k]):
-                assert np.array_equal(np.asarray(r), gp), f"seed {seed} {k} diverged"
+            _assert_planes_equal(ref[k], got[k], f"seed {seed} {k}")
 
 
 def test_engine_bucket_sizes_drag():
@@ -216,8 +222,7 @@ def test_bucketed_flattens_nested_graph_nodes():
         got = bg()[(out, SlotId(0))]
         g2, _, out2 = build(w, h)
         ref = CompiledGraph(g2, targets=[(out2, SlotId(0))])()[(out2, SlotId(0))]
-        for r, gp in zip(ref, got):
-            assert np.array_equal(np.asarray(r), gp), f"{w}x{h} diverged"
+        _assert_planes_equal(ref, got, f"{w}x{h}")
     assert bg.traces <= 2
 
 

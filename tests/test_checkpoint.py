@@ -101,7 +101,9 @@ def test_topology_checkpoint_resumes_dirty(tmp_path, tex_pro):
     lg = tex_pro.new_live_graph()
     with lg.write() as g:
         g.set_node_graph(reloaded)
-        assert all(s == NodeState.DIRTY for s in g.node_states().values())
+        states = g.node_states()
+        assert len(states) == len(graph.nodes), "round-trip lost nodes"
+        assert all(s == NodeState.DIRTY for s in states.values())
 
 
 def test_checkpoint_preserves_inputs_and_embeds(tmp_path, tex_pro):

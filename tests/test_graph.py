@@ -267,6 +267,24 @@ def test_cli_info_and_render(tmp_path):
     )
     assert rendered.shape == golden.shape
 
+    # absolute pixel check against an INDEPENDENT render of the same graph
+    # and input through the library API — a CLI that ignored --input or
+    # saved the wrong slot would still produce a right-shaped PNG
+    from kanter_core_tpu import NodeGraph as NG, SlotData, SlotImage, TextureProcessor
+    from kanter_core_tpu.ops.image_io import read_slot_image
+
+    with TextureProcessor(10_000_000) as tp:
+        lg = tp.new_live_graph()
+        graph = NG.from_path(INVERT_GRAPH_JSON)
+        with lg.write() as g:
+            g.set_node_graph(graph)
+            (inp,) = graph.input_ids()
+            si = read_slot_image("/root/reference/data/heart_256.png").as_type(False)
+            g.add_input_slot_data(SlotData(inp, SlotId(0), si))
+        (out_id,) = graph.output_ids()
+        expected = TextureProcessor.buffer_rgba(lg, out_id, SlotId(0))
+    assert np.array_equal(rendered.reshape(expected.shape), expected)
+
     # --tile-bytes forces the row-banded engine path; pixels must not change
     tiled_path = str(tmp_path / "cli_tiled.png")
     rc = main([

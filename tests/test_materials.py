@@ -168,6 +168,11 @@ def test_materials_tiled_matches_dense():
                     TextureProcessor.buffer_rgba(lg, out_id, SlotId(0))
                 )
             results[tile_bytes] = outs
+            if tile_bytes is not None:
+                # the banded path must actually have run, or this compares
+                # dense against dense
+                assert len(tp.engine._tiled_programs) >= 1
+                assert len(tp.engine._fused_programs) == 0
         finally:
             tp.shutdown_now()
     for name in results[None]:

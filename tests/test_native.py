@@ -58,13 +58,24 @@ def test_planes_from_u8_matches_deconstruct():
             assert np.array_equal(ref[c], out[c]), channels
 
 
-def test_spill_roundtrip_uses_native_hash(tmp_path):
+def test_spill_roundtrip_uses_native_hash(tmp_path, monkeypatch):
+    from kanter_core_tpu import transient_buffer as tb
     from kanter_core_tpu.transient_buffer import PlaneBuffer
 
+    calls = []
+    real = tb._hash_plane
+
+    def counting(salt, raw):
+        calls.append(1)
+        return real(salt, raw)
+
+    monkeypatch.setattr(tb, "_hash_plane", counting)
     data = np.random.default_rng(4).random((64, 64)).astype(np.float32)
     buf = PlaneBuffer(host=data.copy())
     assert buf.spill_to_storage()
+    assert len(calls) == 1, "spill did not go through the salted hash"
     assert np.array_equal(buf.host_data(), data)
+    assert len(calls) == 2, "reload did not re-verify the salted hash"
 
 
 def test_to_u8_host_tier_uses_native_and_matches_device_path():

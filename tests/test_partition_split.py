@@ -70,7 +70,6 @@ def test_write_sink_does_not_defeat_fusion(tmp_path, tex_pro):
             time.sleep(0.05)
     else:
         raise AssertionError("Write node never produced a file")
-    assert written.size > 0
     deadline = time.time() + 30
     while lg.node_state(write) != NodeState.CLEAN and time.time() < deadline:
         time.sleep(0.01)
@@ -103,18 +102,22 @@ def test_requested_write_alone_still_runs(tmp_path, tex_pro):
     out_path = str(tmp_path / "only_write.png")
     lg = tex_pro.new_live_graph()
     with lg.write() as g:
-        _, write = _chain_with_write(g, out_path, depth=12)
+        out, write = _chain_with_write(g, out_path, depth=12)
         g.request(write)
 
     deadline = time.time() + 30
     while time.time() < deadline:
         try:
-            PILImage.open(out_path)
+            written = np.asarray(PILImage.open(out_path).convert("RGBA"))
             break
         except Exception:
             time.sleep(0.05)
     else:
         raise AssertionError("Write node never produced a file")
+    # content check: the written pixels equal the chain's Output render
+    # (a Write that saved the wrong slot would still produce a file)
+    expected = render_u8(lg, out).reshape(written.shape)
+    assert np.array_equal(written, expected)
     fused_events = [
         e for e in tex_pro.timeline.events() if e.extra.get("fused", 0) >= 12
     ]

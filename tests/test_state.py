@@ -205,24 +205,30 @@ def test_deep_chain_walks_no_recursion_limit(tex_pro):
 
 
 def test_moderately_deep_chain_evaluates(tex_pro):
-    """End-to-end evaluation of a 192-node chain (fused single program)."""
-    from kanter_core_tpu.graphs import deep_chain_graph
+    """End-to-end evaluation of a deep chain (fused single program), and a
+    Value edit observably changes the re-rendered pixels. Uses
+    bounded_chain_graph: its chaotic logistic map stays value-sensitive at
+    any depth (a plain add/sub chain saturates to clamp and makes edits
+    unobservable — this assertion used to be vacuous because of that)."""
+    from kanter_core_tpu.graphs import bounded_chain_graph
     import numpy as np
     from kanter_core_tpu import SlotData, SlotImage
 
-    graph, inputs, white, out = deep_chain_graph(depth=192, nonlinear_every=0)
+    graph, inputs, white, out = bounded_chain_graph(depth=64)
+    rng = np.random.default_rng(0)
     lg = tex_pro.new_live_graph()
     with lg.write() as g:
         g.set_node_graph(graph)
         for node in inputs:
             g.add_input_slot_data(
-                SlotData(node, SlotId(0), SlotImage.Gray(np.full((4, 4), 0.5, np.float32)))
+                SlotData(node, SlotId(0), SlotImage.Gray(rng.random((8, 8), np.float32)))
             )
     first = render_u8(lg, out)
     with lg.write() as g:
-        g.node_mut(white).node_type = NodeType.Value(0.25)
+        g.node_mut(white).node_type = NodeType.Value(0.93)
     second = render_u8(lg, out)
     assert first.shape == second.shape
+    assert not np.array_equal(first, second), "Value edit did not change pixels"
 
 
 def test_midflight_edit_discards_commit(tex_pro, monkeypatch):

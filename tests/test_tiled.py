@@ -88,7 +88,9 @@ def test_tiled_band_size_invariance():
     reference = TiledEvaluator(graph, targets, bindings, band_rows=4096).run()
     for band_rows in (5, 17, 64):
         result = TiledEvaluator(graph, targets, bindings, band_rows=band_rows).run()
+        assert set(result) == set(reference)
         for key in result:
+            assert len(reference[key]) == len(result[key]), key
             for a, b in zip(reference[key], result[key]):
                 assert np.array_equal(a, b), f"band_rows={band_rows} differs at {key}"
 
@@ -301,6 +303,7 @@ def test_tiled_preset_boundary_with_per_slot_sizes():
         graph, [(out, SlotId(0))], host, preset=preset, band_rows=13
     )
     banded = ev.run()[(out, SlotId(0))]
+    assert len(dense) == len(banded)
     for d, b in zip(dense, banded):
         assert np.array_equal(np.asarray(d), b)
 
@@ -721,7 +724,11 @@ def test_engine_tiled_input_and_embed_leaves():
                     SlotData(emb, SlotId(0), SlotImage.Gray(embed_plane)),
                     EmbeddedSlotDataId(0),
                 )
-            return render_u8(lg, out)
+            px = render_u8(lg, out)
+            if tile_bytes is not None:
+                assert len(tp.engine._tiled_programs) >= 1, "tiled path did not run"
+                assert len(tp.engine._fused_programs) == 0
+            return px
         finally:
             tp.shutdown_now()
 
@@ -754,6 +761,9 @@ def test_engine_tiled_incremental_edit():
             with lg.write() as g:
                 g.node_mut(val).node_type = NodeType.Value(0.6)
             results[tile_bytes] = render_u8(lg, out)
+            if tile_bytes is not None:
+                assert len(tp.engine._tiled_programs) >= 1, "tiled path did not run"
+                assert len(tp.engine._fused_programs) == 0
             tp.remove_live_graph(lg)
         finally:
             tp.shutdown_now()
