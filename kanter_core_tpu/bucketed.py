@@ -55,7 +55,7 @@ BUCKETABLE_KINDS = frozenset(
     {
         K.VALUE, K.IMAGE, K.INPUT_GRAY, K.INPUT_RGBA, K.EMBED,
         K.OUTPUT_GRAY, K.OUTPUT_RGBA, K.MIX, K.HEIGHT_TO_NORMAL, K.BLUR,
-        K.SEPARATE_RGBA, K.COMBINE_RGBA,
+        K.LEVELS, K.SEPARATE_RGBA, K.COMBINE_RGBA,
     }
 )
 
@@ -403,6 +403,8 @@ class BucketedGraph:
                 args[f"bh_{nid}"] = np.stack(
                     [_pad1((np.arange(tw) + t - r) % tw, pw_) for t in range(len(taps))]
                 )
+            elif kind == K.LEVELS:
+                args[f"lv_{nid}"] = np.asarray(node.node_type.payload, np.float32)
         return args
 
     def _plane_shape(self, pid, kind, size: Size, B: int) -> tuple:
@@ -555,6 +557,15 @@ class BucketedGraph:
                         out = out + nc_mul(acc[:, bh[t]], jnp.float32(w))
                     planes.append(out)
                 env[(node_id, SlotId(0))] = ImgVal(planes)
+                continue
+
+            if kind == K.LEVELS:
+                from .ops.levels import levels_plane
+
+                params = args[f"lv_{nid}"]
+                env[(node_id, SlotId(0))] = ImgVal(
+                    [levels_plane(p, params) for p in by_slot[SlotId(0)].planes]
+                )
                 continue
 
             if kind == K.SEPARATE_RGBA:

@@ -342,6 +342,20 @@ class GraphCompiler:
                 ]),
             )]
 
+        if kind == K.LEVELS:
+            from .ops.levels import levels_plane
+
+            inp = by_slot.get(SlotId(0))
+            if inp is None:
+                raise TexProError(
+                    ErrorKind.INVALID_BUFFER_COUNT, "Levels needs an input"
+                )
+            params = args[f"{prefix}levels_{nid}"]
+            return [(
+                SlotId(0),
+                ImgVal([levels_plane(p, params) for p in inp.planes]),
+            )]
+
         if kind == K.SEPARATE_RGBA:
             inp = by_slot.get(SlotId(0))
             if inp is not None and inp.is_rgba:
@@ -553,6 +567,10 @@ class CompiledGraph:
             kind = node.node_type.kind
             if kind == K.VALUE:
                 bindings[f"{prefix}value_{nid}"] = np.float32(node.node_type.payload)
+            elif kind == K.LEVELS:
+                bindings[f"{prefix}levels_{nid}"] = np.asarray(
+                    node.node_type.payload, np.float32
+                )
             elif kind == K.IMAGE:
                 try:
                     slot_image = image_io.read_slot_image(node.node_type.payload)
@@ -619,15 +637,20 @@ def _u8_export(img: ImgVal):
 
 
 def _normalize_values(graph_json):
-    """Zero out Value payloads: they are program *arguments*, so two graphs
-    differing only in Value constants share one compiled program (the
-    interactive slider-drag case must not retrace per tick)."""
+    """Zero out Value and Levels payloads: they are program *arguments*, so
+    two graphs differing only in those constants share one compiled program
+    (the interactive slider-drag case must not retrace per tick)."""
+    zero_levels = {
+        "in_lo": 0.0, "in_hi": 0.0, "gamma": 0.0, "out_lo": 0.0, "out_hi": 0.0,
+    }
     out = {"nodes": [], "edges": graph_json["edges"]}
     for node in graph_json["nodes"]:
         node_type = node["node_type"]
         if isinstance(node_type, dict):
             if "Value" in node_type:
                 node = dict(node, node_type={"Value": 0.0})
+            elif "Levels" in node_type:
+                node = dict(node, node_type={"Levels": zero_levels})
             elif "Graph" in node_type:
                 node = dict(node, node_type={"Graph": _normalize_values(node_type["Graph"])})
         out["nodes"].append(node)
@@ -678,6 +701,10 @@ def collect_value_bindings(node_graph: NodeGraph, prefix: str = "") -> dict:
         kind = node.node_type.kind
         if kind == NodeTypeKind.VALUE:
             bindings[f"{prefix}value_{int(node.node_id)}"] = np.float32(node.node_type.payload)
+        elif kind == NodeTypeKind.LEVELS:
+            bindings[f"{prefix}levels_{int(node.node_id)}"] = np.asarray(
+                node.node_type.payload, np.float32
+            )
         elif kind == NodeTypeKind.GRAPH:
             bindings.update(
                 collect_value_bindings(

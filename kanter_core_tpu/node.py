@@ -182,6 +182,7 @@ class NodeTypeKind(enum.Enum):
     SEPARATE_RGBA = "SeparateRgba"
     COMBINE_RGBA = "CombineRgba"
     BLUR = "Blur"  # TPU-native extension: no reference counterpart
+    LEVELS = "Levels"  # TPU-native extension: no reference counterpart
 
 
 class NodeType:
@@ -247,6 +248,20 @@ class NodeType:
         """Separable Gaussian blur with toroidal wrap (extension node —
         the reference has no blur; sigma is in pixels of the input)."""
         return NodeType(NodeTypeKind.BLUR, float(sigma))
+
+    @staticmethod
+    def Levels(in_lo: float = 0.0, in_hi: float = 1.0, gamma: float = 1.0,
+               out_lo: float = 0.0, out_hi: float = 1.0) -> "NodeType":
+        """Levels remap (extension node): per plane,
+        `out = out_lo + (out_hi−out_lo) · clip((x−in_lo)/(in_hi−in_lo), 0, 1)^gamma`.
+        The five parameters are PROGRAM ARGUMENTS in every traced consumer
+        (like Value constants), so slider drags re-run cached executables.
+        IEEE propagation on a degenerate span (in_hi == in_lo): the divide
+        yields ±inf/NaN, the clip resolves ±inf to 1/0, NaN stays NaN."""
+        return NodeType(
+            NodeTypeKind.LEVELS,
+            (float(in_lo), float(in_hi), float(gamma), float(out_lo), float(out_hi)),
+        )
 
     @staticmethod
     def SeparateRgba() -> "NodeType":
@@ -316,6 +331,10 @@ class NodeType:
             return {"Value": self.payload}
         if k == NodeTypeKind.BLUR:
             return {"Blur": self.payload}
+        if k == NodeTypeKind.LEVELS:
+            p = self.payload
+            return {"Levels": {"in_lo": p[0], "in_hi": p[1], "gamma": p[2],
+                               "out_lo": p[3], "out_hi": p[4]}}
         # newtype string payloads: InputGray/InputRgba/OutputGray/OutputRgba/Image/Write
         return {k.value: self.payload}
 
@@ -337,6 +356,11 @@ class NodeType:
             return NodeType(kind, EmbeddedSlotDataId(payload))
         if kind in (NodeTypeKind.VALUE, NodeTypeKind.BLUR):
             return NodeType(kind, float(payload))
+        if kind == NodeTypeKind.LEVELS:
+            return NodeType.Levels(
+                payload["in_lo"], payload["in_hi"], payload["gamma"],
+                payload["out_lo"], payload["out_hi"],
+            )
         return NodeType(kind, payload)
 
 
@@ -422,7 +446,7 @@ class Node:
             ]
         if k == K.HEIGHT_TO_NORMAL:
             return [Slot("input", SlotId(0), SlotType.GRAY)]
-        if k == K.BLUR:
+        if k in (K.BLUR, K.LEVELS):
             return [Slot("input", SlotId(0), SlotType.GRAY_OR_RGBA)]
         if k == K.SEPARATE_RGBA:
             return [Slot("input", SlotId(0), SlotType.RGBA)]
@@ -456,7 +480,7 @@ class Node:
             return [Slot("output", SlotId(0), SlotType.GRAY_OR_RGBA)]
         if k == K.HEIGHT_TO_NORMAL:
             return [Slot("output", SlotId(0), SlotType.RGBA)]
-        if k == K.BLUR:
+        if k in (K.BLUR, K.LEVELS):
             return [Slot("output", SlotId(0), SlotType.GRAY_OR_RGBA)]
         if k == K.SEPARATE_RGBA:
             return [

@@ -79,6 +79,12 @@ class NodeGraph:
             raise TexProError(ErrorKind.INVALID_NODE_ID)
         node.node_type = NodeType.Blur(sigma)
 
+    def set_levels(self, node_id: NodeId, in_lo, in_hi, gamma, out_lo, out_hi) -> None:
+        node = self._node_with_id_mut(node_id)
+        if node is None or node.node_type.kind != NodeTypeKind.LEVELS:
+            raise TexProError(ErrorKind.INVALID_NODE_ID)
+        node.node_type = NodeType.Levels(in_lo, in_hi, gamma, out_lo, out_hi)
+
     def set_image_node_path(self, node_id: NodeId, path: str) -> None:
         node = self._node_with_id_mut(node_id)
         if node is None or node.node_type.kind != NodeTypeKind.IMAGE:

@@ -62,6 +62,7 @@ TILEABLE_KINDS = frozenset(
         K.MIX,
         K.HEIGHT_TO_NORMAL,
         K.BLUR,
+        K.LEVELS,
         K.SEPARATE_RGBA,
         K.COMBINE_RGBA,
         K.EMBED,
@@ -447,6 +448,11 @@ def infer_sizes(graph, bindings, preset=None) -> dict:
                 raise TexProError(ErrorKind.INVALID_BUFFER_COUNT, "Blur needs an input")
             info.out_planes[SlotId(0)] = in_planes(0)
             info.out_size = info.working
+        elif kind == K.LEVELS:
+            if not info.inputs:
+                raise TexProError(ErrorKind.INVALID_BUFFER_COUNT, "Levels needs an input")
+            info.out_planes[SlotId(0)] = in_planes(0)
+            info.out_size = info.working
         elif kind == K.SEPARATE_RGBA:
             inp = by_slot.get(SlotId(0))
             if inp is not None and in_planes(0) == 4:
@@ -708,6 +714,11 @@ class TiledEvaluator:
                         for t in range(len(taps))
                     ]
                 )  # [taps, out_rows]
+            elif kind == K.LEVELS:
+                args[f"lv_{nid}"] = np.asarray(
+                    self.bindings.get(f"levels_{nid}", node.node_type.payload),
+                    np.float32,
+                )
         return args
 
     # --- forward band evaluation (traced) ---
@@ -842,6 +853,15 @@ class TiledEvaluator:
                         acc = acc + nc_mul(p[bidx[t]], jnp.float32(w))
                     planes.append(_blur_axis0(acc.T, taps).T)
                 env[(node_id, SlotId(0))] = ImgVal(planes)
+                continue
+
+            if kind == K.LEVELS:
+                from .ops.levels import levels_plane
+
+                params = args[f"lv_{nid}"]
+                env[(node_id, SlotId(0))] = ImgVal(
+                    [levels_plane(p, params) for p in by_slot[SlotId(0)].planes]
+                )
                 continue
 
             if kind == K.SEPARATE_RGBA:

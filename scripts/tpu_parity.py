@@ -270,6 +270,16 @@ def _determinism_kernels():
         return tuple(bg()[(out_node, SlotId(0))])
 
     cases.append(("bucketed_mix_h2n_blur", _bucketed_row, 0))
+
+    def _levels_row():
+        from kanter_core_tpu.ops.levels import levels_plane
+
+        params = np.asarray([0.15, 0.85, 2.3, 0.05, 0.95], np.float32)
+        return jax.jit(levels_plane)(src, params)
+
+    # Levels routes pow through ds_pow off-CPU: like mix_POW, the only
+    # allowed diffs are inputs where glibc powf itself misrounds
+    cases.append(("levels_remap", _levels_row, 80))
     from kanter_core_tpu.slot_image import _jitted_converters
 
     sweep = (np.arange(65536, dtype=np.float32) / 65535.0).reshape(256, 256)

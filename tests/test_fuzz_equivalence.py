@@ -134,6 +134,25 @@ def _build_random_graph(seed: int, allow_graph_nodes: bool = True) -> tuple[Node
             )
             graph.connect(src[0], gnode_id, src[1], inner.input_slot_id_with_name("in"))
 
+    # Levels coverage via a SEPARATE rng so pre-existing seeds keep their
+    # exact graphs (appending never perturbs the main stream) — the four
+    # lockstep consumers all get fuzzed over the op automatically
+    lrng = np.random.default_rng(seed * 7919 + 13)
+    src = pick(SlotType.GRAY_OR_RGBA)
+    if src is not None:
+        node = Node(
+            NodeType.Levels(
+                float(lrng.uniform(0.0, 0.3)),
+                float(lrng.uniform(0.5, 1.0)),
+                float(lrng.uniform(0.3, 3.0)),
+                float(lrng.uniform(0.0, 0.2)),
+                float(lrng.uniform(0.8, 1.0)),
+            )
+        )
+        node.resize_policy = ResizePolicy.MostPixels()
+        levels_id = add(node, [(SlotId(0), SlotType.GRAY_OR_RGBA)])
+        graph.connect(src[0], levels_id, src[1], SlotId(0))
+
     # terminal outputs: one per leaf-ish producer kind
     targets = []
     gray = pick(SlotType.GRAY)
