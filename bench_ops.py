@@ -137,6 +137,20 @@ def stages(canvas: int):
             4, 16, 0.25,
         )
 
+    # --- levels remap (compute-bound off-CPU: corrected div + ds_pow) ---
+    from kanter_core_tpu.ops.levels import levels_plane
+
+    lv_params = np.asarray([0.15, 0.85, 2.3, 0.05, 0.95], np.float32)
+
+    yield (
+        "levels",
+        lambda c, ps: (levels_plane(ps[0] + c, lv_params),),
+        (p1,),
+        2 * plane_bytes,
+        canvas * canvas,
+        4, 16, 0.25,
+    )
+
     # --- resample up ×2 and down ×2, Triangle + Lanczos3
     #     (traffic: in read + tmp[outH,inW] write+read + out write) ---
     for filt, fname in ((ResizeFilter.TRIANGLE, "tri"), (ResizeFilter.LANCZOS3, "lcz")):

@@ -35,7 +35,7 @@ def _cmd_render(args) -> int:
     import numpy as np
 
     from .ids import NodeId, SlotId
-    from .live_graph import LiveGraph
+    from .live_graph import LiveGraph, NodeState
     from .node import Node, NodeType, NodeTypeKind
     from .node_graph import NodeGraph
     from .ops.image_io import read_slot_image, save_rgba_png
@@ -62,6 +62,16 @@ def _cmd_render(args) -> int:
                 if graph.node(NodeId(int(slot))).node_type.kind.value == "InputGray":
                     image = image.as_type(False)
                 lg.add_input_slot_data(SlotData(NodeId(int(slot)), SlotId(0), image))
+
+            for spec in args.levels or []:
+                node_id, _, csv = spec.partition("=")
+                parts = [float(x) for x in csv.split(",")]
+                if len(parts) != 5:
+                    print("error: --levels NODE_ID=in_lo,in_hi,gamma,out_lo,out_hi",
+                          file=sys.stderr)
+                    return 2
+                lg.node_graph.set_levels(NodeId(int(node_id)), *parts)
+                lg.set_state(NodeId(int(node_id)), NodeState.DIRTY)
 
             for spec in args.value or []:
                 node_id, _, value = spec.partition("=")
@@ -122,6 +132,11 @@ def main(argv=None) -> int:
     p_render.add_argument("--input", action="append", metavar="NAME=IMAGE.png")
     p_render.add_argument("--output", action="append", metavar="NAME=OUT.png")
     p_render.add_argument("--value", action="append", metavar="NODE_ID=FLOAT")
+    p_render.add_argument(
+        "--levels", action="append",
+        metavar="NODE_ID=in_lo,in_hi,gamma,out_lo,out_hi",
+        help="override a Levels node's parameters",
+    )
     p_render.add_argument("--srgb", action="store_true", help="export via sRGB conversion")
     p_render.add_argument("--memory-threshold", type=int, default=1 << 31)
     p_render.add_argument(

@@ -18,6 +18,11 @@ Design follows the engine's conventions:
 - applied to EVERY plane (gray 1 / rgba all 4, alpha included — like Blur);
 - degenerate span (in_hi == in_lo): IEEE propagation — the divide yields
   ±inf (clip resolves to 1/0) or NaN (propagates), deterministically.
+
+Cost note (measured, bench_ops `levels` row): 12.9 ms at 4096² on chip —
+compute-bound by the correctly-rounded `ds_pow` (~1.3 Gpix/s), the same
+class as Mix POW. That is the deliberate price of cross-backend f32-bit
+determinism (recipe-cache safety); hardware pow would be ~1 ulp loose.
 """
 
 from __future__ import annotations
