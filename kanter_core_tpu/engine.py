@@ -101,6 +101,7 @@ def _shard_overrides(overrides: dict, mesh) -> dict:
 
 
 _IMAGE_SIZE_CACHE: dict = {}  # path → (mtime, (w, h)); header-only PIL reads
+_IMAGE_SIZE_LOCK = threading.Lock()  # workers probe concurrently
 
 
 def _image_size(path) -> tuple:
@@ -114,7 +115,8 @@ def _image_size(path) -> tuple:
         mtime = _os.stat(path).st_mtime_ns
     except OSError:
         return (1, 1)  # magenta 1×1 fallback mirrors the decode path
-    hit = _IMAGE_SIZE_CACHE.get(path)
+    with _IMAGE_SIZE_LOCK:
+        hit = _IMAGE_SIZE_CACHE.get(path)
     if hit is not None and hit[0] == mtime:
         return hit[1]
     try:
@@ -124,9 +126,10 @@ def _image_size(path) -> tuple:
             size = im.size
     except Exception:  # noqa: BLE001
         size = (1, 1)
-    _IMAGE_SIZE_CACHE[path] = (mtime, size)
-    while len(_IMAGE_SIZE_CACHE) > 4096:
-        _IMAGE_SIZE_CACHE.pop(next(iter(_IMAGE_SIZE_CACHE)))
+    with _IMAGE_SIZE_LOCK:
+        _IMAGE_SIZE_CACHE[path] = (mtime, size)
+        while len(_IMAGE_SIZE_CACHE) > 4096:
+            _IMAGE_SIZE_CACHE.pop(next(iter(_IMAGE_SIZE_CACHE)))
     return size
 
 
@@ -170,45 +173,55 @@ class _WorkerPool:
     def __init__(self, name: str = "kanter-worker"):
         self._name = name
         self._tasks: queue.Queue = queue.Queue()
-        self._lock = threading.Lock()
-        self._idle = 0  # workers waiting in get() whose slot no submit reserved
+        # one token per waiting worker not yet claimed by a submit. Tokens
+        # are FUNGIBLE (any waiter may serve any task), which is what makes
+        # the accounting race-free: the previous integer-counter protocol
+        # leaked a phantom idle slot when an already-waiting worker grabbed
+        # a spawn-submit's task (the successful get never decremented), and
+        # one leaked slot later stranded a task with no worker — a permanent
+        # hang for its requester.
+        self._idle_tokens = threading.Semaphore(0)
         self._serial = 0
+        self._serial_lock = threading.Lock()
 
     def submit(self, fn, /, *args) -> None:
-        with self._lock:
-            spawn = self._idle == 0
-            if not spawn:
-                self._idle -= 1  # reserve a waiting worker for this task
-            else:
-                self._serial += 1
-                serial = self._serial
+        # claim a waiting worker BEFORE queueing: if the claim succeeds,
+        # some waiter (token holder or a timed-out waiter in its blocking
+        # fallback get) is guaranteed to serve the task; otherwise spawn
+        spawn = not self._idle_tokens.acquire(blocking=False)
         self._tasks.put((fn, args))
         if spawn:
+            with self._serial_lock:
+                self._serial += 1
+                serial = self._serial
             threading.Thread(
                 target=self._run, daemon=True, name=f"{self._name}-{serial}"
             ).start()
 
     def _wait_for_task(self):
-        with self._lock:
-            self._idle += 1
+        self._idle_tokens.release()
         try:
             return self._tasks.get(timeout=self.IDLE_TTL_SECONDS)
         except queue.Empty:
-            with self._lock:
-                if self._idle > 0:
-                    self._idle -= 1
-                    return None  # genuinely idle: retire this worker
-            # a submit reserved this worker's slot, so its task is queued
-            # (or about to be): serve it rather than strand the reservation
+            if self._idle_tokens.acquire(blocking=False):
+                return None  # removed our own (or a sibling's) token: retire
+            # a submit claimed this worker's token, so its task is queued
+            # (or about to be): serve it rather than strand the claim
             return self._tasks.get()
 
     def _run(self) -> None:
         try:
             # the task this worker was spawned for (or a sibling's — the
-            # queue doesn't pair tasks to workers, only counts them)
+            # queue doesn't pair tasks to workers, only counts guarantees)
             task = self._tasks.get(timeout=1.0)
         except queue.Empty:
-            return  # consumed by a concurrently-waiting worker; retire
+            # a waiting worker stole this spawn's task — and that waiter's
+            # token is still outstanding (it released before it could win
+            # the task). Reclaim one token so it can't later convince a
+            # submit to skip spawning with no waiter behind it (the mirror
+            # image of the claimed-waiter race `_wait_for_task` handles).
+            self._idle_tokens.acquire(blocking=False)
+            return
         while task is not None:
             fn, args = task
             fn(*args)
@@ -389,7 +402,10 @@ class Engine:
 
         if not_clean:
             lg.remove_nodes_data(node_id)
-            lg.force_state(node_id, NodeState.DIRTY)
+            try:
+                lg.force_state(node_id, NodeState.DIRTY)
+            except TexProError:
+                pass  # node removed while processing — nothing to re-dirty
         elif recipe is not None:
             lg._recipes[node_id] = recipe
             self.tex_pro.recipe_cache.put(
@@ -684,6 +700,14 @@ class Engine:
                 partition, recipes = self._memoize_partition(lg, partition)
             if not partition:
                 return
+            # remember which members carried the user's request: the
+            # boundary-eviction race below re-dirties the partition, and
+            # plain DIRTY would silently drop a one-shot request()
+            was_requested = {
+                nid
+                for nid in partition
+                if lg.node_state(nid) in (NodeState.REQUESTED, NodeState.PRIORITISED)
+            }
             for node_id in partition:
                 lg._set_state_raw(node_id, NodeState.PROCESSING)
 
@@ -699,9 +723,16 @@ class Engine:
                     try:
                         boundary[key] = lg.slot_data(*key)
                     except TexProError:
-                        # raced an eviction: re-dirty and retry next tick
+                        # raced an eviction: re-dirty and retry next tick,
+                        # restoring request status so one-shot request()
+                        # clients are still served
                         for node_id in partition:
-                            lg.force_state(node_id, NodeState.DIRTY)
+                            lg.force_state(
+                                node_id,
+                                NodeState.REQUESTED
+                                if node_id in was_requested
+                                else NodeState.DIRTY,
+                            )
                         lg.set_state(edge.output_id, NodeState.DIRTY)
                         return
             embedded = lg.embedded_slot_datas()

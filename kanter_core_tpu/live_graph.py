@@ -454,8 +454,18 @@ class LiveGraph:
             edges = self.node_graph.disconnect_slot(NodeId(node_id), side, SlotId(slot_id))
             dirty_nodes = []
             for edge in edges:
+                # the CONSUMER itself must re-evaluate (its input set
+                # changed); get_children_recursive excludes the start node,
+                # and leaving it Clean would serve pixels computed from an
+                # edge that no longer exists (the same stale-Clean class the
+                # port fixes in remove_node)
+                dirty_nodes.append(edge.input_id)
                 dirty_nodes.extend(self.node_graph.get_children_recursive(edge.input_id))
                 self.node(edge.output_id).priority.touch()
+                try:
+                    self.node(edge.input_id).cancel.store(True)
+                except TexProError:
+                    pass
             if side == Side.INPUT:
                 dirty_nodes.append(NodeId(node_id))
             else:
@@ -473,12 +483,25 @@ class LiveGraph:
             # A cyclic graph would never become processable and hang every
             # waiter (ADVICE r1); reject it up front.
             node_graph.validate_acyclic()
+            # ids in flight for the OLD graph: a result committing after the
+            # swap would otherwise land on the NEW graph's same-id node and
+            # mark it Clean with the old graph's pixels. Setting the new
+            # node's cancel flag makes the commit-time check discard it
+            # (`engine.rs:77-102` semantics; a legitimate new dispatch
+            # un-cancels on admission).
+            in_flight = {
+                nid
+                for nid, state in self._node_state.items()
+                if state in (NodeState.PROCESSING, NodeState.PROCESSING_DIRTY)
+            }
             self.node_graph = node_graph
             self.reset_node_states()
             self.slot_datas.clear()
             self._recipes.clear()
             for node in node_graph.nodes:
                 self.priority_propagator.push_priority(node.node_id, node.priority)
+                if node.node_id in in_flight:
+                    node.cancel.store(True)
 
     def reset_node_states(self) -> None:
         with self._lock:

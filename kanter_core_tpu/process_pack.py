@@ -40,13 +40,44 @@ class ProcessPackManager:
         self.process_packs: list[ProcessPack] = []
         self.max_count = default_max_count()
 
+    @staticmethod
+    def _is_graph_pack(pack: ProcessPack) -> bool:
+        """Graph-node packs don't occupy admission slots: their worker
+        BLOCKS awaiting the nested graph's outputs rather than computing, so
+        counting them starves the very inner dispatches they wait on — with
+        max_count blocked Graph nodes the processor would deadlock
+        permanently (inner packs at equal priority can never strictly
+        preempt). Same rationale as the unbounded worker pool
+        (`engine._WorkerPool`)."""
+        from .node import NodeTypeKind
+
+        try:
+            return (
+                pack.live_graph.node(pack.node_id).node_type.kind
+                == NodeTypeKind.GRAPH
+            )
+        except TexProError:
+            return False
+
+    def _occupied(self) -> int:
+        return sum(1 for p in self.process_packs if not self._is_graph_pack(p))
+
     def update(self, process_packs: list[ProcessPack]) -> list[ProcessPack]:
         """Admit as many of the given packs as fit; returns the admitted ones
-        (`process_pack.rs:33-96`)."""
+        (`process_pack.rs:33-96`). Graph-node packs bypass the cap (see
+        `_is_graph_pack`)."""
         output_packs: list[ProcessPack] = []
         self._remove_clean()
         self._sort_by_priority(self.process_packs)
-        del self.process_packs[self.max_count :]
+        excess = self._occupied() - self.max_count
+        if excess > 0:
+            kept = []
+            for p in self.process_packs:  # ascending priority: drop coldest
+                if excess > 0 and not self._is_graph_pack(p):
+                    excess -= 1
+                    continue
+                kept.append(p)
+            self.process_packs = kept
 
         self._sort_by_priority(process_packs)
 
@@ -59,26 +90,32 @@ class ProcessPackManager:
                 if existing.live_graph is pack.live_graph and existing.node_id == pack.node_id:
                     del self.process_packs[i]
                     break
-            if len(self.process_packs) < self.max_count:
+            lowest = next(
+                (p for p in self.process_packs if not self._is_graph_pack(p)), None
+            )
+            if self._is_graph_pack(pack) or self._occupied() < self.max_count:
                 if not self._insert_by_priority(pack):
                     continue  # node deleted
                 output_packs.append(pack)
             elif (
-                pack.priority.propagated_priority()
-                > self.process_packs[0].priority.propagated_priority()
+                lowest is not None
+                and pack.priority.propagated_priority()
+                > lowest.priority.propagated_priority()
             ):
                 if not self._insert_by_priority(pack):
                     continue
-                removed = self.process_packs.pop(0)
+                self.process_packs.remove(lowest)
                 try:
-                    removed.live_graph.node(removed.node_id).cancel.store(True)
+                    lowest.live_graph.node(lowest.node_id).cancel.store(True)
                 except TexProError as e:
                     if e.kind == ErrorKind.INVALID_NODE_ID:
                         continue  # node removed
                     raise
                 output_packs.append(pack)
             else:
-                break
+                # can't admit this one, but lower-priority GRAPH packs
+                # further down still bypass the cap — keep scanning
+                continue
 
         return output_packs
 

@@ -188,16 +188,24 @@ class TextureProcessor:
 
     @staticmethod
     def await_slot_data_size(live_graph: LiveGraph, node_id: NodeId, slot_id: SlotId) -> Size:
-        with live_graph.write() as lg:
-            lg.prioritise(node_id)
         while True:
-            with live_graph.read() as lg:
+            # re-prioritise EVERY pass (like `_await_clean`'s spin,
+            # `live_graph.rs:168-178`): a mid-flight edit can discard the
+            # result and drop the node back to Dirty with no one requesting
+            # it — a one-shot prioritise would then wait forever
+            with live_graph.write() as lg:
                 if lg.fatal_error is not None:
                     raise lg.fatal_error
+                if lg._shutdown.load():
+                    raise TexProError(
+                        ErrorKind.NODE_PROCESSING,
+                        "texture processor is shut down; slot data will never arrive",
+                    )
                 try:
                     return lg.slot_data_size(node_id, slot_id)
                 except TexProError as e:
                     if e.kind != ErrorKind.NO_SLOT_DATA:
                         raise
+                lg.prioritise(node_id)
             with live_graph._state_cv:
                 live_graph._state_cv.wait(timeout=0.002)

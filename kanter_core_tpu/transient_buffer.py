@@ -387,8 +387,20 @@ class PlaneBufferQueue:
         """One manager pass. Returns True if it did any work (used by the
         thread loop to back off while idle instead of burning a core on
         1 kHz full-queue scans, the reference's fixed cadence,
-        `transient_buffer.rs:409`)."""
+        `transient_buffer.rs:409`).
+
+        The queue lock covers only bookkeeping and victim SELECTION; the
+        blocking device→host materializations and disk writes run outside
+        it (each plane's own lock serializes racing fault-ins). Holding the
+        queue lock across a transfer would stall every `data()` fault-in —
+        and, transitively, commit and read paths — for the transfer's
+        duration (the remote tunnel stalls for tens of seconds). A plane
+        faulted back in between selection and eviction just gets re-evicted
+        skipped by `evict_to_host`'s own tier check or re-promoted on its
+        next touch; under-eviction self-heals on the next tick."""
         worked = False
+        evict_victims: list = []
+        spill_victims: list = []
         with self._lock:
             before = len(self._entries)
             worked |= bool(self._incoming)
@@ -404,18 +416,13 @@ class PlaneBufferQueue:
                 # two-phase: start ALL victims' async device→host copies,
                 # then materialize — transfers overlap instead of paying one
                 # blocking round trip per plane
-                victims = []
                 pending = in_memory
                 for buf in list(self._entries.values()):
                     if pending <= threshold:
                         break
                     if buf.begin_evict():
-                        victims.append(buf)
+                        evict_victims.append(buf)
                         pending -= buf.bytes()
-                for buf in victims:
-                    if buf.evict_to_host():
-                        in_memory -= buf.bytes()
-                        worked = True
 
             if self.host_threshold is not None:
                 host_threshold = self.host_threshold.load()
@@ -426,9 +433,19 @@ class PlaneBufferQueue:
                     for buf in list(self._entries.values()):
                         if on_host <= host_threshold:
                             break
-                        if buf.tier == Tier.HOST and buf.spill_to_storage():
+                        if buf.tier == Tier.HOST:
+                            spill_victims.append(buf)
                             on_host -= buf.bytes()
-                            worked = True
+
+        for buf in evict_victims:
+            if buf.evict_to_host():
+                worked = True
+        for buf in spill_victims:
+            # re-check: a plane faulted back to DEVICE since selection must
+            # not be silently evicted+spilled by spill_to_storage's
+            # device-eviction path
+            if buf.tier == Tier.HOST and buf.spill_to_storage():
+                worked = True
         return worked
 
     def dump(self) -> str:
