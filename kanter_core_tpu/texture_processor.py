@@ -95,6 +95,14 @@ class TextureProcessor:
         self.engine.wake()
         for live_graph in self.live_graphs_snapshot():
             live_graph._notify_state_change()  # wake any blocked awaits
+        # join the daemons (bounded): a daemon thread killed by interpreter
+        # exit while inside a device transfer aborts the process from C++
+        # ("FATAL: exception not rethrown"), poisoning benchmark/driver exit
+        # codes. The manager in particular may be mid np.asarray since tier
+        # transfers run outside its lock.
+        for thread in (self._engine_thread, self._buffer_thread):
+            if thread is not None and thread.is_alive():
+                thread.join(timeout=10.0)
 
     def __enter__(self) -> "TextureProcessor":
         return self
