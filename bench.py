@@ -324,3 +324,15 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+    # Belt and braces for the driver: the JSON line above IS the result. The
+    # remote-TPU client has aborted the process at interpreter teardown
+    # before ("FATAL: exception not rethrown" unwinding a daemon thread
+    # through C++) — the library now shuts its daemons down cleanly
+    # (texture_processor.shutdown_now + transient_buffer shutdown guards),
+    # but a tunnel stall at exit must not turn a completed benchmark into a
+    # non-zero exit code.
+    import sys
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

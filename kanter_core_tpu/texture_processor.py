@@ -102,7 +102,10 @@ class TextureProcessor:
         # transfers run outside its lock.
         for thread in (self._engine_thread, self._buffer_thread):
             if thread is not None and thread.is_alive():
-                thread.join(timeout=10.0)
+                # the manager abandons queued transfers on shutdown, so the
+                # wait is bounded by ONE in-flight device→host copy (tunnel
+                # stalls can stretch a single 67 MB fetch to tens of seconds)
+                thread.join(timeout=60.0)
 
     def __enter__(self) -> "TextureProcessor":
         return self

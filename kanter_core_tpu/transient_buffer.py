@@ -418,7 +418,10 @@ class PlaneBufferQueue:
                 # blocking round trip per plane
                 pending = in_memory
                 for buf in list(self._entries.values()):
-                    if pending <= threshold:
+                    if pending <= threshold or self.shutdown.load():
+                        # don't START async device→host copies during
+                        # shutdown: an in-flight transfer abandoned at
+                        # interpreter exit unwinds through C++ and aborts
                         break
                     if buf.begin_evict():
                         evict_victims.append(buf)
@@ -438,9 +441,14 @@ class PlaneBufferQueue:
                             on_host -= buf.bytes()
 
         for buf in evict_victims:
+            if self.shutdown.load():
+                return worked  # abandon remaining transfers: exiting with a
+                # daemon mid-device-transfer aborts the process from C++
             if buf.evict_to_host():
                 worked = True
         for buf in spill_victims:
+            if self.shutdown.load():
+                return worked
             # re-check: a plane faulted back to DEVICE since selection must
             # not be silently evicted+spilled by spill_to_storage's
             # device-eviction path

@@ -152,3 +152,37 @@ def test_await_slot_data_size_fails_fast_after_shutdown():
     tp.shutdown_now()
     with pytest.raises(TexProError):
         TextureProcessor.await_slot_data_size(lg, v, SlotId(0))
+
+def test_manager_tick_abandons_evictions_on_shutdown():
+    """During shutdown the manager must neither START new device→host copies
+    nor keep draining a long victim queue — exiting with a daemon mid-transfer
+    unwinds through C++ and aborts the interpreter (observed as rc=134,
+    "FATAL: exception not rethrown", after large eviction benchmarks)."""
+    import jax
+    import numpy as np
+
+    from kanter_core_tpu.node import AtomicFlag
+    from kanter_core_tpu.transient_buffer import (
+        AtomicUsize,
+        PlaneBuffer,
+        PlaneBufferQueue,
+        Tier,
+    )
+
+    shutdown = AtomicFlag(False)
+    queue = PlaneBufferQueue(AtomicUsize(0), shutdown)  # everything over budget
+    bufs = [
+        PlaneBuffer(device=jax.device_put(np.full((8, 8), i, np.float32)))
+        for i in range(4)
+    ]
+    for b in bufs:
+        queue.add_buffer(b)
+    shutdown.store(True)
+    queue.tick()
+    assert all(b.tier == Tier.DEVICE for b in bufs), (
+        "manager started evictions during shutdown"
+    )
+    # sanity: with shutdown clear the same tick DOES evict
+    shutdown.store(False)
+    queue.tick()
+    assert any(b.tier == Tier.HOST for b in bufs)
