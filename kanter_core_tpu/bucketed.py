@@ -243,6 +243,16 @@ class BucketedGraph:
             ]
         self.targets = [(NodeId(n), SlotId(s)) for n, s in targets]
 
+        # Cross-target plane aliasing (reference: Arc-shared channel planes,
+        # `separate_rgba.rs:38-68`): the traced fn returns UNIQUE planes plus
+        # a trace-recorded layout, exactly like `CompiledGraph.call_with_layout`
+        # — aliasing depends on shapes (same-size edges alias, resampled ones
+        # copy), so layouts key on the arg-shape signature. One shared mutable
+        # container: `with_state` handles are shallow copies, and `_fn` is
+        # bound to THIS instance, so both must see the same state.
+        self._layout_state = {"layouts": {}, "pending": None}
+        self._trace_lock = __import__("threading").Lock()
+
         # structural metadata (plane counts + input lists) from one
         # inference pass — size-independent as long as topology/bindings
         # plane counts stay fixed
@@ -607,10 +617,19 @@ class BucketedGraph:
                 ErrorKind.INVALID_NODE_TYPE, f"cannot bucket {node.node_type!r}"
             )
 
-        return {
-            f"t{int(tnid)}_{int(tslot)}": tuple(env[(tnid, tslot)].planes)
-            for tnid, tslot in self.targets
-        }
+        unique: dict = {}  # id(tracer) → (index, tracer)
+        layout: dict = {}
+        for tnid, tslot in self.targets:
+            idxs = []
+            for plane in env[(tnid, tslot)].planes:
+                pid = id(plane)
+                if pid not in unique:
+                    unique[pid] = (len(unique), plane)
+                idxs.append(unique[pid][0])
+            layout[(tnid, tslot)] = tuple(idxs)
+        self._layout_state["pending"] = layout
+        ordered = sorted(unique.values(), key=lambda iv: iv[0])
+        return tuple(plane for _, plane in ordered)
 
     # --- evaluation ---
     def __call__(self, infos=None) -> dict:
@@ -643,18 +662,52 @@ class BucketedGraph:
         if infos is None:
             infos = tiled.infer_sizes(self.graph, self._tiled_bindings(), self.preset)
         args = self._marshal(infos)
-        out = self._jit(args)
+        out, layout = self._call_with_layout(args)
+        # planes are deduplicated: aliased targets (Separate outputs, gray→
+        # rgba expansion, pass-through Outputs) share ONE sliced array — the
+        # engine wraps each unique array in one PlaneBuffer, preserving the
+        # reference's Arc-shared-plane accounting through the bucketed path.
+        # Callers must treat returned planes as read-only (they may be shared).
+        uniq = list(out) if self.device_out else [np.asarray(p) for p in out]
+        slices: dict = {}  # (unique index, h, w) → sliced plane
         results: dict = {}
         for tnid, tslot in self.targets:
-            info = infos[tnid]
-            size = info.slot_size(tslot)
+            size = infos[tnid].slot_size(tslot)
             # auto-flattened Graph-node outputs key back to the ORIGINAL
             # (graph_node, slot) the caller targeted
             key = self._remap_back.get((tnid, tslot), (tnid, tslot))
-            results[key] = [
-                p[: size.height, : size.width]
-                if self.device_out
-                else np.asarray(p)[: size.height, : size.width]
-                for p in out[f"t{int(tnid)}_{int(tslot)}"]
-            ]
+            planes = []
+            for uidx in layout[(tnid, tslot)]:
+                sk = (uidx, size.height, size.width)
+                if sk not in slices:
+                    slices[sk] = uniq[uidx][: size.height, : size.width]
+                planes.append(slices[sk])
+            results[key] = planes
         return results
+
+    def _call_with_layout(self, args: dict):
+        """Run the jitted program, returning `(unique_planes, layout)` for
+        exactly this call's arg shapes (the `call_with_layout` protocol)."""
+        sig = tuple(
+            (k, tuple(getattr(args[k], "shape", ()))) for k in sorted(args)
+        )
+        state = self._layout_state
+        layout = state["layouts"].get(sig)
+        if layout is not None:
+            return self._jit(args), layout
+        # first call for this shape set: serialize so the trace-recorded
+        # layout is attributed to the right signature
+        with self._trace_lock:
+            layout = state["layouts"].get(sig)
+            if layout is not None:
+                return self._jit(args), layout
+            state["pending"] = None
+            result = self._jit(args)
+            layout = state["pending"]
+            if layout is None:  # pragma: no cover — signature alias
+                raise TexProError(
+                    ErrorKind.GENERIC,
+                    "bucketed program produced no layout for new shapes",
+                )
+            state["layouts"][sig] = layout
+            return result, layout

@@ -1138,9 +1138,21 @@ class Engine:
             outs = cached.with_state(flat_graph, bindings)(infos=infos)
 
             results: dict = {}
+            # the bucketed evaluator dedups aliased planes (same array object
+            # across targets) — wrap each unique array in ONE PlaneBuffer so
+            # Separate/pass-through outputs share planes like the dense
+            # path's call_with_layout commit (reference Arc-shared planes)
+            wrap_cache: dict = {}  # id(array) → PlaneBuffer (arrays pinned by `outs`)
             for (fnid, slot), planes in outs.items():
                 onid, oslot = remap_back.get((fnid, slot), (fnid, slot))
-                image = SlotImage([plane_from_device(p) for p in planes])
+                bufs = []
+                for p in planes:
+                    pb = wrap_cache.get(id(p))
+                    if pb is None:
+                        pb = plane_from_device(p)
+                        wrap_cache[id(p)] = pb
+                    bufs.append(pb)
+                image = SlotImage(bufs)
                 results.setdefault(onid, []).append(SlotData(onid, oslot, image))
             node_results = [
                 (nid, sorted(results.get(nid, []), key=lambda sd: sd.slot_id))

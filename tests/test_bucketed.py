@@ -235,3 +235,55 @@ def test_bucketed_rejects_unflattenable_graph_nodes():
     g.add_node(Node(NodeType.Graph(inner)))  # inner Input has no outer edge
     with pytest.raises(TexProError):
         BucketedGraph(g)
+
+
+def test_bucketed_shares_aliased_planes():
+    """Aliased outputs (Separate's channels re-sharing its input's planes,
+    `separate_rgba.rs:38-68`) come back as the SAME array object across
+    targets — the `call_with_layout` dedup protocol, now on the bucketed
+    path too (DESIGN.md known-limit closure)."""
+    g = NodeGraph()
+    img = g.add_node(Node(NodeType.Image(str(HEART_128))))
+    sep = g.add_node(Node(NodeType.SeparateRgba()))
+    g.connect(img, sep, SlotId(0), SlotId(0))
+
+    bg = BucketedGraph(
+        g,
+        targets=[(img, SlotId(0))] + [(sep, SlotId(i)) for i in range(4)],
+        device_out=True,
+    )
+    out = bg()
+    for i in range(4):
+        assert (
+            out[(sep, SlotId(i))][0] is out[(img, SlotId(0))][i]
+        ), f"separate slot {i} no longer aliases the image plane"
+
+
+def test_engine_bucketed_preserves_plane_aliasing():
+    """Through the LIVE engine (`bucket_sizes=True`), Separate's committed
+    slot datas share their PlaneBuffers with the upstream image's — the
+    reference's Arc-shared channel planes survive the bucketed commit (and
+    with them the memory-tier byte accounting)."""
+    from kanter_core_tpu import LiveGraph, TextureProcessor
+
+    for bucket_sizes in (False, True):  # dense path is the behavior oracle
+        tp = TextureProcessor(10_000_000, bucket_sizes=bucket_sizes)
+        try:
+            lg = tp.new_live_graph()
+            with lg.write() as g:
+                g.use_cache = True
+                img = g.add_node(Node(NodeType.Image(str(HEART_128))))
+                sep = g.add_node(Node(NodeType.SeparateRgba()))
+                g.connect(img, sep, SlotId(0), SlotId(0))
+            with LiveGraph.await_clean_read(lg, sep) as g:
+                img_planes = g.slot_data(img, SlotId(0)).image.planes
+                for i in range(4):
+                    sep_plane = g.slot_data(sep, SlotId(i)).image.planes[0]
+                    assert sep_plane is img_planes[i], (
+                        f"bucket_sizes={bucket_sizes}: separate slot {i} "
+                        "does not share the image's PlaneBuffer"
+                    )
+            if bucket_sizes:
+                assert len(tp.engine._bucketed_programs) >= 1, "bucketed path not used"
+        finally:
+            tp.shutdown_now()
