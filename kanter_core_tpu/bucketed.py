@@ -134,7 +134,7 @@ class BucketedGraph:
     """
 
     def __init__(self, node_graph, targets=None, bucket: int = 256, preset=None,
-                 device_out: bool = False, bindings=None):
+                 device_out: bool = False, bindings=None, mesh=None):
         import jax
 
         from . import tiled
@@ -209,6 +209,15 @@ class BucketedGraph:
         self.bucket = int(bucket)
         self._topo = _topo_order(node_graph)
         self.traces = 0
+        # mesh composition (DESIGN.md §6): computed planes carry a row-axis
+        # sharding constraint so GSPMD partitions the bucketed program too —
+        # pad targets ≥ the bucket are 256-multiples and divide any practical
+        # mesh row axis. Gather operands (resample taps, wrap stencils) are
+        # all-gathered by GSPMD where indices cross shards; elementwise
+        # chains stay sharded. Bit parity vs single-device is enforced by
+        # tests/test_mesh_engine.py.
+        self.mesh = mesh
+        self._mesh_axis = mesh.axis_names[0] if mesh is not None else None
 
         import jax.numpy as jnp
 
@@ -444,6 +453,27 @@ class BucketedGraph:
         from .compiler import ImgVal, _as_type, _from_value, _ones, _ones_like, _zeros
         from .ops.resize import _apply_axis0_indexed
 
+        if self.mesh is not None:
+            from jax.lax import with_sharding_constraint
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            _row_sharding = NamedSharding(self.mesh, P(self._mesh_axis, None))
+            _n_dev = self.mesh.devices.shape[0]
+
+            def shard(planes):
+                # constrain only fresh compute outputs — constraining an
+                # aliasing op would mint a new traced value and break the
+                # unique-plane layout dedup. Tiny planes stay replicated.
+                return [
+                    with_sharding_constraint(p, _row_sharding)
+                    if p.ndim == 2 and p.shape[0] >= _n_dev
+                    else p
+                    for p in planes
+                ]
+        else:
+            def shard(planes):
+                return list(planes)
+
         self.traces += 1
         env: dict = {}
 
@@ -535,7 +565,7 @@ class BucketedGraph:
                     planes.append(_ones_like(planes[0]))
                 else:
                     planes = [op(left.planes[0], right.planes[0])]
-                env[(node_id, SlotId(0))] = ImgVal(planes)
+                env[(node_id, SlotId(0))] = ImgVal(shard(planes))
                 continue
 
             if kind == K.HEIGHT_TO_NORMAL:
@@ -548,7 +578,7 @@ class BucketedGraph:
                     h, up, 0, 0,
                     left=left, pdx=args[f"pdx_{nid}"], pdy=args[f"pdy_{nid}"],
                 )
-                env[(node_id, SlotId(0))] = ImgVal(list(outs))
+                env[(node_id, SlotId(0))] = ImgVal(shard(outs))
                 continue
 
             if kind == K.BLUR:
@@ -566,7 +596,7 @@ class BucketedGraph:
                     for t, w in enumerate(taps):
                         out = out + nc_mul(acc[:, bh[t]], jnp.float32(w))
                     planes.append(out)
-                env[(node_id, SlotId(0))] = ImgVal(planes)
+                env[(node_id, SlotId(0))] = ImgVal(shard(planes))
                 continue
 
             if kind == K.LEVELS:
@@ -574,7 +604,7 @@ class BucketedGraph:
 
                 params = args[f"lv_{nid}"]
                 env[(node_id, SlotId(0))] = ImgVal(
-                    [levels_plane(p, params) for p in by_slot[SlotId(0)].planes]
+                    shard([levels_plane(p, params) for p in by_slot[SlotId(0)].planes])
                 )
                 continue
 

@@ -815,7 +815,7 @@ class Engine:
             ):
                 return
 
-        if self.tex_pro.bucket_sizes and self.tex_pro.mesh is None:
+        if self.tex_pro.bucket_sizes:
             if self._try_bucketed(
                 snapshot, partition, boundary, embedded, input_datas, preset,
                 live_graph, events, recipes,
@@ -1096,6 +1096,11 @@ class Engine:
             if prep is None:
                 return False
             flat_graph, remap_back, bindings, infos = prep
+            if self.tex_pro.mesh is not None:
+                # row-shard leaf/preset planes like the dense mesh path; the
+                # bucketed trace adds matching sharding constraints on its
+                # compute outputs (bucket pads are mesh-divisible)
+                bindings = _shard_overrides(bindings, self.tex_pro.mesh)
             partition_set = set(partition)
             targets = self._flat_targets(
                 flat_graph, infos, remap_back, partition_set, preset_nodes,
@@ -1129,6 +1134,7 @@ class Engine:
                 cached = bucketed.BucketedGraph(
                     flat_graph, targets=targets, preset=preset,
                     device_out=True, bindings=bindings,
+                    mesh=self.tex_pro.mesh,
                 )
                 with self._fused_programs_lock:
                     self._bucketed_programs[key] = cached

@@ -214,3 +214,55 @@ def test_mesh_engine_matches_unsharded(mesh_tex_pro):
             with lg.write() as g:
                 g.node_mut(val).node_type = NodeType.Value(0.82)
         assert np.array_equal(render_u8(lg_plain, out_p), render_u8(lg_mesh, out_m))
+
+
+def test_mesh_bucketed_composition():
+    """bucket_sizes + mesh compose (DESIGN.md known-limit closure): a size
+    drag through the LIVE engine on the 8-device mesh runs the bucketed
+    evaluator — one compile per bucket — with leaf planes row-sharded,
+    compute outputs sharding-constrained, and every size bit-identical to
+    the plain single-device processor."""
+    from kanter_core_tpu import MixType, ResizePolicy, Size
+
+    def build(g):
+        img = g.add_node(Node(NodeType.Image(CLOUDS)))
+        sep = g.add_node(Node(NodeType.SeparateRgba()))
+        g.connect(img, sep, SlotId(0), SlotId(0))
+        val = g.add_node(Node(NodeType.Value(0.7)))
+        mix = g.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+        g.connect(sep, mix, SlotId(0), SlotId(0))
+        g.connect(val, mix, SlotId(0), SlotId(1))
+        h2n = g.add_node(Node(NodeType.HeightToNormal()))
+        g.connect(mix, h2n, SlotId(0), SlotId(0))
+        bl = g.add_node(Node(NodeType.Blur(1.3)))
+        g.connect(h2n, bl, SlotId(0), SlotId(0))
+        out = g.add_node(Node(NodeType.OutputRgba("out")))
+        g.connect(bl, out, SlotId(0), SlotId(0))
+        return mix, out
+
+    sizes = [(300, 300), (310, 300), (97, 411)]
+    plain = TextureProcessor(10_000_000)
+    meshed = TextureProcessor(10_000_000, mesh=_row_mesh(), bucket_sizes=True)
+    try:
+        lg_p = plain.new_live_graph()
+        with lg_p.write() as g:
+            mix_p, out_p = build(g)
+        lg_m = meshed.new_live_graph()
+        with lg_m.write() as g:
+            mix_m, out_m = build(g)
+
+        for w, h in sizes:
+            for lg, mix in ((lg_p, mix_p), (lg_m, mix_m)):
+                with lg.write() as g:
+                    g.node_mut(mix).resize_policy = ResizePolicy.SpecificSize(Size(w, h))
+            a = render_u8(lg_p, out_p)
+            b = render_u8(lg_m, out_m)
+            assert np.array_equal(a, b), f"{w}x{h} diverged on the bucketed mesh"
+
+        assert len(meshed.engine._bucketed_programs) >= 1, "bucketed path not used"
+        assert len(meshed.engine._fused_programs) == 0, "dense fallback ran"
+        traces = sum(ev.traces for ev in meshed.engine._bucketed_programs.values())
+        assert traces <= 3, f"{traces} compiles for {len(sizes)} sizes"
+    finally:
+        plain.shutdown_now()
+        meshed.shutdown_now()
