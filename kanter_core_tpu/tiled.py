@@ -555,6 +555,7 @@ class TiledEvaluator:
         handle = copy.copy(self)
         handle.bindings = self.normalize_bindings(bindings)
         handle.peak_band_bytes = 0
+        handle.band_leaf_replicated = 0
         return handle
 
     def __init__(self, graph, targets, bindings, preset=None, band_rows: int = 256,
@@ -590,6 +591,7 @@ class TiledEvaluator:
         # evaluator.)
         self._jit = jax.jit(self._band_fn, donate_argnums=(0,))
         self.peak_band_bytes = 0  # max per-band host↔device traffic, for tests
+        self.band_leaf_replicated = 0  # mesh: big leaf bands that couldn't shard
 
     # --- backward pass: per-band row requirements ---
     # R is keyed by NodeId for ordinary nodes (all output slots share one
@@ -909,11 +911,34 @@ class TiledEvaluator:
                 out[f"t{int(tnid)}_{int(tslot)}"] = tuple(env[(tnid, tslot)].planes)
         return out
 
+    def _pad_rows_to_mesh(self, R: dict) -> dict:
+        """Round every band row set up to a mesh-divisible length by
+        repeating its last row, so leaf/compute band args shard row-wise
+        instead of staying replicated (halo-expanded and remainder bands
+        have arbitrary row counts). Correctness: every consumer mapping
+        (`_positions`, the resample `searchsorted`) resolves to the FIRST
+        occurrence of a row value, stencil `need` sets `np.unique` the
+        duplicates away (the same value set the backward pass saw), and the
+        commit slices outputs to the true band height — padded rows compute
+        redundantly and are never read."""
+        n = self.mesh.devices.shape[0]
+        out = {}
+        for k, rows in R.items():
+            pad = (-len(rows)) % n
+            out[k] = (
+                np.concatenate([rows, np.full(pad, rows[-1], rows.dtype)])
+                if pad
+                else rows
+            )
+        return out
+
     def _shard_band_args(self, args: dict) -> dict:
         """Row-shard every 2-D f32 band over the mesh's first axis (index
-        vectors and tiny bands stay replicated); GSPMD partitions the band
-        program from these shardings, inserting the collectives the gathers
-        need."""
+        vectors, weight tables, and tiny bands stay replicated); GSPMD
+        partitions the band program from these shardings, inserting the
+        collectives the gathers need. `band_leaf_replicated` counts big leaf
+        bands that could NOT shard (mesh-indivisible row counts) — zero when
+        `_pad_rows_to_mesh` did its job; tests pin that."""
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -921,19 +946,20 @@ class TiledEvaluator:
         n = self.mesh.devices.shape[0]
         sharding = NamedSharding(self.mesh, P(axis, None))
 
-        def place(v):
-            # GSPMD requires the sharded dim divisible by the mesh size;
-            # halo-expanded bands with odd row counts stay replicated
+        def place(k, v):
+            # GSPMD requires the sharded dim divisible by the mesh size
             if (
                 getattr(v, "ndim", 0) == 2
                 and v.dtype == np.float32
                 and v.shape[0] >= n
-                and v.shape[0] % n == 0
             ):
-                return jax.device_put(v, sharding)
+                if v.shape[0] % n == 0:
+                    return jax.device_put(v, sharding)
+                if k.startswith("leaf_"):
+                    self.band_leaf_replicated += 1
             return v
 
-        return {k: place(v) for k, v in args.items()}
+        return {k: place(k, v) for k, v in args.items()}
 
     def run(self, cancel_check=None) -> dict:
         """Evaluate all targets; returns {(node_id, slot_id): [host planes]}.
@@ -969,6 +995,8 @@ class TiledEvaluator:
                     raise TexProError(ErrorKind.CANCELED, "tiled evaluation canceled")
                 hi = min(lo + self.band_rows, height)
                 R = self._band_rows_needed(group, lo, hi)
+                if self.mesh is not None:
+                    R = self._pad_rows_to_mesh(R)
                 args = self._band_args(R)
                 band_bytes = sum(np.asarray(v).nbytes for v in args.values())
                 if self.mesh is not None:
@@ -987,6 +1015,8 @@ class TiledEvaluator:
                     for p, plane in enumerate(planes):
                         host = np.asarray(plane)
                         band_bytes += host.nbytes
-                        results[(tnid, tslot)][p][lo:hi] = host
+                        # mesh padding may append duplicate rows; the true
+                        # band is always the first hi-lo rows
+                        results[(tnid, tslot)][p][lo:hi] = host[: hi - lo]
                 self.peak_band_bytes = max(self.peak_band_bytes, band_bytes)
         return results

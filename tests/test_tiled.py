@@ -768,3 +768,37 @@ def test_engine_tiled_incremental_edit():
         finally:
             tp.shutdown_now()
     assert np.array_equal(results[None], results[1])
+
+
+def test_tiled_mesh_pads_bands_to_shard():
+    """Mesh-divisible band padding (DESIGN.md known-limit closure): with
+    band row counts that divide the 8-device mesh neither at the band size
+    (30) nor after halo expansion, every big leaf band still shards
+    (`band_leaf_replicated == 0`) and the result stays bit-identical to the
+    unmeshed evaluator."""
+    import jax
+    from jax.sharding import Mesh
+
+    g = NodeGraph()
+    out = _stencil_graph(g)
+    bl = g.add_node(Node(NodeType.Blur(1.5)))  # halo-expanded leaf bands
+    # splice the blur in front of the output
+    out_edge = [e for e in g.edges if e.input_id == out][0]
+    g.remove_edge(out_edge)
+    g.connect(out_edge.output_id, bl, SlotId(0), SlotId(0))
+    g.connect(bl, out, SlotId(0), SlotId(0))
+
+    targets = [(out, SlotId(0))]
+    prog = CompiledGraph(graph := g, targets=targets)
+    bindings = _host_bindings(prog)
+    plain = TiledEvaluator(graph, targets, bindings, band_rows=30).run()
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
+    ev = TiledEvaluator(graph, targets, bindings, band_rows=30, mesh=mesh)
+    meshed = ev.run()
+    assert ev.band_leaf_replicated == 0, (
+        f"{ev.band_leaf_replicated} big leaf bands stayed replicated"
+    )
+    for key in plain:
+        for a, b in zip(plain[key], meshed[key]):
+            assert np.array_equal(a, b), f"mesh band padding changed bits at {key}"
