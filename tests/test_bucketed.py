@@ -287,3 +287,39 @@ def test_engine_bucketed_preserves_plane_aliasing():
                 assert len(tp.engine._bucketed_programs) >= 1, "bucketed path not used"
         finally:
             tp.shutdown_now()
+
+
+@pytest.mark.parametrize("seed", [0, 3, 7])
+def test_bucketed_mesh_fuzz_matches_compiled(seed):
+    """Random op-soup graphs through the MESH-composed bucketed evaluator
+    (row-sharded leaves, sharding-constrained compute) stay bit-identical
+    to the dense single-device compiler, including across size edits."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
+    rng = np.random.default_rng(2000 + seed)
+    graph, _ = _build_random_graph(seed, allow_graph_nodes=False)
+
+    with_children = {e.output_id for e in graph.edges}
+    targets = [
+        (n.node_id, SlotId(0)) for n in graph.nodes if n.node_id not in with_children
+    ]
+    bg = BucketedGraph(graph, targets=targets, mesh=mesh)
+
+    resizable = [
+        n.node_id
+        for n in graph.nodes
+        if any(e.input_id == n.node_id for e in graph.edges)
+    ]
+    for round_ in range(2):
+        if round_ > 0 and resizable:
+            nid = resizable[rng.integers(len(resizable))]
+            bg.set_size(
+                nid, Size(int(rng.integers(20, 300)), int(rng.integers(20, 300)))
+            )
+        got = bg()
+        ref = CompiledGraph(graph, targets=targets)()
+        for key in targets:
+            k = (key[0], SlotId(key[1]))
+            _assert_planes_equal(ref[k], got[k], f"seed {seed} mesh {k}")
