@@ -39,6 +39,27 @@ def test_blur_pallas_matches_jnp(h, w, sigma):
     assert np.array_equal(np.asarray(ref), np.asarray(got))
 
 
+def test_blur_pallas_halo_kernel_selected_and_matches_padded():
+    """The in-kernel-DMA halo kernel (no XLA-materialized padded copy) is
+    chosen for viable geometries — including the flagship 4096² one — and
+    is bit-identical to the padded-copy kernel it replaces; unviable
+    geometries still report 0 and fall back."""
+    from kanter_core_tpu.ops.pallas_blur import _blur_kernel, _pick_halo_chunk
+
+    assert _pick_halo_chunk(4096, 4096, 7, 64) == 32  # sigma=1 flagship (measured-best cap)
+    assert _pick_halo_chunk(4096, 4096, 31, 48) == 32  # sigma=5: target max(32, rp 16)
+    assert _pick_halo_chunk(50, 128, 7, 16) == 0  # height not 8-aligned
+    assert _pick_halo_chunk(24, 128, 91, 16) == 0  # rp 48 > height: no c >= rp
+    assert _pick_halo_chunk(64, 128, 1, 16) == 0  # radius 0: no strips
+
+    rng = np.random.default_rng(21)
+    p = rng.random((96, 128), dtype=np.float32)
+    taps = tuple(float(w) for w in gaussian_taps(2.2))
+    got = np.asarray(blur_pallas(p, taps, chunk_rows=16, interpret=True))
+    ref = np.asarray(_blur_kernel(96, 128, taps, 16, True)(p))
+    assert np.array_equal(got.view(np.uint32), ref.view(np.uint32))
+
+
 def test_blur_pallas_chunk_size_invariance():
     rng = np.random.default_rng(3)
     p = rng.random((120, 256), dtype=np.float32)
