@@ -19,8 +19,8 @@ Lowering: on TPU (lane-aligned widths) the traceable kernel dispatches to
 the double-buffered Pallas kernel in `ops/pallas_blur.py` — measured on
 the real chip (amortized distinct-checksum protocol) XLA will not fuse the
 many-tap shifted-read sum and materializes copies: XLA 2.99 ms vs Pallas
-0.44 ms at σ=1 @ 4096² (610 GB/s, near the ~780 GB/s roofline) and
-15.3 ms vs 1.60 ms at σ=5 — 7-10× — while staying bit-identical
+0.33 ms at σ=1 @ 4096² (824 GB/s, at the measured roofline) and
+15.3 ms vs 1.40 ms at σ=5 — 9-11× — while staying bit-identical
 (chip-verified; `scripts/tpu_parity.py` blur determinism row). Elsewhere
 (CPU, unaligned widths) the jnp rolled-read form below runs as is.
 """
