@@ -131,6 +131,12 @@ class BucketedGraph:
     (e.g. a SpecificSize resize policy) and call — the call marshals fresh
     index/weight arguments host-side (~ms) and reuses the bucket's compiled
     executable. `traces` counts actual (re)traces for tests/telemetry.
+
+    Returned planes are READ-ONLY and may be shared: aliased targets
+    (SeparateRgba outputs, gray→rgba expansion, pass-through Outputs)
+    return views of ONE deduplicated array — the reference's Arc-shared
+    channel planes (`separate_rgba.rs:38-68`). Mutating one in place
+    mutates every alias; copy first if you must write.
     """
 
     def __init__(self, node_graph, targets=None, bucket: int = 256, preset=None,
@@ -259,7 +265,9 @@ class BucketedGraph:
         # copy), so layouts key on the arg-shape signature. One shared mutable
         # container: `with_state` handles are shallow copies, and `_fn` is
         # bound to THIS instance, so both must see the same state.
-        self._layout_state = {"layouts": {}, "pending": None}
+        from .compiler import _PendingLayout
+
+        self._layout_state = {"layouts": {}, "pending": _PendingLayout()}
         self._trace_lock = __import__("threading").Lock()
 
         # structural metadata (plane counts + input lists) from one
@@ -657,7 +665,7 @@ class BucketedGraph:
                     unique[pid] = (len(unique), plane)
                 idxs.append(unique[pid][0])
             layout[(tnid, tslot)] = tuple(idxs)
-        self._layout_state["pending"] = layout
+        self._layout_state["pending"].value = layout
         ordered = sorted(unique.values(), key=lambda iv: iv[0])
         return tuple(plane for _, plane in ordered)
 
@@ -721,23 +729,11 @@ class BucketedGraph:
         sig = tuple(
             (k, tuple(getattr(args[k], "shape", ()))) for k in sorted(args)
         )
+        from .compiler import call_with_pending_layout
+
         state = self._layout_state
-        layout = state["layouts"].get(sig)
-        if layout is not None:
-            return self._jit(args), layout
-        # first call for this shape set: serialize so the trace-recorded
-        # layout is attributed to the right signature
-        with self._trace_lock:
-            layout = state["layouts"].get(sig)
-            if layout is not None:
-                return self._jit(args), layout
-            state["pending"] = None
-            result = self._jit(args)
-            layout = state["pending"]
-            if layout is None:  # pragma: no cover — signature alias
-                raise TexProError(
-                    ErrorKind.GENERIC,
-                    "bucketed program produced no layout for new shapes",
-                )
-            state["layouts"][sig] = layout
-            return result, layout
+        return call_with_pending_layout(
+            self._jit, args, sig, self._trace_lock, state["layouts"],
+            state["pending"],
+            "bucketed program produced no layout for new shapes",
+        )

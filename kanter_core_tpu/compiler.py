@@ -45,6 +45,48 @@ from .ops.mix import _binary
 from .ops.resize import calculate_size, resample_plane
 
 
+class _PendingLayout(__import__("threading").local):
+    """Trace-recorded plane layout, one slot PER THREAD.
+
+    jit traces run synchronously on the calling thread, so a fast-path
+    call that happens to retrace anyway (the jit cache also keys dtype /
+    weak-type / sharding / placement, which the shape signature does not)
+    records into ITS OWN slot instead of clobbering a locked first-trace's
+    record on another thread — which would silently attribute the wrong
+    layout to the new signature."""
+
+    value: Optional[dict] = None
+
+
+def call_with_pending_layout(fn, args, sig, lock, layouts, pending, err_msg):
+    """The layout-attribution protocol shared by the dense fused compiler
+    (`CompiledGraph.call_with_layout`) and the shape-bucketed twin
+    (`bucketed.BucketedGraph._call_with_layout`).
+
+    `fn` is a jitted program whose TRACE records the output plane layout
+    into `pending` (a `_PendingLayout`); the layout can depend on input
+    shapes (which operand a resize pass copies vs aliases), so layouts are
+    kept per shape signature. The first call for a signature serializes
+    under `lock` so the trace-recorded layout is attributed to the right
+    signature; later calls are lock-free cache hits."""
+    layout = layouts.get(sig)
+    if layout is not None:
+        return fn(args), layout
+    with lock:
+        layout = layouts.get(sig)
+        if layout is not None:
+            return fn(args), layout
+        pending.value = None
+        result = fn(args)
+        layout = pending.value
+        if layout is None:
+            # executable was already cached under a signature alias
+            # (should not happen; surface rather than mis-attribute)
+            raise TexProError(ErrorKind.GENERIC, err_msg)
+        layouts[sig] = layout
+        return result, layout
+
+
 def _topo_order(graph) -> list:
     """Iterative post-order topological sort (parents before children)."""
     order, done, in_progress = [], set(), set()
@@ -473,7 +515,7 @@ class CompiledGraph:
         # (`call_with_layout`) — never a single mutable attribute a retrace
         # could clobber for other shapes/threads.
         self._layouts: dict = {}  # shape signature → layout dict
-        self._pending_layout: Optional[dict] = None
+        self._pending_layout = _PendingLayout()
         self._trace_lock = __import__("threading").Lock()
 
         def fn(bound_args: dict):
@@ -492,7 +534,7 @@ class CompiledGraph:
                             unique[pid] = (len(unique), plane)
                         idxs.append(unique[pid][0])
                     layout[key] = tuple(idxs)
-                self._pending_layout = layout
+                self._pending_layout.value = layout
                 ordered = sorted(unique.values(), key=lambda iv: iv[0])
                 return tuple(plane for _, plane in ordered)
             for key in self.targets:
@@ -532,26 +574,11 @@ class CompiledGraph:
         args = dict(self._bindings)
         args.update(overrides)
         sig = self._shape_signature(args)
-        layout = self._layouts.get(sig)
-        if layout is not None:
-            return self._fn(args), layout
-        # first call for this shape set: serialize so the trace-recorded
-        # layout is attributed to the right signature
-        with self._trace_lock:
-            layout = self._layouts.get(sig)
-            if layout is not None:
-                return self._fn(args), layout
-            self._pending_layout = None
-            result = self._fn(args)
-            layout = self._pending_layout
-            if layout is None:
-                # executable was already cached under a signature alias
-                # (should not happen; evaluate eagerly as a fallback)
-                raise TexProError(
-                    ErrorKind.GENERIC, "fused program produced no layout for new shapes"
-                )
-            self._layouts[sig] = layout
-            return result, layout
+        return call_with_pending_layout(
+            self._fn, args, sig, self._trace_lock, self._layouts,
+            self._pending_layout,
+            "fused program produced no layout for new shapes",
+        )
 
     # --- default argument binding from node params / files ---
     def _collect_bindings(self, graph: NodeGraph, prefix: str) -> dict:

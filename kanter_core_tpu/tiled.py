@@ -933,12 +933,15 @@ class TiledEvaluator:
         return out
 
     def _shard_band_args(self, args: dict) -> dict:
-        """Row-shard every 2-D f32 band over the mesh's first axis (index
-        vectors, weight tables, and tiny bands stay replicated); GSPMD
-        partitions the band program from these shardings, inserting the
-        collectives the gathers need. `band_leaf_replicated` counts big leaf
-        bands that could NOT shard (mesh-indivisible row counts) — zero when
-        `_pad_rows_to_mesh` did its job; tests pin that."""
+        """Row-shard every 2-D f32 band whose padded row count divides the
+        mesh over the mesh's first axis — leaf plane bands AND resample
+        weight tables (`rw_*`, harmless: GSPMD all-gathers the rows a
+        cross-shard tap needs); 1-D index vectors and mesh-indivisible
+        tiny bands stay replicated. GSPMD partitions the band program from
+        these shardings, inserting the collectives the gathers need.
+        `band_leaf_replicated` counts big leaf bands that could NOT shard
+        (mesh-indivisible row counts) — zero when `_pad_rows_to_mesh` did
+        its job; tests pin that."""
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -970,6 +973,7 @@ class TiledEvaluator:
         kernel so the engine's commit path re-dirties normally.
         """
         self.peak_band_bytes = 0
+        self.band_leaf_replicated = 0  # per-run, like peak_band_bytes
         results = {
             (tnid, tslot): [
                 np.empty(

@@ -426,3 +426,36 @@ def test_batched_live_session():
     # mix = input - gain? wiring: left=input, right=gain → input - 1.0
     assert np.array_equal(inverted, batch - np.float32(1.0))
     assert len(session._programs) == 2  # one recompile for the new structure
+
+
+def test_pending_layout_is_thread_local():
+    """The layout-attribution protocol (`call_with_pending_layout`) must be
+    immune to a concurrent fast-path retrace on another thread writing the
+    shared pending slot between a locked first-trace's record and its read
+    — the jit cache keys dtype/sharding/placement beyond the shape
+    signature, so a signature-hit call can still retrace. With a plain
+    shared attribute (the pre-fix design) the interleaving below attributes
+    the WRONG layout to the new signature and serves it forever."""
+    import threading
+
+    from kanter_core_tpu.compiler import _PendingLayout, call_with_pending_layout
+
+    pending = _PendingLayout()
+    layouts: dict = {}
+    lock = threading.Lock()
+    good = {"k": (0,)}
+
+    def fn(args):
+        pending.value = good
+        # simulate another thread's concurrent retrace recording ITS layout
+        # after ours (the race window: between our trace end and our read)
+        t = threading.Thread(target=lambda: setattr(pending, "value", {"k": (1,)}))
+        t.start()
+        t.join()
+        return ("planes",)
+
+    result, layout = call_with_pending_layout(
+        fn, {}, ("sig",), lock, layouts, pending, "no layout"
+    )
+    assert layout is good
+    assert layouts[("sig",)] is good

@@ -802,3 +802,9 @@ def test_tiled_mesh_pads_bands_to_shard():
     for key in plain:
         for a, b in zip(plain[key], meshed[key]):
             assert np.array_equal(a, b), f"mesh band padding changed bits at {key}"
+
+    # the counter is per-run (like peak_band_bytes): a stale value from a
+    # previous evaluation must not leak into the next run's count
+    ev.band_leaf_replicated = 99
+    ev.run()
+    assert ev.band_leaf_replicated == 0
