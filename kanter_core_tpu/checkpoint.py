@@ -33,15 +33,15 @@ def save_checkpoint(live_graph: LiveGraph, path: str) -> None:
         states = {str(int(nid)): state.value for nid, state in lg.node_states().items()}
 
         plane_index: dict[int, int] = {}  # id(plane) → array index
-        arrays: list[np.ndarray] = []
+        plane_objs: list = []
 
         def image_planes(image):
             plane_ids = []
             for plane in image.planes:
                 key = id(plane)
                 if key not in plane_index:
-                    plane_index[key] = len(arrays)
-                    arrays.append(plane.host_data())
+                    plane_index[key] = len(plane_objs)
+                    plane_objs.append(plane)
                 plane_ids.append(plane_index[key])
             return plane_ids
 
@@ -81,6 +81,15 @@ def save_checkpoint(live_graph: LiveGraph, path: str) -> None:
             "fuse_subgraphs": lg.fuse_subgraphs,
             "memoize": lg.memoize,
         }
+
+    # The device→host materializations run OUTSIDE the graph lock: a plane's
+    # contents are immutable after commit (commits replace whole SlotData
+    # objects; planes only transition tiers, under their own locks), and a
+    # multi-GB checkpoint over the remote tunnel can stall for minutes —
+    # holding the LiveGraph lock across it would block every edit, request,
+    # and engine commit for the duration. Only the graph SNAPSHOT (topology,
+    # states, plane references) needs the lock.
+    arrays = [plane.host_data() for plane in plane_objs]
 
     # pass a file object: np.savez with a bare path silently appends ".npz"
     # when the extension differs, so save("x.ckpt") would write "x.ckpt.npz"

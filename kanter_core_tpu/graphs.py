@@ -103,7 +103,7 @@ def deep_chain_graph(
     white = graph.add_node(Node(NodeType.Value(1.0)))
     prev = combine
     for i in range(depth):
-        if nonlinear_every and i % nonlinear_every == 1:
+        if nonlinear_every and (nonlinear_every == 1 or i % nonlinear_every == 1):
             mix = graph.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
             graph.connect(prev, mix, SlotId(0), SlotId(0))
             graph.connect(prev, mix, SlotId(0), SlotId(1))

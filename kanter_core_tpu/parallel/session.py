@@ -47,11 +47,31 @@ class BatchedLiveSession:
         import jax
 
         key = f"input_{int(input_node_id)}"
-        value = jax.device_put(np.asarray(stacked_planes, dtype=np.float32))
+        host = np.asarray(stacked_planes, dtype=np.float32)
         if self.mesh is not None:
+            # ONE device_put straight to the sharded layout (a plain
+            # device_put first would commit the full batch to device 0 —
+            # an extra whole-batch transfer plus an HBM spike — before
+            # resharding). Shard the batch axis when the mesh has one, the
+            # row axis on a spatial-only mesh (when divisible), else
+            # replicate — BatchedGraph accepts all three mesh shapes.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            value = jax.device_put(value, NamedSharding(self.mesh, P("batch", None, None)))
+            from .sharded import BATCH_AXIS, ROW_AXIS
+
+            names = self.mesh.axis_names
+            if BATCH_AXIS in names:
+                spec = P(BATCH_AXIS, None, None)
+            elif (
+                ROW_AXIS in names
+                and host.shape[1] % self.mesh.shape[ROW_AXIS] == 0
+            ):
+                spec = P(None, ROW_AXIS, None)
+            else:
+                spec = P(None, None, None)
+            value = jax.device_put(host, NamedSharding(self.mesh, spec))
+        else:
+            value = jax.device_put(host)
         self._inputs[key] = (value,)
         self._dirty = True
 
@@ -75,7 +95,16 @@ class BatchedLiveSession:
         """{(node_id, slot_id): [B, ...] planes} for the targets."""
         if not self._dirty and self._last_result is not None:
             return self._last_result
-        fingerprint = graph_fingerprint(self.node_graph)
+        # Image-node pixels are decoded into the program's bindings at
+        # construction; stamp each file's (size, mtime_ns) into the cache
+        # key so rewriting a file in place mints a fresh program instead of
+        # serving compile-time pixels forever (the engine path guards this
+        # the same way — `recipe_cache._nested_content_stamp`)
+        from ..recipe_cache import _nested_content_stamp
+
+        fingerprint = graph_fingerprint(self.node_graph) + repr(
+            _nested_content_stamp(self.node_graph)
+        )
         program = self._programs.get(fingerprint)
         if program is None:
             batch_keys = {f"input_{int(n)}" for n in self.batch_input_ids}

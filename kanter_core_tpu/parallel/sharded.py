@@ -95,17 +95,25 @@ class BatchedGraph:
 
         self._make_axes = make_axes
         self._fn = fn
-        self._jitted = None
+        # keyed by the call's arg-key set: in_axes is a pytree mirroring the
+        # args dict, so a later call that binds an ADDITIONAL input key must
+        # get fresh axes — caching the first call's jit unconditionally
+        # would raise a pytree-structure mismatch on every call thereafter
+        # (and a failed first trace would poison the cache permanently)
+        self._jitted: dict = {}
 
     def __call__(self, **overrides):
         import jax
 
         args = dict(self.base._bindings)
         args.update(overrides)
-        if self._jitted is None:
+        key = tuple(sorted(args))
+        jitted = self._jitted.get(key)
+        if jitted is None:
             axes = self._make_axes(args)
-            self._jitted = jax.jit(jax.vmap(self._fn, in_axes=(axes,)))
-        return self._jitted(args)
+            jitted = jax.jit(jax.vmap(self._fn, in_axes=(axes,)))
+            self._jitted[key] = jitted
+        return jitted(args)
 
     def shard_batch_arg(self, stacked_planes):
         """Shard a `[B, ...]` argument over the mesh batch axis."""

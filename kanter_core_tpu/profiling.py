@@ -57,14 +57,22 @@ class NodeTimeline:
         return event
 
     def end(self, event: NodeEvent, outcome: str) -> None:
-        event.committed_at = time.perf_counter()
-        event.outcome = outcome
+        # mutate under the lock so a concurrent summary() can never see a
+        # torn event (committed_at set, outcome still "in-flight") or
+        # counters lagging the event fields
         with self._lock:
+            event.committed_at = time.perf_counter()
+            event.outcome = outcome
             self._counters[outcome] = self._counters.get(outcome, 0) + 1
 
     def events(self) -> list[NodeEvent]:
+        from dataclasses import replace
+
         with self._lock:
-            return list(self._events)
+            # snapshot COPIES: the engine keeps mutating live events via
+            # end(); handing out the originals would let readers observe
+            # (and accidentally mutate) in-flight state
+            return [replace(e, extra=dict(e.extra)) for e in self._events]
 
     def counters(self) -> dict[str, int]:
         with self._lock:

@@ -39,7 +39,11 @@ class RecipeCache:
 
     def __init__(self, capacity: int = 512, byte_budget: int = 1 << 30):
         self._entries: OrderedDict[str, list] = OrderedDict()  # hash → [(slot_id, SlotImage)]
-        self._entry_bytes: dict[str, int] = {}
+        # planes alias ACROSS entries (an Output's SlotImage shares its
+        # producer's PlaneBuffers, SeparateRgba outputs share the source's),
+        # so byte accounting refcounts unique planes cache-wide — per-entry
+        # sums would count one 64 MB plane N times and thrash the budget
+        self._plane_refs: dict[int, list] = {}  # id(plane) → [bytes, refcount]
         self._total_bytes = 0
         self._lock = threading.Lock()
         self.capacity = capacity
@@ -55,6 +59,39 @@ class RecipeCache:
                 unique[id(plane)] = plane.bytes()
         return sum(unique.values())
 
+    @staticmethod
+    def _unique_planes(outputs: list):
+        seen = {}
+        for _, image in outputs:
+            for plane in image.planes:
+                seen[id(plane)] = plane
+        return seen
+
+    def _add_planes_locked(self, outputs: list) -> int:
+        """Refcount an entry's planes in; returns bytes NEWLY pinned."""
+        added = 0
+        for pid, plane in self._unique_planes(outputs).items():
+            ref = self._plane_refs.get(pid)
+            if ref is None:
+                self._plane_refs[pid] = [plane.bytes(), 1]
+                added += plane.bytes()
+            else:
+                ref[1] += 1
+        return added
+
+    def _drop_planes_locked(self, outputs: list) -> int:
+        """Refcount an entry's planes out; returns bytes UNPINNED."""
+        removed = 0
+        for pid in self._unique_planes(outputs):
+            ref = self._plane_refs.get(pid)
+            if ref is None:  # pragma: no cover — accounting invariant
+                continue
+            ref[1] -= 1
+            if ref[1] == 0:
+                removed += ref[0]
+                del self._plane_refs[pid]
+        return removed
+
     def get(self, recipe: str):
         with self._lock:
             entry = self._entries.get(recipe)
@@ -66,18 +103,21 @@ class RecipeCache:
             return list(entry)
 
     def _evict_lru_locked(self) -> None:
-        key, _ = self._entries.popitem(last=False)
-        self._total_bytes -= self._entry_bytes.pop(key, 0)
+        _, outputs = self._entries.popitem(last=False)
+        self._total_bytes -= self._drop_planes_locked(outputs)
 
     def put(self, recipe: str, outputs: list) -> None:
         with self._lock:
             if recipe in self._entries:
-                self._total_bytes -= self._entry_bytes.pop(recipe, 0)
-                del self._entries[recipe]
-            nbytes = self._bytes_of(outputs)
+                old = self._entries.pop(recipe)
+                self._total_bytes -= self._drop_planes_locked(old)
+            if self._bytes_of(outputs) > self.byte_budget:
+                # an entry that alone exceeds the budget would drain the
+                # whole cache down to itself and be evicted by the next
+                # put anyway — don't insert it at all
+                return
             self._entries[recipe] = list(outputs)
-            self._entry_bytes[recipe] = nbytes
-            self._total_bytes += nbytes
+            self._total_bytes += self._add_planes_locked(outputs)
             while len(self._entries) > self.capacity or (
                 self._total_bytes > self.byte_budget and len(self._entries) > 1
             ):

@@ -459,3 +459,99 @@ def test_pending_layout_is_thread_local():
     )
     assert layout is good
     assert layouts[("sig",)] is good
+
+
+def test_batched_graph_progressive_input_binding():
+    """A failed or partial first call must not poison the vmapped program:
+    in_axes mirror the args dict, so binding an ADDITIONAL input key later
+    needs fresh axes (pre-fix, the first call's axes were cached
+    unconditionally and every later call died on a pytree mismatch)."""
+    import pytest
+
+    from kanter_core_tpu.parallel import BatchedGraph
+
+    graph = NodeGraph()
+    in1 = graph.add_node(Node(NodeType.InputGray("a")))
+    in2 = graph.add_node(Node(NodeType.InputGray("b")))
+    mix = graph.add_node(Node(NodeType.Mix(MixType.ADD)))
+    out = graph.add_node(Node(NodeType.OutputGray("out")))
+    graph.connect(in1, mix, SlotId(0), SlotId(0))
+    graph.connect(in2, mix, SlotId(0), SlotId(1))
+    graph.connect(mix, out, SlotId(0), SlotId(0))
+
+    k1, k2 = f"input_{int(in1)}", f"input_{int(in2)}"
+    bg = BatchedGraph(graph, batch_keys={k1, k2}, targets=[(out, SlotId(0))])
+    batch = np.random.default_rng(1).random((4, 16, 16), dtype=np.float32)
+
+    with pytest.raises(Exception):
+        bg(**{k1: (batch,)})  # in2 unbound — trace fails
+
+    result = bg(**{k1: (batch,), k2: (batch,)})  # must recover
+    plane = np.asarray(result[(out, SlotId(0))][0])
+    assert np.array_equal(plane, batch + batch)
+
+
+def test_batched_live_session_rows_only_mesh():
+    """set_input on a spatial-only ('rows') mesh — a configuration the
+    constructor accepts to keep the Pallas blur viable — must not assume a
+    'batch' mesh axis exists."""
+    import jax
+
+    from kanter_core_tpu.parallel import BatchedLiveSession, make_mesh
+    from kanter_core_tpu.parallel.sharded import ROW_AXIS
+
+    if len(jax.devices()) < 8:
+        return  # virtual 8-device CPU mesh required (conftest sets it up)
+
+    graph = NodeGraph()
+    gin = graph.add_node(Node(NodeType.InputGray("in")))
+    gain = graph.add_node(Node(NodeType.Value(0.25)))
+    mix = graph.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+    out = graph.add_node(Node(NodeType.OutputGray("out")))
+    graph.connect(gin, mix, SlotId(0), SlotId(0))
+    graph.connect(gain, mix, SlotId(0), SlotId(1))
+    graph.connect(mix, out, SlotId(0), SlotId(0))
+
+    mesh = make_mesh(8, axes=(ROW_AXIS,))
+    session = BatchedLiveSession(graph, [gin], targets=[(out, SlotId(0))], mesh=mesh)
+    batch = np.random.default_rng(2).random((4, 16, 16), dtype=np.float32)
+    session.set_input(gin, batch)  # 16 rows / 8 devices: row-sharded
+    result = np.asarray(session.render()[(out, SlotId(0))][0])
+    assert np.array_equal(result, batch * np.float32(0.25))
+
+
+def test_batched_live_session_tracks_image_file(tmp_path):
+    """Rewriting an Image node's file in place must refresh the served
+    pixels: the program cache key stamps (size, mtime_ns) like the engine's
+    recipe cache, so compile-time bindings are never served stale."""
+    import os
+
+    from PIL import Image as PILImage
+
+    from kanter_core_tpu.parallel import BatchedLiveSession
+
+    path = str(tmp_path / "tex.png")
+    PILImage.fromarray(np.full((8, 8, 4), 64, np.uint8)).save(path)
+
+    graph = NodeGraph()
+    gin = graph.add_node(Node(NodeType.InputGray("in")))
+    img = graph.add_node(Node(NodeType.Image(path)))
+    sep = graph.add_node(Node(NodeType.SeparateRgba()))
+    mix = graph.add_node(Node(NodeType.Mix(MixType.ADD)))
+    out = graph.add_node(Node(NodeType.OutputGray("out")))
+    graph.connect(img, sep, SlotId(0), SlotId(0))
+    graph.connect(gin, mix, SlotId(0), SlotId(0))
+    graph.connect(sep, mix, SlotId(0), SlotId(1))
+    graph.connect(mix, out, SlotId(0), SlotId(0))
+
+    session = BatchedLiveSession(graph, [gin], targets=[(out, SlotId(0))])
+    batch = np.zeros((2, 8, 8), np.float32)
+    session.set_input(gin, batch)
+    first = np.asarray(session.render()[(out, SlotId(0))][0])
+    assert np.allclose(first, 64.0 / 255.0)
+
+    PILImage.fromarray(np.full((8, 8, 4), 192, np.uint8)).save(path)
+    os.utime(path, ns=(1, 1))  # force a distinct mtime_ns even on fast FS
+    session._dirty = True  # an input/value edit or explicit invalidation
+    second = np.asarray(session.render()[(out, SlotId(0))][0])
+    assert np.allclose(second, 192.0 / 255.0), "stale compile-time pixels served"
