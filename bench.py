@@ -198,10 +198,40 @@ def main() -> None:
     extras["sustained_edit_ms"] = round(sustained_ms, 3)
     extras["sustained_edit_checksums_distinct"] = sus_ok
 
+    # --- config 4 in the opt-in bf16 pipeline (DESIGN.md §9: bf16 at rest,
+    # f32 in flight). EXPECTED ~parity (speedup ≈ 1.0): the deep chain is
+    # VPU-bound, so halving the plane bytes doesn't move it — bf16 is a
+    # FOOTPRINT feature (half the committed working set / tier / transfer
+    # bytes), and this stage exists to keep that throughput-neutrality
+    # claim measured rather than assumed. Implied bandwidth uses 2-byte
+    # planes. The f32 value-tick driver works unchanged — deltas amplify
+    # chaotically IN F32 to O(1) before the single output downcast, so
+    # bf16 outputs stay pairwise distinct at this depth. ---
+    prog16 = CompiledGraph(graph, targets=[(out, SlotId(0))], dtype="bfloat16")
+    for node in inputs:
+        # reuse the on-device f32 planes; bind_input downcasts on device
+        prog16.bind_input(node, prog._bindings[f"input_{int(node)}"])
+
+    def chain16_body(val, bindings):
+        return prog16._raw_fn({**bindings, white_key: val})[out_key]
+
+    chain16 = _ScanBench(
+        chain16_body, dict(prog16._bindings), n1=8, n2=64, base=0.955
+    )
+    chain16_s, ok16 = chain16.run()
+    distinct &= ok16
+    extras["chain_bf16_checksums_distinct"] = ok16
+    extras["chain_bf16_device_ms"] = round(chain16_s * 1e3, 3)
+    extras["chain_bf16_raw_gpix_s"] = round(CANVAS * CANVAS / chain16_s / 1e9, 2)
+    extras["chain_bf16_speedup"] = round(chain_s / chain16_s, 2)
+    extras["chain_bf16_implied_gbps"] = round(
+        6 * CANVAS * CANVAS * 2 / chain16_s / 1e9, 1
+    )
+
     # --- config 5 AT SPEC: BATCH×BATCH_CANVAS² (default 16×4096²) batched
     # re-eval. Inputs 4×16×4k² f32 = 4.3 GB + outputs 4.3 GB fit a 16 GB
     # chip; if this backend OOMs, halve the canvas and SAY SO. ---
-    del chain, prog  # release the 4k chain's planes before the 4.3 GB stage
+    del chain, prog, chain16, prog16  # release the 4k planes before the 4.3 GB stage
 
     # per-shape roofline for config 5: achievable pointwise bandwidth at the
     # batched stage's 1 GB buffers is measurably LOWER than at 64 MB planes

@@ -46,7 +46,7 @@ def _cmd_render(args) -> int:
 
     with TextureProcessor(
         args.memory_threshold, tile_bytes=args.tile_bytes,
-        bucket_sizes=args.bucket_sizes,
+        bucket_sizes=args.bucket_sizes, precision=args.precision,
     ) as tex_pro:
         live_graph = tex_pro.new_live_graph()
         with live_graph.write() as lg:
@@ -149,6 +149,13 @@ def main(argv=None) -> int:
         "--bucket-sizes", action="store_true",
         help="shape-bucketed sizing: SpecificSize edits recompile once per "
         "size bucket instead of once per pixel size (kanter_core_tpu.bucketed)",
+    )
+    p_render.add_argument(
+        "--precision", choices=["float32", "bfloat16"], default=None,
+        help="pipeline storage dtype: float32 (default, bit-exact) or "
+        "bfloat16 (bf16 at rest, f32 in flight — half the memory "
+        "footprint and transfer bytes, u8 output differs by a few LSB; "
+        "DESIGN.md §9)",
     )
     p_render.set_defaults(fn=_cmd_render)
 

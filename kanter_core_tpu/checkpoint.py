@@ -91,6 +91,16 @@ def save_checkpoint(live_graph: LiveGraph, path: str) -> None:
     # states, plane references) needs the lock.
     arrays = [plane.host_data() for plane in plane_objs]
 
+    # np.savez cannot serialize ml_dtypes arrays (bf16 pipeline planes,
+    # DESIGN.md §9): store those as a bit-preserving uint16 view plus a
+    # dtype tag in the manifest
+    plane_dtypes = []
+    encoded = []
+    for arr in arrays:
+        plane_dtypes.append(arr.dtype.name)
+        encoded.append(arr.view(np.uint16) if arr.dtype.name == "bfloat16" else arr)
+    meta["plane_dtypes"] = plane_dtypes
+
     # pass a file object: np.savez with a bare path silently appends ".npz"
     # when the extension differs, so save("x.ckpt") would write "x.ckpt.npz"
     # while load opens "x.ckpt"
@@ -98,7 +108,7 @@ def save_checkpoint(live_graph: LiveGraph, path: str) -> None:
         np.savez_compressed(
             f,
             meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
-            **{f"plane_{i}": arr for i, arr in enumerate(arrays)},
+            **{f"plane_{i}": arr for i, arr in enumerate(encoded)},
         )
 
 
@@ -115,9 +125,16 @@ def load_checkpoint(tex_pro, path: str) -> LiveGraph:
             lg.fuse_subgraphs = meta.get("fuse_subgraphs", True)
             lg.memoize = meta.get("memoize", True)
 
+            plane_dtypes = meta.get("plane_dtypes")
+
             def plane(i: int):
                 if i not in planes:
-                    planes[i] = plane_from_host(data[f"plane_{i}"])
+                    arr = data[f"plane_{i}"]
+                    if plane_dtypes and plane_dtypes[i] == "bfloat16":
+                        import ml_dtypes
+
+                        arr = arr.view(ml_dtypes.bfloat16)
+                    planes[i] = plane_from_host(arr)
                 return planes[i]
 
             for slot in meta["slots"]:

@@ -45,6 +45,19 @@ from .ops.mix import _binary
 from .ops.resize import calculate_size, resample_plane
 
 
+def resolve_dtype(dtype):
+    """Normalize a pipeline-dtype spec (None | str | dtype-like) to a numpy
+    dtype object. None → float32 (the bit-exact default). Strings resolve
+    through jnp so "bfloat16" maps to the ml_dtypes bfloat16 numpy dtype."""
+    import jax.numpy as jnp
+
+    if dtype is None:
+        return np.dtype(np.float32)
+    if isinstance(dtype, str):
+        dtype = getattr(jnp, dtype)
+    return np.dtype(dtype)
+
+
 class _PendingLayout(__import__("threading").local):
     """Trace-recorded plane layout, one slot PER THREAD.
 
@@ -187,7 +200,11 @@ def _as_type(img: ImgVal, rgba: bool) -> ImgVal:
     if rgba:
         g = img.planes[0]
         return ImgVal([g, g, g, _ones_like(g)])
-    r, g, b = img.planes[:3]
+    # rgba→gray mean computes in f32 (bf16 pipeline upcasts, DESIGN.md §9)
+    r, g, b = (
+        p.astype(jnp.float32) if p.dtype != jnp.float32 else p
+        for p in img.planes[:3]
+    )
     return ImgVal([((r + g) + b) / jnp.float32(3.0)])
 
 
@@ -205,9 +222,24 @@ class GraphCompiler:
     """Traces a NodeGraph into a single jittable function."""
 
     def __init__(self, node_graph: NodeGraph, include_u8: bool = False, preset=None,
-                 pallas_ok: bool = True, mesh=None, mesh_axis=None):
+                 pallas_ok: bool = True, mesh=None, mesh_axis=None, dtype=None):
         self.node_graph = node_graph
         self.include_u8 = include_u8
+        # pipeline STORAGE dtype (DESIGN.md §9). float32 (default) is the
+        # bit-exact reference pipeline; bfloat16 is the opt-in half-precision
+        # mode: bf16 AT REST, f32 IN FLIGHT. Leaves (image/input/embed/
+        # preset planes) are stored and read at bf16; every COMPUTE op
+        # upcasts its operands with a FRESH convert per consumer (inside
+        # `_binary`/`resample_plane`/`blur_plane`/`_h2n_jnp`/`levels_plane`
+        # — a shared upcast tracer makes XLA materialize the f32 copy,
+        # measured costlier than the bf16 read savings), so op math runs
+        # f32 exactly like the default pipeline and the exact-math
+        # machinery stays engaged. ALIASING ops (Output/Separate/Combine/
+        # Graph re-keying) pass stored planes through untouched, and only
+        # committed outputs downcast (`CompiledGraph.fn`'s `store`). Per-op
+        # bf16 rounding was measured SLOWER on the chip — XLA:TPU wraps
+        # every VPU op in converts (0.21 vs 0.11 ms at depth 2).
+        self.dtype = resolve_dtype(dtype)
         # False when the program must avoid Pallas entirely (vmapped mesh
         # programs — Mosaic custom calls aren't GSPMD-partitionable and
         # shard_map doesn't compose with the batch vmap); ops then use jnp
@@ -247,7 +279,9 @@ class GraphCompiler:
             if node_id in preset_nodes:
                 for (nid, slot), _count in self.preset.items():
                     if nid == node_id:
-                        values[(nid, slot)] = ImgVal(list(args[f"preset_{int(nid)}_{int(slot)}"]))
+                        values[(nid, slot)] = ImgVal(
+                            list(args[f"preset_{int(nid)}_{int(slot)}"])
+                        )
                 continue
             node = graph.node(node_id)
             # The eager path gathers inputs in edge INSERTION order and only
@@ -477,9 +511,11 @@ class CompiledGraph:
         pallas_ok: bool = True,
         mesh=None,
         mesh_axis=None,
+        dtype=None,
     ):
         import jax
 
+        self.dtype = resolve_dtype(dtype)
         self.node_graph = node_graph
         self.preset = dict(preset or {})
         self.emit_all = emit_all
@@ -501,7 +537,7 @@ class CompiledGraph:
 
         self._compiler = GraphCompiler(
             node_graph, include_u8, preset=self.preset, pallas_ok=pallas_ok,
-            mesh=mesh, mesh_axis=mesh_axis,
+            mesh=mesh, mesh_axis=mesh_axis, dtype=self.dtype,
         )
         self._bindings = self._collect_bindings(node_graph, prefix="")
 
@@ -520,6 +556,20 @@ class CompiledGraph:
 
         def fn(bound_args: dict):
             values = self._compiler._eval_graph(node_graph, dict(bound_args), "")
+            # outputs leave the program at the STORAGE dtype (bf16 mode:
+            # one downcast per unique plane; f32 default: identity). u8
+            # exports convert from the f32 in-flight value directly — no
+            # precision lost to the storage rounding.
+            down: dict = {}  # id(f32 tracer) → storage tracer, aliasing-safe
+
+            def store(plane):
+                if plane.dtype == self.dtype:
+                    return plane
+                key = id(plane)
+                if key not in down:
+                    down[key] = plane.astype(self.dtype)
+                return down[key]
+
             out = {}
             if self.emit_all:
                 unique: dict = {}  # id(tracer) → (index, tracer)
@@ -536,13 +586,13 @@ class CompiledGraph:
                     layout[key] = tuple(idxs)
                 self._pending_layout.value = layout
                 ordered = sorted(unique.values(), key=lambda iv: iv[0])
-                return tuple(plane for _, plane in ordered)
+                return tuple(store(plane) for _, plane in ordered)
             for key in self.targets:
                 img = values[key]
                 if include_u8:
                     out[key] = _u8_export(img)
                 else:
-                    out[key] = tuple(img.planes)
+                    out[key] = tuple(store(p) for p in img.planes)
             return out
 
         # NOT donated: every plane argument is owned by a live PlaneBuffer
@@ -603,8 +653,11 @@ class CompiledGraph:
                     slot_image = image_io.read_slot_image(node.node_type.payload)
                 except TexProError:
                     slot_image = image_io.magenta_placeholder()
+                # leaves upload AT the pipeline dtype (not cast in-program):
+                # the device arrays themselves are half-size in bf16 mode,
+                # which is where the read-bandwidth win comes from
                 bindings[f"{prefix}image_{nid}"] = tuple(
-                    jnp.asarray(p.host_data()) for p in slot_image.planes
+                    jnp.asarray(p.host_data(), self.dtype) for p in slot_image.planes
                 )
             elif kind == K.GRAPH:
                 bindings.update(
@@ -616,14 +669,14 @@ class CompiledGraph:
         import jax.numpy as jnp
 
         self._bindings[f"embed_{int(embedded_slot_data_id)}"] = tuple(
-            jnp.asarray(p) for p in planes
+            jnp.asarray(p, self.dtype) for p in planes
         )
 
     def bind_input(self, input_node_id, planes, prefix: str = "") -> None:
         import jax.numpy as jnp
 
         self._bindings[f"{prefix}input_{int(input_node_id)}"] = tuple(
-            jnp.asarray(p) for p in planes
+            jnp.asarray(p, self.dtype) for p in planes
         )
 
     def bind_input_rgba(self, planes, prefix: str = "") -> None:
@@ -632,7 +685,7 @@ class CompiledGraph:
         import jax.numpy as jnp
 
         self._bindings[f"{prefix}input_rgba_first"] = tuple(
-            jnp.asarray(p) for p in planes
+            jnp.asarray(p, self.dtype) for p in planes
         )
 
     def set_value(self, node_id, value: float, prefix: str = "") -> None:
@@ -752,17 +805,23 @@ def compile_graph(
     targets: Optional[list[tuple]] = None,
     include_u8: bool = False,
     cache: bool = True,
+    dtype=None,
 ) -> CompiledGraph:
     """Compile (with caching) a node graph into a fused program.
 
     Cache hits return a shallow handle sharing the jitted executable but
     owning its bindings, so refreshing Value constants for one caller never
-    mutates a handle previously returned to another."""
+    mutates a handle previously returned to another.
+
+    `dtype` selects the pipeline storage dtype (DESIGN.md §9): None/float32
+    is the bit-exact default, "bfloat16" the half-precision mode."""
+    dtype = resolve_dtype(dtype)
     key = None
     if cache:
         key = (
             graph_fingerprint(node_graph, extra=repr(sorted(targets)) if targets else ""),
             include_u8,
+            dtype.name,
         )
         hit = _PROGRAM_CACHE.get(key)
         if hit is not None:
@@ -773,7 +832,7 @@ def compile_graph(
             handle._bindings = dict(hit._bindings)
             handle._bindings.update(collect_value_bindings(node_graph))
             return handle
-    program = CompiledGraph(node_graph, targets, include_u8)
+    program = CompiledGraph(node_graph, targets, include_u8, dtype=dtype)
     if cache:
         _PROGRAM_CACHE[key] = program
         while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_CAP:

@@ -825,7 +825,8 @@ class Engine:
         try:
             fingerprint = graph_fingerprint(
                 snapshot,
-                extra=repr(sorted((int(n), int(s), c) for (n, s), c in preset.items())),
+                extra=repr(sorted((int(n), int(s), c) for (n, s), c in preset.items()))
+                + self.tex_pro.precision.name,
             )
             with self._fused_programs_lock:
                 prog = self._fused_programs.get(fingerprint)
@@ -835,6 +836,7 @@ class Engine:
                 prog = CompiledGraph(
                     snapshot, emit_all=True, preset=preset,
                     mesh=self.tex_pro.mesh,
+                    dtype=self.tex_pro.precision,
                 )
                 with self._fused_programs_lock:
                     self._fused_programs[fingerprint] = prog
@@ -1009,9 +1011,26 @@ class Engine:
         preset_nodes = {nid for nid, _ in preset}
 
         def planes_of(image):
-            return tuple(
-                (b.data() if device else b.host_data()) for b in image.planes
-            )
+            # the capacity (tiled) and bucketed fallback paths always
+            # evaluate in f32 (correctness-first, DESIGN.md §9): under
+            # `precision="bfloat16"` a boundary plane committed by a bf16
+            # dense partition upcasts here, and the banded result commits
+            # f32 — values interoperate, bits follow the f32 pipeline
+            import numpy as np
+
+            from .ops import _cast_kernel
+
+            planes = []
+            for b in image.planes:
+                arr = b.data() if device else b.host_data()
+                if arr.dtype != np.float32:
+                    arr = (
+                        _cast_kernel("float32")(arr)
+                        if device
+                        else np.asarray(arr, np.float32)
+                    )
+                planes.append(arr)
+            return tuple(planes)
 
         bindings = collect_value_bindings(snapshot)
         for node in snapshot.nodes:
@@ -1393,7 +1412,10 @@ class Engine:
             }
             bindings = {
                 f"preset_{int(sd.node_id)}_{int(sd.slot_id)}": tuple(
-                    b.host_data() for b in sd.image.planes
+                    # banded evaluation is f32 (capacity is correctness-
+                    # first, DESIGN.md §9): upcast bf16-committed inputs
+                    np.asarray(b.host_data(), np.float32)
+                    for b in sd.image.planes
                 )
                 for sd in input_data
             }

@@ -119,6 +119,46 @@ def _shard_inputs(slot_datas, mesh):
     return out
 
 
+@__import__("functools").lru_cache(maxsize=8)
+def _cast_kernel(dtype_name: str):
+    import jax
+    import jax.numpy as jnp
+
+    dtype = getattr(jnp, dtype_name)
+    return jax.jit(lambda x: x.astype(dtype))
+
+
+def _to_precision(slot_datas, dtype):
+    """Normalize slot-data planes to `dtype` — the per-node twin of the
+    fused compiler's upcast/downcast boundaries (DESIGN.md §9: bf16 at
+    rest, f32 in flight). Aliased planes stay aliased (cast memo keyed by
+    PlaneBuffer id)."""
+    from ..slot_data import SlotData
+    from ..slot_image import SlotImage
+    from ..transient_buffer import plane_from_device
+
+    casts: dict = {}
+    out = []
+    for slot_data in slot_datas:
+        planes = []
+        changed = False
+        for plane in slot_data.image.planes:
+            if plane.dtype == dtype:
+                planes.append(plane)
+                continue
+            key = id(plane)
+            if key not in casts:
+                casts[key] = plane_from_device(_cast_kernel(dtype.name)(plane.data()))
+            planes.append(casts[key])
+            changed = True
+        out.append(
+            SlotData(slot_data.node_id, slot_data.slot_id, SlotImage(planes))
+            if changed
+            else slot_data
+        )
+    return out
+
+
 def process_node(node, slot_datas, embedded_slot_datas, input_slot_datas, edges, tex_pro):
     assert len(edges) == len(slot_datas), f"NodeType: {node.node_type!r}"
 
@@ -128,4 +168,17 @@ def process_node(node, slot_datas, embedded_slot_datas, input_slot_datas, edges,
     slot_datas = resize_buffers(slot_datas, edges, node.resize_policy, node.resize_filter)
     slot_datas = assign_slot_ids(slot_datas, edges)
 
-    return process_node_internal(node, slot_datas, embedded_slot_datas, input_slot_datas, tex_pro)
+    output = process_node_internal(
+        node, slot_datas, embedded_slot_datas, input_slot_datas, tex_pro
+    )
+    precision = getattr(tex_pro, "precision", None)
+    if precision is not None and precision.name != "float32":
+        # bf16 at rest, f32 in flight (DESIGN.md §9): every compute kernel
+        # upcasts half-precision operands internally (fresh per consumer,
+        # so the converts fuse), aliasing ops pass stored planes through,
+        # and outputs COMMIT at the pipeline dtype here. Aliased planes
+        # (Output re-keying, SeparateRgba) are already at the pipeline
+        # dtype, so the downcast is an identity for them and the aliasing
+        # survives.
+        output = _to_precision(output, precision)
+    return output

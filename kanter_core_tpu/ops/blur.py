@@ -89,6 +89,14 @@ def blur_plane(plane, sigma: float, pallas_ok: bool = True, mesh=None,
     neither kernel supports (vmapped mesh programs, unviable geometries).
     """
     import jax
+    import jax.numpy as jnp
+
+    if plane.dtype != jnp.float32:
+        # bf16 pipeline (DESIGN.md §9: bf16 at rest, f32 in flight): the
+        # compiler upcasts compute inputs before this point; a direct
+        # caller's half-precision plane upcasts here so the Mosaic f32
+        # kernels stay viable and the f32 bits match the default pipeline
+        plane = plane.astype(jnp.float32)
 
     taps = gaussian_taps(round(float(sigma), 6))
     on_tpu = jax.default_backend() == "tpu" or FORCE_PALLAS_INTERPRET

@@ -23,6 +23,13 @@ costs arithmetic, still far from compute-bound.
 
 Caveat: TPU flushes denormals, so pow results below ~1.2e-38 become 0
 instead of denormal (irrelevant for texture data in [0, 1]).
+
+Non-f32 dtypes (the opt-in bf16 pipeline, DESIGN.md §9): the machinery is
+pointless below f32 precision — a bf16 result rounds away any sub-ulp-of-f32
+correction, and the Veltkamp constants assume the f32 mantissa width. Every
+helper therefore passes straight through to the plain op when the operands'
+result type isn't float32 (a trace-time decision; half-precision mode is
+documented as non-bit-exact).
 """
 
 from __future__ import annotations
@@ -38,6 +45,14 @@ def _const_ds(value) -> tuple:
     hi = np.float32(v)
     lo = np.float32(v - np.float64(hi))
     return float(hi), float(lo)
+
+
+def _exactness_applies(*operands) -> bool:
+    """True when the f32 correction machinery is meaningful for these
+    operands (trace-time static: dtypes are shape metadata under jit)."""
+    import jax.numpy as jnp
+
+    return jnp.result_type(*operands) == jnp.float32
 
 
 _LN2 = _const_ds("0.693147180559945309417232121458")
@@ -96,6 +111,9 @@ def corrected_div(a, b):
     """
     import jax.numpy as jnp
 
+    if not _exactness_applies(a, b):
+        return a / b
+
     two_sum, quick_two_sum, split, two_prod, ds_add, ds_mul, ds_div = _ds_ops(jnp)
     q0 = a / b
     qh, ql = split(q0)
@@ -131,6 +149,8 @@ def nc_mul(x, y):
     import jax
     import jax.numpy as jnp
 
+    if not _exactness_applies(x, y):
+        return x * y
     if jax.default_backend() == "tpu":
         return x * y  # already fl(x·y); TPU does not contract into the add
 
@@ -155,6 +175,9 @@ def corrected_sqrt(x):
     zero s0 (x ≤ 0, inf, NaN) passes through untouched.
     """
     import jax.numpy as jnp
+
+    if not _exactness_applies(x):
+        return jnp.sqrt(x)
 
     s0 = jnp.sqrt(x)
     sh_t = jnp.float32(4097.0) * s0
@@ -222,6 +245,9 @@ def ds_pow(a, b):
     1 (any b), negative a with integer b (sign by parity, NaN otherwise),
     ±0 and ±inf bases, NaN propagation."""
     import jax.numpy as jnp
+
+    if not _exactness_applies(a, b):
+        return jnp.power(a, b)
 
     f32 = jnp.float32
     nan, inf = f32(np.nan), f32(np.inf)

@@ -44,6 +44,9 @@ def _h2n_jnp(h):
     """jnp implementation (bit-exact vs the Rust scalar loop)."""
     import jax.numpy as jnp
 
+    if h.dtype != jnp.float32:
+        # bf16 pipeline (DESIGN.md §9): compute in f32, fresh per consumer
+        h = h.astype(jnp.float32)
     # roll on a length-1 axis is the identity (see ops/blur._blur_axis0's
     # degenerate-roll note)
     up = h if h.shape[0] == 1 else jnp.roll(h, 1, axis=0)

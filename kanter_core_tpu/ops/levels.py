@@ -45,6 +45,9 @@ def levels_plane(plane, params):
     import jax
     import jax.numpy as jnp
 
+    if plane.dtype != jnp.float32:
+        # bf16 pipeline (DESIGN.md §9): compute in f32, fresh per consumer
+        plane = plane.astype(jnp.float32)
     if jax.default_backend() == "cpu":
         _div = lambda a, b: a / b  # noqa: E731 — hardware IEEE
         _pow = jnp.power  # == glibc powf bit-for-bit

@@ -26,6 +26,24 @@ from .common import slot_data_with_name
 from .exact_math import corrected_div, ds_pow, nc_mul
 
 
+def _f32_operands(op):
+    """Upcast half-precision operands before the op (DESIGN.md §9: bf16 at
+    rest, f32 in flight) — a fresh convert per call site, which XLA fuses
+    into the consumer (a shared upcast tracer would materialize). No-op for
+    the f32 default pipeline."""
+
+    def wrapped(l, r):
+        import jax.numpy as jnp
+
+        if l.dtype != jnp.float32:
+            l = l.astype(jnp.float32)
+        if r.dtype != jnp.float32:
+            r = r.astype(jnp.float32)
+        return op(l, r)
+
+    return wrapped
+
+
 def _binary(mix_type: MixType):
     import jax.numpy as jnp
 
@@ -39,9 +57,9 @@ def _binary(mix_type: MixType):
     # correctly-rounded value — they differ on the handful of inputs glibc
     # misrounds. See ops/exact_math.py for the measurements.
     if mix_type == MixType.ADD:
-        return lambda l, r: l + r
+        return _f32_operands(lambda l, r: l + r)
     if mix_type == MixType.SUBTRACT:
-        return lambda l, r: l - r
+        return _f32_operands(lambda l, r: l - r)
     if mix_type == MixType.MULTIPLY:
         # nc_mul, not a bare `l * r`: value-identical everywhere (plain mul
         # on TPU), but on XLA:CPU the Dekker guard stops LLVM from
@@ -52,9 +70,9 @@ def _binary(mix_type: MixType):
         # the roll-based paths only avoided it because rolls force the
         # operand to materialize. CLAUDE.md's rule applied: any product
         # that can feed an add goes through nc_mul on CPU.
-        return nc_mul
+        return _f32_operands(nc_mul)
     if mix_type == MixType.DIVIDE:
-        return corrected_div
+        return _f32_operands(corrected_div)
     if mix_type == MixType.POW:
 
         def _pow(l, r):
@@ -64,7 +82,7 @@ def _binary(mix_type: MixType):
                 return jnp.power(l, r)  # == glibc powf bit-for-bit
             return ds_pow(l, r)
 
-        return _pow
+        return _f32_operands(_pow)
     raise ValueError(mix_type)
 
 

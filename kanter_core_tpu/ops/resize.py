@@ -252,6 +252,13 @@ def resample_plane(plane, out_size: Size, filt: ResizeFilter):
     Matches `imageops::resize`: vertical pass (height) then horizontal pass
     (width), each clamping to [0, 1].
     """
+    import jax.numpy as jnp
+
+    if plane.dtype != jnp.float32:
+        # bf16 pipeline (DESIGN.md §9: bf16 at rest, f32 in flight): a
+        # half-precision stored plane upcasts before the tap math so the
+        # resample computes the same f32 bits as the default pipeline
+        plane = plane.astype(jnp.float32)
     in_h, in_w = plane.shape
     out_h, out_w = out_size.height, out_size.width
 
@@ -259,8 +266,7 @@ def resample_plane(plane, out_size: Size, filt: ResizeFilter):
     tmp = _apply_axis0(plane, lefts_v, weights_v, in_h)  # [outH, W]
 
     lefts_h, weights_h = resample_weights(in_w, out_w, filt)
-    out = _apply_axis0(tmp.T, lefts_h, weights_h, in_w).T  # [outH, outW]
-    return out
+    return _apply_axis0(tmp.T, lefts_h, weights_h, in_w).T  # [outH, outW]
 
 
 @functools.lru_cache(maxsize=512)  # shape-keyed; bound for long sessions

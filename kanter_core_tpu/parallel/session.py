@@ -28,11 +28,17 @@ class BatchedLiveSession:
         batch_input_ids: list[NodeId],
         targets: Optional[list[tuple]] = None,
         mesh=None,
+        dtype=None,
     ):
+        from ..compiler import resolve_dtype
+
         self.node_graph = node_graph
         self.batch_input_ids = [NodeId(n) for n in batch_input_ids]
         self.targets = targets
         self.mesh = mesh
+        # pipeline storage dtype (DESIGN.md §9); input batches upload at
+        # this dtype so the device arrays themselves are half-size in bf16
+        self.dtype = resolve_dtype(dtype)
         self._inputs: dict[str, tuple] = {}
         from collections import OrderedDict
 
@@ -47,7 +53,7 @@ class BatchedLiveSession:
         import jax
 
         key = f"input_{int(input_node_id)}"
-        host = np.asarray(stacked_planes, dtype=np.float32)
+        host = np.asarray(np.asarray(stacked_planes, dtype=np.float32), self.dtype)
         if self.mesh is not None:
             # ONE device_put straight to the sharded layout (a plain
             # device_put first would commit the full batch to device 0 —
@@ -113,6 +119,7 @@ class BatchedLiveSession:
                 batch_keys=batch_keys,
                 targets=self.targets,
                 mesh=self.mesh,
+                dtype=self.dtype,
             )
             self._programs[fingerprint] = program
             while len(self._programs) > self.program_cache_cap:

@@ -52,6 +52,11 @@ class BatchedGraph:
     `batch_keys` names the program arguments that carry a leading batch axis
     (e.g. `image_<id>` plane tuples); everything else (Value scalars, …) is
     broadcast.
+
+    `dtype="bfloat16"` stores leaves/outputs at bf16 (DESIGN.md §9) —
+    NOTE: measured SLOWER on large vmapped programs on this chip (XLA's
+    fusion cost model splits big fusions at the upcasts and materializes
+    f32 leaf copies); use it for footprint, not batched throughput.
     """
 
     def __init__(
@@ -61,6 +66,7 @@ class BatchedGraph:
         targets=None,
         include_u8: bool = False,
         mesh=None,
+        dtype=None,
     ):
         import jax
 
@@ -77,6 +83,7 @@ class BatchedGraph:
             pallas_ok=mesh is None or spatial_axis is not None,
             mesh=mesh if spatial_axis is not None else None,
             mesh_axis=spatial_axis,
+            dtype=dtype,
         )
         self.base = base
         self.batch_keys = set(batch_keys)

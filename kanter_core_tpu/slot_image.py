@@ -80,33 +80,40 @@ def _jitted_converters():
             | (a8.astype(jnp.uint32) << 24)
         )
 
+    def up(x):
+        # bf16 pipeline (DESIGN.md §9): exports and coercions compute in
+        # f32 from the stored half-precision plane (no-op for f32)
+        return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+
     @jax.jit
     def gray_to_u8(g):
-        v = f32_to_u8(g)
+        v = f32_to_u8(up(g))
         a = jnp.full_like(v, 255, dtype=jnp.uint8)
         return pack_u32(v, v, v, a)
 
     @jax.jit
     def rgba_to_u8(r, g, b, a):
-        return pack_u32(f32_to_u8(r), f32_to_u8(g), f32_to_u8(b), f32_to_u8(a))
+        return pack_u32(
+            f32_to_u8(up(r)), f32_to_u8(up(g)), f32_to_u8(up(b)), f32_to_u8(up(a))
+        )
 
     @jax.jit
     def gray_to_u8_srgb(g):
-        v = f32_to_u8(srgb_to_linear(jnp.clip(g, 0.0, 1.0)))
+        v = f32_to_u8(srgb_to_linear(jnp.clip(up(g), 0.0, 1.0)))
         a = jnp.full_like(v, 255, dtype=jnp.uint8)
         return pack_u32(v, v, v, a)
 
     @jax.jit
     def rgba_to_u8_srgb(r, g, b, a):
         def conv(x):
-            return f32_to_u8(srgb_to_linear(jnp.clip(x, 0.0, 1.0)))
+            return f32_to_u8(srgb_to_linear(jnp.clip(up(x), 0.0, 1.0)))
 
-        return pack_u32(conv(r), conv(g), conv(b), f32_to_u8(a))
+        return pack_u32(conv(r), conv(g), conv(b), f32_to_u8(up(a)))
 
     @jax.jit
     def rgb_mean(r, g, b):
         # gray = ((r + g) + b) / 3 — same association as `slot_image.rs:247-250`
-        return ((r + g) + b) / jnp.float32(3.0)
+        return ((up(r) + up(g)) + up(b)) / jnp.float32(3.0)
 
     return dict(
         gray_to_u8=gray_to_u8,

@@ -31,6 +31,7 @@ class TextureProcessor:
         mesh=None,
         tile_bytes: Optional[int] = None,
         bucket_sizes: bool = False,
+        precision=None,
     ):
         """`mesh`: an optional `jax.sharding.Mesh`. When set, the engine's
         fused-partition dispatches place every large plane row-sharded over
@@ -56,13 +57,29 @@ class TextureProcessor:
         edits) recompiles once per size BUCKET instead of once per pixel
         size, bit-identically. Trade-offs: plane aliasing across outputs is
         not preserved (sliced copies), and device memory briefly holds the
-        padded planes."""
+        padded planes.
+
+        `precision`: pipeline storage dtype (DESIGN.md §9). None/"float32"
+        (default) is the bit-exact reference pipeline. "bfloat16" is the
+        opt-in half-precision FOOTPRINT mode — bf16 at rest, f32 in
+        flight: planes commit at bf16 (half the HBM working set, host/disk
+        tier footprint, and eviction/checkpoint/transfer bytes) while
+        every kernel computes the same f32 math as the default pipeline,
+        so u8 exports differ by at most a few LSB and outputs bit-match
+        the f32 pipeline on bf16-quantized leaves. Throughput is
+        measured NEUTRAL on fused chains (DESIGN.md §9 has the chip
+        numbers and the why). The capacity (tiled) and bucketed fallback
+        paths keep evaluating in f32 and interoperate (bf16 boundary
+        planes upcast at the binding funnel)."""
         if not isinstance(memory_threshold, AtomicUsize):
             memory_threshold = AtomicUsize(memory_threshold)
         self.memory_threshold = memory_threshold
         self.mesh = mesh
         self.tile_bytes = tile_bytes
         self.bucket_sizes = bucket_sizes
+        from .compiler import resolve_dtype
+
+        self.precision = resolve_dtype(precision)
         self.host_memory_threshold = (
             AtomicUsize(host_memory_threshold) if host_memory_threshold is not None else None
         )

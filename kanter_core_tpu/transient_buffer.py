@@ -70,9 +70,6 @@ def _sweep_stale_spill_dirs() -> None:
         except OSError:
             pass
 
-BYTES_PER_PIXEL = 4  # f32 channel plane (`slot_data.rs:32`)
-
-
 class Tier(Enum):
     DEVICE = "device"
     HOST = "host"
@@ -114,7 +111,7 @@ class PlaneBuffer:
     """
 
     __slots__ = ("_lock", "_tier", "_device", "_host", "_path", "_salt", "_height",
-                 "_width", "_queue", "__weakref__")
+                 "_width", "_queue", "_dtype", "__weakref__")
 
     def __init__(self, *, device=None, host=None):
         self._lock = threading.RLock()
@@ -124,12 +121,21 @@ class PlaneBuffer:
             self._device = device
             self._host = None
             self._height, self._width = device.shape
+            self._dtype = np.dtype(device.dtype)
         else:
-            host = np.ascontiguousarray(host, dtype=np.float32)
+            host = np.asarray(host)
+            if host.dtype.name in ("bfloat16", "float16"):
+                # half-precision pipeline plane (bf16, DESIGN.md §9):
+                # preserve it — upcasting here would silently double the
+                # committed footprint the mode exists to halve
+                host = np.ascontiguousarray(host)
+            else:
+                host = np.ascontiguousarray(host, dtype=np.float32)
             self._tier = Tier.HOST
             self._device = None
             self._host = host
             self._height, self._width = host.shape
+            self._dtype = host.dtype
         self._path = None
         self._salt = None
 
@@ -143,7 +149,11 @@ class PlaneBuffer:
         return (self._height, self._width)
 
     def bytes(self) -> int:
-        return self._height * self._width * BYTES_PER_PIXEL
+        return self._height * self._width * self._dtype.itemsize
+
+    @property
+    def dtype(self) -> np.dtype:
+        return self._dtype
 
     def in_memory(self) -> bool:
         """True when device-resident (reference: RAM-vs-disk, here HBM-vs-spill)."""
@@ -276,7 +286,11 @@ class PlaneBuffer:
             pass
         if digest != os.path.basename(path):
             raise TexProError(ErrorKind.GENERIC, "spill file hash mismatch")
-        self._host = np.frombuffer(raw, dtype=np.float32).reshape(self._height, self._width).copy()
+        self._host = (
+            np.frombuffer(raw, dtype=self._dtype)
+            .reshape(self._height, self._width)
+            .copy()
+        )
         self._path = None
         self._salt = None
 
@@ -289,7 +303,9 @@ class PlaneBuffer:
 
 
 def plane_from_host(array) -> PlaneBuffer:
-    return PlaneBuffer(host=np.asarray(array, dtype=np.float32))
+    # the constructor normalizes dtype (f32, preserving half-precision
+    # pipeline planes — DESIGN.md §9)
+    return PlaneBuffer(host=array)
 
 
 def plane_from_device(array) -> PlaneBuffer:
