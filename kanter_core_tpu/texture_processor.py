@@ -193,6 +193,7 @@ class TextureProcessor:
         """Observability snapshot: buffer-tier bytes, in-flight dispatches,
         per-node-kind timing summary, fused-program cache size."""
         return {
+            "precision": self.precision.name,
             "bytes_device": self.buffer_queue.bytes_memory(),
             "bytes_host": self.buffer_queue.bytes_host(),
             "bytes_storage": self.buffer_queue.bytes_storage(),

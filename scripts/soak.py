@@ -46,15 +46,17 @@ SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 
 def main():
     rng = np.random.default_rng(SEED)
-    # ~half the soaks force the blockwise tiled engine path (tile_bytes=1:
-    # every partition exceeds the budget) — its banded twins must be as
-    # unobservable as fusion/memoization/eviction are
-    mode = rng.integers(3)
+    # the soaks rotate the engine route: dense fused, blockwise tiled
+    # (tile_bytes=1: every partition exceeds the budget), shape-bucketed,
+    # and the bf16 pipeline — each must stay live and correct under the
+    # same randomized edit/cancel/eviction churn
+    mode = rng.integers(4)
     tile_bytes = 1 if mode == 1 else None
     bucket_sizes = mode == 2  # shape-bucketed engine route
+    precision = "bfloat16" if mode == 3 else None
     tp = TextureProcessor(
         memory_threshold=int(rng.integers(64, 4096)), tile_bytes=tile_bytes,
-        bucket_sizes=bucket_sizes,
+        bucket_sizes=bucket_sizes, precision=precision,
     )
     lg = tp.new_live_graph()
 
@@ -65,7 +67,7 @@ def main():
         g.memoize = bool(rng.integers(2))
         print(f"mode: fuse={g.fuse_subgraphs} memoize={g.memoize} "
               f"use_cache={g.use_cache} tiled={tile_bytes is not None} "
-              f"bucketed={bucket_sizes}")
+              f"bucketed={bucket_sizes} precision={precision or 'float32'}")
         for v in range(4):
             values.append(g.add_node(Node(NodeType.Value(float(rng.random())))))
         for m in range(4):
@@ -144,12 +146,33 @@ def main():
 
         with LiveGraph.await_clean_read(lg, out) as g:
             engine_px = g.buffer_rgba(out, SlotId(0))
+            committed_dtypes = {
+                p.dtype.name for p in g.slot_data(out, SlotId(0)).image.planes
+            }
 
         prog = CompiledGraph(snapshot, targets=[(out, SlotId(0))], include_u8=True)
         truth = np.asarray(prog()[(out, SlotId(0))]).reshape(-1)
-        if not np.array_equal(engine_px, truth):
-            diff = int((engine_px != truth).sum())
-            raise SystemExit(f"MISMATCH at iter {i}: {diff} bytes differ (seed {SEED})")
+        if precision is None:
+            if not np.array_equal(engine_px, truth):
+                diff = int((engine_px != truth).sum())
+                raise SystemExit(
+                    f"MISMATCH at iter {i}: {diff} bytes differ (seed {SEED})"
+                )
+        else:
+            # bf16 mode is documented non-bit-exact (leaf + partition-
+            # boundary quantization, DESIGN.md §9); the soak pins dtype
+            # consistency, liveness, and catastrophe-freedom vs f32 truth
+            if committed_dtypes != {"bfloat16"}:
+                raise SystemExit(
+                    f"NON-bf16 COMMIT at iter {i}: {committed_dtypes} (seed {SEED})"
+                )
+            delta = np.abs(engine_px.astype(np.int32) - truth.astype(np.int32))
+            frac_wild = float((delta > 32).mean())
+            if frac_wild > 0.05:
+                raise SystemExit(
+                    f"bf16 DIVERGENCE at iter {i}: {frac_wild:.1%} of bytes "
+                    f">32 LSB off f32 truth (seed {SEED})"
+                )
         if (i + 1) % 20 == 0:
             print(f"iter {i + 1}/{ITERS} ok; cache={tp.recipe_cache.stats()}", flush=True)
 

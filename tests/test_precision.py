@@ -456,3 +456,37 @@ def test_bf16_u8_export_converts_from_f32_in_flight():
     u16 = np.asarray(p16()[(out, SlotId(0))])
     u32 = np.asarray(p32()[(out, SlotId(0))])
     assert np.array_equal(u16, u32)
+
+
+def test_engine_bf16_composes_with_mesh():
+    """precision="bfloat16" × mesh: the fused dispatch row-shards bf16
+    leaves/commits over the mesh and the result matches the single-device
+    bf16 run byte-for-byte at the u8 boundary."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from kanter_core_tpu import TextureProcessor
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        import pytest
+
+        pytest.skip("needs the 8 virtual devices from conftest")
+    mesh = Mesh(np.asarray(devices[:8]), ("rows",))
+
+    u_single, d_single, _ = _render_u8(precision="bfloat16")
+
+    with TextureProcessor(200_000_000, precision="bfloat16", mesh=mesh) as tp:
+        lg = tp.new_live_graph()
+        out = _engine_graph(lg.write())
+        u_mesh = np.asarray(TextureProcessor.buffer_rgba(lg, out, SlotId(0)))
+        sd = lg.slot_data(out, SlotId(0))
+        assert [p.dtype.name for p in sd.image.planes] == ["bfloat16"] * 4
+        committed = sd.image.planes[0].data()
+        assert getattr(committed.sharding, "mesh", None) is not None
+
+    assert d_single == ["bfloat16"] * 4
+    assert np.array_equal(u_mesh, u_single), (
+        "bf16 + mesh diverged from single-device bf16"
+    )
