@@ -225,17 +225,18 @@ class BucketedGraph:
         self.mesh = mesh
         self._mesh_axis = mesh.axis_names[0] if mesh is not None else None
 
-        import jax.numpy as jnp
-
         # leaf bindings, uploaded ONCE as device-resident jnp arrays (numpy
         # here would re-upload per call; re-bind via bind_*). An explicit
         # `bindings` dict (engine integration) supersedes the image decode;
         # the auto-flatten branch above hands host planes in, so normalize
-        # every plane tuple here.
+        # every plane tuple/list here — INCLUDING the f32 upcast the
+        # CLAUDE.md in-flight contract requires (the bucketed twins call
+        # `_h2n_core`/the blur tap loop directly, below the eager kernels'
+        # entry upcasts, so a bf16 plane binding would otherwise compute
+        # half-precision math and return bf16 planes).
         if bindings is not None:
             self._bindings = {
-                k: tuple(jnp.asarray(p) for p in v) if isinstance(v, tuple) else v
-                for k, v in bindings.items()
+                k: self._norm_planes(v) for k, v in bindings.items()
             }
         else:
             self._bindings = {}
@@ -245,8 +246,8 @@ class BucketedGraph:
                         si = image_io.read_slot_image(node.node_type.payload)
                     except TexProError:
                         si = image_io.magenta_placeholder()
-                    self._bindings[f"image_{int(node.node_id)}"] = tuple(
-                        jnp.asarray(p.host_data()) for p in si.planes
+                    self._bindings[f"image_{int(node.node_id)}"] = self._norm_planes(
+                        tuple(p.host_data() for p in si.planes)
                     )
 
         if targets is None:
@@ -267,7 +268,14 @@ class BucketedGraph:
         # bound to THIS instance, so both must see the same state.
         from .compiler import _PendingLayout
 
-        self._layout_state = {"layouts": {}, "pending": _PendingLayout()}
+        self._layout_state = {
+            "layouts": {},
+            "pending": _PendingLayout(),
+            # node table a (re)trace reads — published under the trace lock
+            # by _call_with_layout so retraces triggered by a with_state
+            # handle bake THAT handle's payloads, not the base instance's
+            "trace_nodes": {n.node_id: n for n in node_graph.nodes},
+        }
         self._trace_lock = __import__("threading").Lock()
 
         # structural metadata (plane counts + input lists) from one
@@ -277,22 +285,44 @@ class BucketedGraph:
         self._counts = {nid: dict(info.out_planes) for nid, info in infos0.items()}
         self._inputs = {nid: list(info.inputs) for nid, info in infos0.items()}
 
-        self._jit = jax.jit(self._fn)
+        # payload_fp (static): trace-BAKED payloads (Mix type, Blur tap
+        # weights) ride in the executable, not in arguments — a payload
+        # edit that keeps every argument shape (σ=0.9→1.0 is still 7 taps)
+        # must still mint a fresh trace, or the old weights serve silently
+        self._jit = jax.jit(self._fn, static_argnums=(1,))
 
     def with_state(self, graph, bindings: dict) -> "BucketedGraph":
         """A shallow handle sharing this evaluator's compiled executables
         (`self._jit`) and structural metadata but reading node payloads and
         leaf bindings from fresh state — the engine hands these out per
         dispatch so a cached evaluator serves edited graphs (structure must
-        match: same size-normalized fingerprint). The traced function reads
-        only structural metadata from its ORIGINAL instance; all values and
-        sizes ride in the marshalled arguments."""
+        match: same size-normalized fingerprint — which covers trace-baked
+        payloads like Mix type and Blur taps, so shared executables stay
+        valid; a direct caller editing those payloads retraces via the
+        payload fingerprint in the program key). `graph` must be FLAT
+        (nested Graph nodes already inlined): the handle's graph is
+        authoritative, so it does not inherit the base evaluator's
+        auto-re-flatten of its construction-time original."""
         import copy
 
         handle = copy.copy(self)
         handle.graph = graph
-        handle._bindings = dict(bindings)
+        handle._orig_graph = None  # the handle's graph IS the fresh state
+        handle._bindings = {k: self._norm_planes(v) for k, v in bindings.items()}
         return handle
+
+    @staticmethod
+    def _norm_planes(v):
+        """Upload a plane tuple/list at f32 (f32-in-flight contract; no-op
+        for planes already f32 on device). Non-plane values pass through."""
+        import jax.numpy as jnp
+
+        if isinstance(v, (tuple, list)):
+            # jnp.asarray is a no-op (same buffer) for device-resident f32
+            # planes, an upload for host arrays, and an f32 upcast for
+            # anything half-precision
+            return tuple(jnp.asarray(p, jnp.float32) for p in v)
+        return v
 
     # --- bindings ---
     def _tiled_bindings(self) -> dict:
@@ -330,11 +360,29 @@ class BucketedGraph:
         node.resize_policy = ResizePolicy.SpecificSize(size)
 
     # --- per-call marshalling (host) ---
+    def _payload_fp(self) -> tuple:
+        """Hashable fingerprint of trace-baked payloads (static jit arg):
+        Mix type and Blur σ are baked into the executable; everything else
+        (sizes, Value/Levels params, tap indices/weights) rides in args."""
+        parts = []
+        for n in self.graph.nodes:
+            k = n.node_type.kind
+            if k == K.MIX:
+                parts.append((int(n.node_id), "mix", n.node_type.payload))
+            elif k == K.BLUR:
+                parts.append(
+                    (int(n.node_id), "blur", round(float(n.node_type.payload), 6))
+                )
+        return tuple(parts)
+
     def _marshal(self, infos) -> dict:
         B = self.bucket
         args: dict = {}
+        # one pass over the node list (NodeGraph.node() is a linear scan +
+        # payload clone PER CALL — O(N^2) scans and N clones per drag tick)
+        nodes = {n.node_id: n for n in self.graph.nodes}
         for node_id in self._topo:
-            node = self.graph.node(node_id)
+            node = nodes[node_id]
             kind = node.node_type.kind
             nid = int(node_id)
             info = infos[node_id]
@@ -455,7 +503,9 @@ class BucketedGraph:
         return resample_weights(in_hi, max(1, out_lo), filt)[1].shape[1]
 
     # --- the traced evaluation (shapes come ONLY from args) ---
-    def _fn(self, args: dict) -> dict:
+    def _fn(self, args: dict, payload_fp: tuple = ()) -> dict:
+        # payload_fp is static: its only job is keying jax.jit's trace
+        # cache so baked payloads (Mix type, Blur taps) can't go stale
         import jax.numpy as jnp
 
         from .compiler import ImgVal, _as_type, _from_value, _ones, _ones_like, _zeros
@@ -484,9 +534,13 @@ class BucketedGraph:
 
         self.traces += 1
         env: dict = {}
+        # the CALLING instance's node table (with_state handles publish
+        # theirs under the trace lock; `self` here is always the base
+        # instance the jit was built on)
+        trace_nodes = self._layout_state["trace_nodes"]
 
         for node_id in self._topo:
-            node = self.graph.node(node_id)
+            node = trace_nodes[node_id]
             kind = node.node_type.kind
             nid = int(node_id)
 
@@ -686,14 +740,13 @@ class BucketedGraph:
             self.graph, self._remap_back, extra = flat
             # merge: scalars (inner Value payloads) always refresh; plane
             # tuples keep the device-resident upload from construction
-            # (the flattener re-decodes inner images host-side every call —
-            # re-uploading them per drag tick would defeat the point)
-            import jax.numpy as jnp
-
+            # (the flattener itself skips re-DECODING inner images whose
+            # binding key it was handed — re-decoding or re-uploading per
+            # drag tick would defeat the point)
             for k, v in extra.items():
                 if isinstance(v, tuple):
                     if k not in self._bindings:
-                        self._bindings[k] = tuple(jnp.asarray(p) for p in v)
+                        self._bindings[k] = self._norm_planes(v)
                 else:
                     self._bindings[k] = v
 
@@ -725,15 +778,22 @@ class BucketedGraph:
 
     def _call_with_layout(self, args: dict):
         """Run the jitted program, returning `(unique_planes, layout)` for
-        exactly this call's arg shapes (the `call_with_layout` protocol)."""
-        sig = tuple(
-            (k, tuple(getattr(args[k], "shape", ()))) for k in sorted(args)
+        exactly this call's arg shapes + baked payloads (the
+        `call_with_layout` protocol)."""
+        fp = self._payload_fp()
+        sig = (
+            fp,
+            tuple((k, tuple(getattr(args[k], "shape", ()))) for k in sorted(args)),
         )
         from .compiler import call_with_pending_layout
 
         state = self._layout_state
+        nodes = {n.node_id: n for n in self.graph.nodes}
         return call_with_pending_layout(
-            self._jit, args, sig, self._trace_lock, state["layouts"],
-            state["pending"],
+            lambda a: self._jit(a, fp), args, sig, self._trace_lock,
+            state["layouts"], state["pending"],
             "bucketed program produced no layout for new shapes",
+            # published under the lock so a concurrent lock-free hit-path
+            # caller can't clobber the table mid-trace
+            on_trace=lambda: state.__setitem__("trace_nodes", nodes),
         )

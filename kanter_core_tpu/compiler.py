@@ -71,7 +71,8 @@ class _PendingLayout(__import__("threading").local):
     value: Optional[dict] = None
 
 
-def call_with_pending_layout(fn, args, sig, lock, layouts, pending, err_msg):
+def call_with_pending_layout(fn, args, sig, lock, layouts, pending, err_msg,
+                             on_trace=None):
     """The layout-attribution protocol shared by the dense fused compiler
     (`CompiledGraph.call_with_layout`) and the shape-bucketed twin
     (`bucketed.BucketedGraph._call_with_layout`).
@@ -81,7 +82,10 @@ def call_with_pending_layout(fn, args, sig, lock, layouts, pending, err_msg):
     shapes (which operand a resize pass copies vs aliases), so layouts are
     kept per shape signature. The first call for a signature serializes
     under `lock` so the trace-recorded layout is attributed to the right
-    signature; later calls are lock-free cache hits."""
+    signature; later calls are lock-free cache hits. `on_trace` (optional)
+    runs UNDER the lock just before a possibly-tracing call — the hook for
+    publishing trace-time state (e.g. the node table a retrace must read)
+    without racing lock-free hit-path callers."""
     layout = layouts.get(sig)
     if layout is not None:
         return fn(args), layout
@@ -89,6 +93,8 @@ def call_with_pending_layout(fn, args, sig, lock, layouts, pending, err_msg):
         layout = layouts.get(sig)
         if layout is not None:
             return fn(args), layout
+        if on_trace is not None:
+            on_trace()
         pending.value = None
         result = fn(args)
         layout = pending.value
@@ -222,24 +228,12 @@ class GraphCompiler:
     """Traces a NodeGraph into a single jittable function."""
 
     def __init__(self, node_graph: NodeGraph, include_u8: bool = False, preset=None,
-                 pallas_ok: bool = True, mesh=None, mesh_axis=None, dtype=None):
+                 pallas_ok: bool = True, mesh=None, mesh_axis=None):
         self.node_graph = node_graph
         self.include_u8 = include_u8
-        # pipeline STORAGE dtype (DESIGN.md §9). float32 (default) is the
-        # bit-exact reference pipeline; bfloat16 is the opt-in half-precision
-        # mode: bf16 AT REST, f32 IN FLIGHT. Leaves (image/input/embed/
-        # preset planes) are stored and read at bf16; every COMPUTE op
-        # upcasts its operands with a FRESH convert per consumer (inside
-        # `_binary`/`resample_plane`/`blur_plane`/`_h2n_jnp`/`levels_plane`
-        # — a shared upcast tracer makes XLA materialize the f32 copy,
-        # measured costlier than the bf16 read savings), so op math runs
-        # f32 exactly like the default pipeline and the exact-math
-        # machinery stays engaged. ALIASING ops (Output/Separate/Combine/
-        # Graph re-keying) pass stored planes through untouched, and only
-        # committed outputs downcast (`CompiledGraph.fn`'s `store`). Per-op
-        # bf16 rounding was measured SLOWER on the chip — XLA:TPU wraps
-        # every VPU op in converts (0.21 vs 0.11 ms at depth 2).
-        self.dtype = resolve_dtype(dtype)
+        # NOTE: the pipeline storage dtype (bf16 mode) lives entirely in
+        # CompiledGraph (leaf uploads + output downcast) and the ops' entry
+        # upcasts — the symbolic compiler is dtype-agnostic by design.
         # False when the program must avoid Pallas entirely (vmapped mesh
         # programs — Mosaic custom calls aren't GSPMD-partitionable and
         # shard_map doesn't compose with the batch vmap); ops then use jnp
@@ -515,6 +509,21 @@ class CompiledGraph:
     ):
         import jax
 
+        # pipeline STORAGE dtype (DESIGN.md §9). float32 (default) is the
+        # bit-exact reference pipeline; bfloat16 is the opt-in half-precision
+        # mode: bf16 AT REST, f32 IN FLIGHT. Leaves (image/input/embed/
+        # preset planes) are stored and uploaded at bf16 (`_collect_bindings`
+        # / `bind_input` / `bind_preset` / `bind_embed`); every COMPUTE op
+        # upcasts its operands with a FRESH convert per consumer (inside
+        # `_binary`/`resample_plane`/`blur_plane`/`_h2n_jnp`/`levels_plane`
+        # — a shared upcast tracer makes XLA materialize the f32 copy,
+        # measured costlier than the bf16 read savings), so op math runs
+        # f32 exactly like the default pipeline and the exact-math
+        # machinery stays engaged. ALIASING ops (Output/Separate/Combine/
+        # Graph re-keying) pass stored planes through untouched, and only
+        # committed outputs downcast once (`fn`'s `store` below). Per-op
+        # bf16 rounding was measured SLOWER on the chip — XLA:TPU wraps
+        # every VPU op in converts (0.21 vs 0.11 ms at depth 2).
         self.dtype = resolve_dtype(dtype)
         self.node_graph = node_graph
         self.preset = dict(preset or {})
@@ -537,7 +546,7 @@ class CompiledGraph:
 
         self._compiler = GraphCompiler(
             node_graph, include_u8, preset=self.preset, pallas_ok=pallas_ok,
-            mesh=mesh, mesh_axis=mesh_axis, dtype=self.dtype,
+            mesh=mesh, mesh_axis=mesh_axis,
         )
         self._bindings = self._collect_bindings(node_graph, prefix="")
 
@@ -744,13 +753,19 @@ def graph_fingerprint(node_graph: NodeGraph, extra: str = "") -> str:
     return hashlib.blake2b(blob.encode(), digest_size=16).hexdigest()
 
 
-def collect_image_bindings(node_graph: NodeGraph, node_ids=None, prefix: str = "") -> dict:
+def collect_image_bindings(
+    node_graph: NodeGraph, node_ids=None, prefix: str = "", dtype=None
+) -> dict:
     """Freshly decoded planes for Image nodes (optionally restricted to
     `node_ids` at the top level). A dirtied Image node must re-read its file
     like the eager op does (`image.rs:11-19`) — cached program bindings hold
-    the pixels from compile time."""
+    the pixels from compile time. `dtype` is the pipeline STORAGE dtype:
+    leaves upload at it (bf16 mode halves leaf transfer/HBM bytes and keeps
+    the fused engine path's leaf quantization identical to the per-node
+    route's commits — kernels upcast at entry, f32 in flight)."""
     import jax.numpy as jnp
 
+    dtype = resolve_dtype(dtype)
     bindings = {}
     for node in node_graph.nodes:
         kind = node.node_type.kind
@@ -762,12 +777,15 @@ def collect_image_bindings(node_graph: NodeGraph, node_ids=None, prefix: str = "
             except TexProError:
                 slot_image = image_io.magenta_placeholder()
             bindings[f"{prefix}image_{int(node.node_id)}"] = tuple(
-                jnp.asarray(p.host_data()) for p in slot_image.planes
+                jnp.asarray(p.host_data(), dtype) for p in slot_image.planes
             )
         elif kind == NodeTypeKind.GRAPH:
             bindings.update(
                 collect_image_bindings(
-                    node.node_type.payload, None, f"{prefix}g{int(node.node_id)}_"
+                    node.node_type.payload,
+                    None,
+                    f"{prefix}g{int(node.node_id)}_",
+                    dtype=dtype,
                 )
             )
     return bindings

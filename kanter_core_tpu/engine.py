@@ -848,7 +848,13 @@ class Engine:
             # Dirty Image nodes re-decode their files (cached programs hold
             # compile-time pixels; the eager path re-reads every run).
             overrides = collect_value_bindings(snapshot)
-            overrides.update(collect_image_bindings(snapshot, node_ids=set(partition)))
+            overrides.update(
+                collect_image_bindings(
+                    snapshot,
+                    node_ids=set(partition),
+                    dtype=self.tex_pro.precision,
+                )
+            )
             for (nid, slot), slot_data in boundary.items():
                 overrides[f"preset_{int(nid)}_{int(slot)}"] = tuple(
                     buf.data() for buf in slot_data.image.planes

@@ -46,6 +46,7 @@ class BatchedLiveSession:
         self.program_cache_cap = 32  # structural edits mint programs; bound them
         self._dirty = True
         self._last_result = None
+        self._last_stamp = None  # image-file stamps at the last render
 
     # --- edits ---
     def set_input(self, input_node_id: NodeId, stacked_planes) -> None:
@@ -99,18 +100,25 @@ class BatchedLiveSession:
     # --- evaluation ---
     def render(self) -> dict:
         """{(node_id, slot_id): [B, ...] planes} for the targets."""
-        if not self._dirty and self._last_result is not None:
-            return self._last_result
         # Image-node pixels are decoded into the program's bindings at
         # construction; stamp each file's (size, mtime_ns) into the cache
         # key so rewriting a file in place mints a fresh program instead of
         # serving compile-time pixels forever (the engine path guards this
-        # the same way — `recipe_cache._nested_content_stamp`)
+        # the same way — `recipe_cache._nested_content_stamp`). The stamp
+        # is re-taken on EVERY render (a few os.stat calls) so a file-only
+        # change invalidates the clean-session short-circuit too — without
+        # it, `render(); rewrite file; render()` served stale pixels.
         from ..recipe_cache import _nested_content_stamp
 
-        fingerprint = graph_fingerprint(self.node_graph) + repr(
-            _nested_content_stamp(self.node_graph)
-        )
+        stamp = repr(_nested_content_stamp(self.node_graph))
+        if (
+            not self._dirty
+            and self._last_result is not None
+            and stamp == self._last_stamp
+        ):
+            return self._last_result
+        self._last_stamp = stamp
+        fingerprint = graph_fingerprint(self.node_graph) + stamp
         program = self._programs.get(fingerprint)
         if program is None:
             batch_keys = {f"input_{int(n)}" for n in self.batch_input_ids}

@@ -102,11 +102,13 @@ class BatchedGraph:
 
         self._make_axes = make_axes
         self._fn = fn
-        # keyed by the call's arg-key set: in_axes is a pytree mirroring the
-        # args dict, so a later call that binds an ADDITIONAL input key must
-        # get fresh axes — caching the first call's jit unconditionally
-        # would raise a pytree-structure mismatch on every call thereafter
-        # (and a failed first trace would poison the cache permanently)
+        # keyed by the call's arg STRUCTURE (key set + per-key pytree
+        # treedef): in_axes is a pytree mirroring the args dict, so a later
+        # call that binds an ADDITIONAL key — or rebinds an existing key
+        # with a different plane-count tuple (gray→rgba rebind) — must get
+        # fresh axes; caching on the first call's jit unconditionally (or on
+        # key names alone) would raise a pytree-structure mismatch on every
+        # call thereafter (and a failed first trace would poison the cache)
         self._jitted: dict = {}
 
     def __call__(self, **overrides):
@@ -114,7 +116,9 @@ class BatchedGraph:
 
         args = dict(self.base._bindings)
         args.update(overrides)
-        key = tuple(sorted(args))
+        key = tuple(
+            (k, jax.tree.structure(args[k])) for k in sorted(args)
+        )
         jitted = self._jitted.get(key)
         if jitted is None:
             axes = self._make_axes(args)

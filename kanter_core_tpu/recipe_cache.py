@@ -111,7 +111,17 @@ class RecipeCache:
             if recipe in self._entries:
                 old = self._entries.pop(recipe)
                 self._total_bytes -= self._drop_planes_locked(old)
-            if self._bytes_of(outputs) > self.byte_budget:
+            # would-be-NEWLY-pinned bytes: planes already refcounted by
+            # other entries (aliased Output re-keyings) cost nothing to
+            # add — measuring the entry's total unique bytes here instead
+            # rejected exactly the cheap-alias entries the refcounting
+            # exists to credit
+            fresh = sum(
+                plane.bytes()
+                for pid, plane in self._unique_planes(outputs).items()
+                if pid not in self._plane_refs
+            )
+            if fresh > self.byte_budget:
                 # an entry that alone exceeds the budget would drain the
                 # whole cache down to itself and be evicted by the next
                 # put anyway — don't insert it at all

@@ -42,7 +42,13 @@ import numpy as np
 
 from .errors import ErrorKind, TexProError
 
+# Halo-expanded band arguments whose shapes match no output legitimately
+# can't alias their donated buffers — silence XLA's best-effort donation
+# warning ONCE at import. (A per-call `warnings.catch_warnings()` was racy:
+# it saves/restores the process-global filter list with no lock, and band
+# programs run from concurrent engine dispatch threads.)
 _DONATION_WARNING = "Some donated buffers were not usable"
+warnings.filterwarnings("ignore", message=_DONATION_WARNING)
 from .geometry import Size
 from .ids import NodeId, SlotId
 from .node import NodeTypeKind
@@ -243,11 +249,19 @@ def flatten_graph_nodes(graph, bindings, preset=None):
                     n.node_type.payload
                 )
             elif kind == K.IMAGE:
+                # inner node ids are derived deterministically, so a
+                # re-flatten (the bucketed evaluator's per-call path) can
+                # reuse the caller's existing decoded planes instead of
+                # paying a PNG decode per inner image per call
+                key = f"image_{int(clone.node_id)}"
+                if key in bindings:
+                    extra_bindings[key] = bindings[key]
+                    continue
                 try:
                     si = image_io.read_slot_image(n.node_type.payload)
                 except TexProError:
                     si = image_io.magenta_placeholder()
-                extra_bindings[f"image_{int(clone.node_id)}"] = tuple(
+                extra_bindings[key] = tuple(
                     p.host_data() for p in si.planes
                 )
 
@@ -478,10 +492,15 @@ def infer_sizes(graph, bindings, preset=None) -> dict:
 
 def total_plane_bytes(infos: dict) -> int:
     """f32 bytes to materialize every node's outputs at full size — the
-    dense fused path's result footprint (its working set is ≥ this)."""
+    dense fused path's result footprint (its working set is ≥ this).
+    Summed per SLOT: preset boundary nodes can carry different-sized planes
+    per slot (`infer_sizes` stores them in `sizes`), and multiplying the
+    last-assigned out_size by the total plane count under- or over-counted
+    by the size delta — mis-gating the engine's dense-vs-tiled choice."""
     return sum(
-        4 * info.out_size.pixel_count() * sum(info.out_planes.values())
+        4 * info.slot_size(slot).pixel_count() * count
         for info in infos.values()
+        for slot, count in info.out_planes.items()
     )
 
 
@@ -1007,20 +1026,28 @@ class TiledEvaluator:
                     args = self._shard_band_args(args)
                 donated = {k: v for k, v in args.items() if k.startswith("leaf_")}
                 rest = {k: v for k, v in args.items() if not k.startswith("leaf_")}
-                # scoped: halo-expanded bands whose shapes match no output
-                # legitimately can't alias — silence XLA's best-effort
-                # donation warning for THIS call only, leaving the
-                # diagnostic intact for other jits in the process
-                with warnings.catch_warnings():
-                    warnings.filterwarnings("ignore", message=_DONATION_WARNING)
-                    out = self._jit(donated, rest)
+                # (the donation warning for unaliasable halo bands is
+                # filtered once at module import — see _DONATION_WARNING)
+                out = self._jit(donated, rest)
                 for tnid, tslot in group:
                     planes = out[f"t{int(tnid)}_{int(tslot)}"]
+                    # a target that is ALSO an ancestor of another target in
+                    # this sweep carries merged descendant-requirement rows
+                    # (halo rows < lo sort before the band seed), so the
+                    # band's rows for it are NOT arange(lo, hi) — commit by
+                    # position within its row set, not by prefix slice
+                    rows = R[self._rkey(tnid, tslot)]
+                    sel = (
+                        slice(0, hi - lo)
+                        if len(rows) == hi - lo
+                        else _positions(rows, np.arange(lo, hi))
+                    )
                     for p, plane in enumerate(planes):
                         host = np.asarray(plane)
                         band_bytes += host.nbytes
-                        # mesh padding may append duplicate rows; the true
-                        # band is always the first hi-lo rows
-                        results[(tnid, tslot)][p][lo:hi] = host[: hi - lo]
+                        # mesh padding may append duplicate rows; `rows` is
+                        # the pre-pad set and lo:hi positions index into the
+                        # true prefix
+                        results[(tnid, tslot)][p][lo:hi] = host[sel]
                 self.peak_band_bytes = max(self.peak_band_bytes, band_bytes)
         return results

@@ -163,9 +163,15 @@ def main():
             # boundary quantization, DESIGN.md §9); the soak pins dtype
             # consistency, liveness, and catastrophe-freedom vs f32 truth
             if committed_dtypes != {"bfloat16"}:
-                raise SystemExit(
-                    f"NON-bf16 COMMIT at iter {i}: {committed_dtypes} (seed {SEED})"
-                )
+                # the automatic capacity fallback (banded / oversized-node
+                # retry) commits f32 BY DESIGN (correctness-first —
+                # test_engine_bf16_capacity_path_interops); only flag a
+                # non-bf16 commit when no tiled program was ever minted
+                if tp.metrics()["tiled_programs"] == 0:
+                    raise SystemExit(
+                        f"NON-bf16 COMMIT at iter {i}: {committed_dtypes} "
+                        f"(seed {SEED})"
+                    )
             delta = np.abs(engine_px.astype(np.int32) - truth.astype(np.int32))
             frac_wild = float((delta > 32).mean())
             if frac_wild > 0.05:

@@ -323,3 +323,110 @@ def test_bucketed_mesh_fuzz_matches_compiled(seed):
         for key in targets:
             k = (key[0], SlotId(key[1]))
             _assert_planes_equal(ref[k], got[k], f"seed {seed} mesh {k}")
+
+
+def test_payload_edit_retraces_instead_of_serving_stale_weights():
+    """A Blur σ edit that keeps the tap COUNT (0.9→1.0, both 7 taps) keeps
+    every argument shape, so only the payload fingerprint in the program
+    key forces the retrace — without it the jitted executable silently
+    reuses the σ=0.9 Gaussian weights baked at the first trace."""
+    def build(sigma):
+        g = NodeGraph()
+        val = g.add_node(Node(NodeType.Value(0.6)))
+        mixn = Node(NodeType.Mix(MixType.ADD))
+        mixn.resize_policy = ResizePolicy.SpecificSize(Size(64, 64))
+        mix = g.add_node(mixn)
+        bl = g.add_node(Node(NodeType.Blur(sigma)))
+        out = g.add_node(Node(NodeType.OutputGray("out")))
+        g.connect(val, mix, SlotId(0), SlotId(0))
+        g.connect(mix, bl, SlotId(0), SlotId(0))
+        g.connect(bl, out, SlotId(0), SlotId(0))
+        return g, bl, out
+
+    g, bl, out = build(0.9)
+    bg = BucketedGraph(g, targets=[(out, SlotId(0))])
+    bg()  # trace 1 at σ=0.9
+    assert bg.traces == 1
+
+    node = g._node_with_id_mut(bl)
+    node.node_type = NodeType.Blur(1.0)
+    got = bg()[(out, SlotId(0))]
+    assert bg.traces == 2, "σ edit with unchanged tap count did not retrace"
+
+    g2, _, out2 = build(1.0)
+    ref = CompiledGraph(g2, targets=[(out2, SlotId(0))])()[(out2, SlotId(0))]
+    _assert_planes_equal(ref, got, "stale blur weights")
+
+    # MixType payloads are baked the same way
+    mix_id = next(
+        n.node_id for n in g.nodes if n.node_type.kind.name == "MIX"
+    )
+    g._node_with_id_mut(mix_id).node_type = NodeType.Mix(MixType.SUBTRACT)
+    bg()
+    assert bg.traces == 3, "Mix-type edit did not retrace"
+
+
+def test_bindings_upcast_to_f32_in_flight():
+    """Constructor/with_state plane bindings below f32 must upcast at the
+    binding funnel (the bucketed twins call `_h2n_core`/the blur tap loop
+    BELOW the eager kernels' entry upcasts): a bf16 input binding must
+    produce planes bit-identical to the same values bound as f32, and the
+    returned planes must be f32."""
+    import jax.numpy as jnp
+
+    g = NodeGraph()
+    gin = g.add_node(Node(NodeType.InputGray("in")))
+    h2n = g.add_node(Node(NodeType.HeightToNormal()))
+    bl = g.add_node(Node(NodeType.Blur(1.1)))
+    out = g.add_node(Node(NodeType.OutputRgba("out")))
+    g.connect(gin, h2n, SlotId(0), SlotId(0))
+    g.connect(h2n, bl, SlotId(0), SlotId(0))
+    g.connect(bl, out, SlotId(0), SlotId(0))
+
+    rng = np.random.default_rng(5)
+    plane = rng.random((48, 48), dtype=np.float32)
+    quant = np.asarray(jnp.asarray(plane, jnp.bfloat16))  # bf16 host plane
+
+    b16 = BucketedGraph(
+        g, targets=[(out, SlotId(0))], bindings={f"input_{int(gin)}": [quant]}
+    )
+    got = b16()[(out, SlotId(0))]
+    assert all(np.asarray(p).dtype == np.float32 for p in got)
+
+    bf32 = BucketedGraph(
+        g,
+        targets=[(out, SlotId(0))],
+        bindings={f"input_{int(gin)}": (np.asarray(quant, np.float32),)},
+    )
+    want = bf32()[(out, SlotId(0))]
+    _assert_planes_equal(want, got, "bf16 binding diverged from f32 upcast")
+
+
+def test_with_state_handle_graph_is_authoritative_after_autoflatten():
+    """A with_state handle on an auto-flattened base evaluator must honor
+    the HANDLE's graph: the base's per-call re-flatten of its construction
+    original used to overwrite handle.graph, silently discarding edits."""
+    from kanter_core_tpu.graphs import invert_graph
+
+    g = NodeGraph()
+    val = g.add_node(Node(NodeType.Value(0.25)))
+    sub = Node(NodeType.Graph(invert_graph()))
+    sub.resize_policy = ResizePolicy.SpecificSize(Size(32, 32))
+    sub = g.add_node(sub)
+    out = g.add_node(Node(NodeType.OutputGray("out")))
+    g.connect(val, sub, SlotId(0), SlotId(1))   # inner Input node id 1
+    g.connect(sub, out, SlotId(3), SlotId(0))   # inner Output node id 3
+
+    base = BucketedGraph(g, targets=[(out, SlotId(0))])
+    first = np.asarray(base()[(out, SlotId(0))][0])
+    assert np.allclose(first, 0.75)  # invert(0.25)
+
+    # edit the FLAT graph (what the engine hands to with_state) and re-bind
+    edited = base.graph.clone()
+    vid = next(n.node_id for n in edited.nodes if n.node_type.kind.name == "VALUE")
+    edited._node_with_id_mut(vid).node_type = NodeType.Value(0.5)
+    handle = base.with_state(edited, dict(base._bindings))
+    second = np.asarray(handle()[(out, SlotId(0))][0])
+    assert np.allclose(second, 0.5), (
+        "with_state handle's graph was discarded by the base re-flatten"
+    )

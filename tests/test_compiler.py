@@ -2,6 +2,7 @@
 caching, and argument re-binding."""
 
 import numpy as np
+import pytest
 
 from conftest import IMAGE_1, IMAGE_2, INVERT_GRAPH_JSON, golden
 
@@ -501,7 +502,7 @@ def test_batched_live_session_rows_only_mesh():
     from kanter_core_tpu.parallel.sharded import ROW_AXIS
 
     if len(jax.devices()) < 8:
-        return  # virtual 8-device CPU mesh required (conftest sets it up)
+        pytest.skip("virtual 8-device CPU mesh required (conftest sets it up)")
 
     graph = NodeGraph()
     gin = graph.add_node(Node(NodeType.InputGray("in")))
@@ -552,6 +553,7 @@ def test_batched_live_session_tracks_image_file(tmp_path):
 
     PILImage.fromarray(np.full((8, 8, 4), 192, np.uint8)).save(path)
     os.utime(path, ns=(1, 1))  # force a distinct mtime_ns even on fast FS
-    session._dirty = True  # an input/value edit or explicit invalidation
+    # NO intervening edit: the render-time stamp check alone must
+    # invalidate the clean-session short-circuit for a file-only change
     second = np.asarray(session.render()[(out, SlotId(0))][0])
     assert np.allclose(second, 192.0 / 255.0), "stale compile-time pixels served"

@@ -163,7 +163,8 @@ def test_bf16_emit_all_preserves_aliasing():
 
 def test_bf16_combine_shared_zero_plane_stays_shared():
     """CombineRgba's lazily-shared zero plane must stay ONE plane after the
-    dtype normalization (the cast memo in GraphCompiler._to_dtype)."""
+    storage downcast (the aliasing-safe `store` memo in CompiledGraph's
+    program body keys on tracer identity, so shared planes downcast once)."""
     g = NodeGraph()
     val = g.add_node(Node(NodeType.Value(0.25)))
     comb = g.add_node(Node(NodeType.CombineRgba()))
@@ -323,6 +324,58 @@ def test_engine_bf16_per_node_path():
     assert d16 == ["bfloat16"] * 4
     diff = np.abs(u32.astype(np.int32) - u16.astype(np.int32))
     assert int(diff.max()) <= 4
+
+
+def test_engine_bf16_fused_route_bitmatches_library_program():
+    """The fused ENGINE route must quantize Image leaves at bf16 exactly
+    like the library CompiledGraph(dtype=bf16) path: same bf16 leaves →
+    f32 in flight → one output downcast, so the committed planes BIT-match.
+    Regression: the engine's per-dispatch image re-decode
+    (`collect_image_bindings`) used to re-upload leaves at f32, silently
+    overriding the program's bf16 bindings — the fused result then computed
+    from UNQUANTIZED leaves (and moved 2x the bytes)."""
+    from kanter_core_tpu import TextureProcessor
+
+    def build(g):
+        img = g.add_node(Node(NodeType.Image(IMAGE_2)))
+        sep = g.add_node(Node(NodeType.SeparateRgba()))
+        val = g.add_node(Node(NodeType.Value(0.3)))
+        mul = g.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+        blur = g.add_node(Node(NodeType.Blur(1.2)))
+        comb = g.add_node(Node(NodeType.CombineRgba()))
+        out = g.add_node(Node(NodeType.OutputRgba("out")))
+        g.connect(img, sep, SlotId(0), SlotId(0))
+        g.connect(sep, mul, SlotId(0), SlotId(0))
+        g.connect(val, mul, SlotId(0), SlotId(1))
+        g.connect(mul, blur, SlotId(0), SlotId(0))
+        g.connect(blur, comb, SlotId(0), SlotId(0))
+        g.connect(sep, comb, SlotId(2), SlotId(1))
+        g.connect(comb, out, SlotId(0), SlotId(0))
+        return out
+
+    lib_graph = NodeGraph()
+    lib_out = build(lib_graph)
+    prog = CompiledGraph(
+        lib_graph, targets=[(lib_out, SlotId(0))], dtype="bfloat16"
+    )
+    lib_planes = [np.asarray(p) for p in prog()[(lib_out, SlotId(0))]]
+
+    with TextureProcessor(200_000_000, precision="bfloat16") as tp:
+        lg = tp.new_live_graph()
+        with lg.write() as g:
+            out = build(g)
+        TextureProcessor.buffer_rgba(lg, out, SlotId(0))
+        eng_planes = [
+            np.asarray(p.host_data())
+            for p in lg.slot_data(out, SlotId(0)).image.planes
+        ]
+
+    assert all(p.dtype == _bf16() for p in lib_planes)
+    for i, (a, b) in enumerate(zip(eng_planes, lib_planes)):
+        assert np.array_equal(a.view(np.uint16), b.view(np.uint16)), (
+            f"plane {i}: fused engine route diverged from the library bf16 "
+            f"program — image leaves not quantized identically"
+        )
 
 
 def test_bf16_plane_buffer_tiers_roundtrip():

@@ -808,3 +808,36 @@ def test_tiled_mesh_pads_bands_to_shard():
     ev.band_leaf_replicated = 99
     ev.run()
     assert ev.band_leaf_replicated == 0
+
+
+def test_tiled_target_that_feeds_another_target_commits_aligned():
+    """A target that is ALSO an ancestor of another same-height target
+    carries merged halo rows in its band row set — the commit must place
+    rows by position, not prefix slice. Regression: image→separate→blur
+    with targets=[sep, blur] at band_rows=13 committed sep's plane shifted
+    by the blur halo (7859/16384 pixels wrong) before the fix."""
+    g = NodeGraph()
+    img = g.add_node(Node(NodeType.Image(str(HEART_128))))
+    sep = g.add_node(Node(NodeType.SeparateRgba()))
+    bl = g.add_node(Node(NodeType.Blur(2.0)))
+    g.connect(img, sep, SlotId(0), SlotId(0))
+    g.connect(sep, bl, SlotId(0), SlotId(0))
+    targets = [(sep, SlotId(0)), (bl, SlotId(0))]
+    for band_rows in (13, 8, 64):
+        _assert_tiled_matches(g, targets, band_rows)
+
+
+def test_total_plane_bytes_sums_per_slot_sizes():
+    """Preset boundary nodes can carry different-sized planes per slot;
+    the dense-footprint estimate must sum per slot or the engine's
+    dense-vs-tiled gate mis-sizes by the slot delta."""
+    from kanter_core_tpu.geometry import Size as Sz
+    from kanter_core_tpu.ids import NodeId
+    from kanter_core_tpu.tiled import _Info, total_plane_bytes
+
+    info = _Info(Node(NodeType.SeparateRgba()))
+    info.out_size = Sz(1, 1)  # last-assigned size (the old formula's input)
+    info.out_slot_sizes = {SlotId(0): Sz(2048, 2048), SlotId(1): Sz(1, 1)}
+    info.out_planes = {SlotId(0): 4, SlotId(1): 1}
+    got = total_plane_bytes({NodeId(1): info})
+    assert got == 4 * (2048 * 2048) * 4 + 4 * 1 * 1
