@@ -220,8 +220,15 @@ class _WorkerPool:
             # the task). Reclaim one token so it can't later convince a
             # submit to skip spawning with no waiter behind it (the mirror
             # image of the claimed-waiter race `_wait_for_task` handles).
-            self._idle_tokens.acquire(blocking=False)
-            return
+            if self._idle_tokens.acquire(blocking=False):
+                return
+            # the reclaim LOST: between our timeout and the acquire, a
+            # submit claimed the phantom token and queued its task without
+            # spawning — that task now counts on a waiter that may be busy
+            # forever. Serve it instead of retiring (mirror of
+            # _wait_for_task's fallback), or a nested-Graph dispatch
+            # blocking on the stranded task deadlocks the processor.
+            task = self._tasks.get()
         while task is not None:
             fn, args = task
             fn(*args)
@@ -293,6 +300,14 @@ class Engine:
                 return
             live_graph = message.live_graph
             if not tex_pro.has_live_graph(live_graph):
+                # graph removed while its dispatch was in flight: still END
+                # the timeline events or the profiler shows phantom
+                # in-flight nodes forever
+                if isinstance(message, _FusedMessage):
+                    for event in message.events.values():
+                        tex_pro.timeline.end(event, "graph-removed")
+                elif message.event is not None:
+                    tex_pro.timeline.end(message.event, "graph-removed")
                 continue
             if isinstance(message, _FusedMessage):
                 self._commit_fused(message)
@@ -528,6 +543,11 @@ class Engine:
         partition: set = set()
         unfusable: set = set()
         visited: set = set()
+        # one pass over the edge list (scanning graph.edges per visited
+        # parent was O(V*E) per tick under the graph lock)
+        edges_by_input: dict = {}
+        for edge in graph.edges:
+            edges_by_input.setdefault(edge.input_id, []).append(edge)
         stack = list(requested)
         while stack:
             node_id = stack.pop()
@@ -563,16 +583,19 @@ class Engine:
                 else:
                     # clean boundary parent: its data must still exist, else
                     # recompute it as part of the partition (per-node path
-                    # re-dirties in this case, `engine.rs:266-273`)
-                    for edge in graph.edges:
-                        if edge.input_id == node_id and edge.output_id == parent:
+                    # re-dirties in this case, `engine.rs:266-273`). The
+                    # re-dirty is NON-propagating: the parent's value is
+                    # unchanged (only its data was evicted), so clean
+                    # descendants and in-flight work stay valid.
+                    for edge in edges_by_input.get(node_id, ()):
+                        if edge.output_id == parent:
                             try:
                                 live_graph.slot_data(parent, edge.output_slot)
                             except TexProError:
                                 stack.append(parent)
                                 visited.discard(parent)
                                 partition.discard(parent)
-                                live_graph.set_state(parent, NodeState.DIRTY)
+                                live_graph.redirty_for_recompute(parent)
                                 break
 
         if unfusable:
@@ -723,17 +746,26 @@ class Engine:
                     try:
                         boundary[key] = lg.slot_data(*key)
                     except TexProError:
-                        # raced an eviction: re-dirty and retry next tick,
-                        # restoring request status so one-shot request()
-                        # clients are still served
+                        # raced an eviction: re-dirty the parent and retry
+                        # next tick, restoring request status so one-shot
+                        # request() clients are still served. The re-dirty
+                        # is NON-propagating (value unchanged, data evicted)
+                        # — a propagating set_state here recursed through
+                        # the parent's descendants and CLOBBERED the
+                        # REQUESTED states just restored, hanging one-shot
+                        # waiters forever.
+                        lg.redirty_for_recompute(edge.output_id)
+                        # symmetric to the raw PROCESSING marks above —
+                        # a propagating restore (force_state DIRTY) could
+                        # itself clobber an already-restored REQUESTED
+                        # member downstream
                         for node_id in partition:
-                            lg.force_state(
+                            lg._set_state_raw(
                                 node_id,
                                 NodeState.REQUESTED
                                 if node_id in was_requested
                                 else NodeState.DIRTY,
                             )
-                        lg.set_state(edge.output_id, NodeState.DIRTY)
                         return
             embedded = lg.embedded_slot_datas()
             input_datas = lg.input_slot_datas()

@@ -243,7 +243,17 @@ class LiveGraph:
                     continue
                 if node_state == NodeState.DIRTY:
                     stack.extend(self.node_graph.get_children(current))
-                if node_state == NodeState.DIRTY and old == NodeState.PROCESSING:
+                if node_state == NodeState.DIRTY and old in (
+                    NodeState.PROCESSING,
+                    NodeState.PROCESSING_DIRTY,
+                ):
+                    # a SECOND dirty-propagation over an in-flight node must
+                    # keep the PROCESSING_DIRTY marker — demoting it to plain
+                    # DIRTY would let the stale in-flight result commit CLEAN
+                    # with pre-edit pixels (served indefinitely: a Clean node
+                    # never re-requests). PROCESSING_DIRTY == old is skipped
+                    # by the equality check above only when node_state is
+                    # also PROCESSING_DIRTY, so both cases land here.
                     self._node_state[current] = NodeState.PROCESSING_DIRTY
                 else:
                     self._node_state[current] = node_state
@@ -265,6 +275,19 @@ class LiveGraph:
         Processing this way, `engine.rs:207-211`)."""
         with self._lock:
             self._node_state[node_id] = node_state
+        self._notify_state_change()
+
+    def redirty_for_recompute(self, node_id: NodeId) -> None:
+        """Non-propagating Clean→Dirty for a node whose VALUE is unchanged
+        but whose committed data was evicted (use_cache=False parent
+        eviction, tier races): the recompute is bit-identical by the
+        determinism contract, so descendants stay Clean and in-flight work
+        keeps its results — a propagating set_state here cascaded a full
+        subtree invalidation and discarded unrelated finished dispatches.
+        Still feeds `changed` (the node's STATE did change, UI-visibly)."""
+        with self._lock:
+            self._node_state[node_id] = NodeState.DIRTY
+            self._changed.add(node_id)
         self._notify_state_change()
 
     # --- priorities ---

@@ -208,7 +208,13 @@ class TextureProcessor:
     @staticmethod
     def buffer_rgba(live_graph: LiveGraph, node_id: NodeId, slot_id: SlotId):
         with LiveGraph.await_clean_write(live_graph, node_id) as lg:
-            return lg.buffer_rgba(node_id, slot_id)
+            slot_data = lg.slot_data(node_id, slot_id)
+        # the u8 export dispatches device work + a data readback (tens of
+        # seconds on a tunnel stall) — run it OUTSIDE the graph lock so the
+        # engine loop and editors aren't frozen for the duration. The
+        # SlotData snapshot holds its plane refs; a concurrent edit can't
+        # invalidate the pixels it already references.
+        return slot_data.image.to_u8()
 
     @staticmethod
     def node_slot_datas(live_graph: LiveGraph, node_id: NodeId) -> list[SlotData]:

@@ -168,23 +168,26 @@ class PlaneBuffer:
         """The plane as a device `jax.Array`, faulting it in if spilled.
 
         Faulting is synchronous (unlike the reference's request-flag + manager
-        round-trip at `transient_buffer.rs:203-217`), and the LRU move to the
-        back of the managing queue happens atomically with it (queue lock →
-        plane lock, same order as the evictor) so the evictor can never pick
-        a just-faulted plane as victim.
+        round-trip at `transient_buffer.rs:203-217`) and holds only the PLANE
+        lock: a disk reload + `device_put` can stall 30-240 s on the tunnel,
+        and holding the queue lock across it froze every other plane access
+        (and, through `add_slot_data` under the LiveGraph lock, commits and
+        edits too). The LRU move happens after, under the queue lock alone
+        (same release-then-reacquire pattern as `try_data`; taking the queue
+        lock while holding the plane lock would invert the documented
+        queue→plane order and deadlock against the evictor). The evictor may
+        therefore pick a just-faulted plane as victim in the gap — wasted
+        work, not a correctness issue: the returned `device` reference keeps
+        the caller's array valid, and the next access re-faults.
         """
         queue = self._queue
-        if queue is None:
-            with self._lock:
-                if self._tier != Tier.DEVICE:
-                    self._fault_in_locked()
-                return self._device
-        with queue._lock:
-            with self._lock:
-                if self._tier != Tier.DEVICE:
-                    self._fault_in_locked()
-                device = self._device
-            queue._move_to_back_locked(self)
+        with self._lock:
+            if self._tier != Tier.DEVICE:
+                self._fault_in_locked()
+            device = self._device
+        if queue is not None:
+            with queue._lock:
+                queue._move_to_back_locked(self)
         return device
 
     def try_data(self):
@@ -253,12 +256,18 @@ class PlaneBuffer:
             self._tier = Tier.HOST
             return True
 
-    def spill_to_storage(self) -> bool:
+    def spill_to_storage(self, host_only: bool = False) -> bool:
         """HOST → STORAGE with a salted content hash as the file name; the hash
         is verified on reload and the file deleted, erroring on mismatch
-        (`transient_buffer.rs:98-183`)."""
+        (`transient_buffer.rs:98-183`). `host_only=True` refuses DEVICE-tier
+        planes ATOMICALLY (under the plane lock): the tier manager's victim
+        selection happens outside this lock, and a plane that faulted hot in
+        the gap must not be demoted straight to disk — the lock-free tier
+        re-check at the call site was a TOCTOU guard in name only."""
         with self._lock:
             if self._tier == Tier.DEVICE:
+                if host_only:
+                    return False
                 self.evict_to_host()
             if self._tier != Tier.HOST:
                 return False
@@ -465,10 +474,10 @@ class PlaneBufferQueue:
         for buf in spill_victims:
             if self.shutdown.load():
                 return worked
-            # re-check: a plane faulted back to DEVICE since selection must
-            # not be silently evicted+spilled by spill_to_storage's
-            # device-eviction path
-            if buf.tier == Tier.HOST and buf.spill_to_storage():
+            # host_only: a plane faulted back to DEVICE since selection must
+            # not be silently evicted+spilled — the refusal is atomic under
+            # the plane lock (a bare tier re-check here raced fault-ins)
+            if buf.spill_to_storage(host_only=True):
                 worked = True
         return worked
 

@@ -364,3 +364,34 @@ def test_remove_node_dirties_consumers(tex_pro):
     px = TextureProcessor.buffer_rgba(lg, out, SlotId(0))
     # missing right input defaults to 0.0 (mix.rs:57-68)
     assert px[0] == int(np.float32(0.2) * 255)
+
+
+def test_second_edit_keeps_processing_dirty(tex_pro):
+    """A second dirty-propagation over an in-flight node must NOT demote
+    PROCESSING_DIRTY back to plain DIRTY — the commit-time discard keys on
+    the marker, and losing it lets a stale in-flight result commit CLEAN
+    with pre-edit pixels (regression; two-parent graph: edit P1, edit P2)."""
+    lg = tex_pro.new_live_graph()
+    with lg.write() as g:
+        g.auto_update = False
+        p1 = g.add_node(Node(NodeType.Value(0.1)))
+        p2 = g.add_node(Node(NodeType.Value(0.2)))
+        mix = g.add_node(Node(NodeType.Mix(MixType.ADD)))
+        g.connect(p1, mix, SlotId(0), SlotId(0))
+        g.connect(p2, mix, SlotId(0), SlotId(1))
+
+        # simulate the engine: parents committed clean, mix in flight
+        g.force_state(p1, NodeState.CLEAN)
+        g.force_state(p2, NodeState.CLEAN)
+        g._set_state_raw(mix, NodeState.PROCESSING)
+        # first edit: P1 dirties -> mix becomes PROCESSING_DIRTY
+        g.set_state(p1, NodeState.DIRTY)
+        assert g.node_state(mix) == NodeState.PROCESSING_DIRTY
+        # second edit: P2 dirties -> mix must STAY PROCESSING_DIRTY
+        g.set_state(p2, NodeState.DIRTY)
+        assert g.node_state(mix) == NodeState.PROCESSING_DIRTY, (
+            "second propagation erased the in-flight marker"
+        )
+        # commit-path demotion still works (force_state is the escape hatch)
+        g.force_state(mix, NodeState.DIRTY)
+        assert g.node_state(mix) == NodeState.DIRTY
