@@ -199,6 +199,7 @@ def _zeros(shape):
 
 
 def _as_type(img: ImgVal, rgba: bool) -> ImgVal:
+    import jax
     import jax.numpy as jnp
 
     if img.is_rgba == rgba:
@@ -211,7 +212,15 @@ def _as_type(img: ImgVal, rgba: bool) -> ImgVal:
         p.astype(jnp.float32) if p.dtype != jnp.float32 else p
         for p in img.planes[:3]
     )
-    return ImgVal([((r + g) + b) / jnp.float32(3.0)])
+    s = (r + g) + b
+    # /3 must round like glibc on every backend (CLAUDE.md: TPU div is
+    # ~1 ulp loose via reciprocal-multiply) or rgba→gray planes break the
+    # cross-backend f32-bit determinism the recipe cache relies on
+    if jax.default_backend() == "cpu":
+        return ImgVal([s / jnp.float32(3.0)])
+    from .ops.exact_math import corrected_div
+
+    return ImgVal([corrected_div(s, jnp.full_like(s, 3.0))])
 
 
 def _from_value(size: Size, value: float, rgba: bool) -> ImgVal:
@@ -837,7 +846,13 @@ def compile_graph(
     key = None
     if cache:
         key = (
-            graph_fingerprint(node_graph, extra=repr(sorted(targets)) if targets else ""),
+            graph_fingerprint(
+                node_graph,
+                # `targets is None` (default outputs) must not share a key
+                # with an explicit empty list (a program that computes
+                # nothing) — a bare falsy check collided them
+                extra="default" if targets is None else repr(sorted(targets)),
+            ),
             include_u8,
             dtype.name,
         )

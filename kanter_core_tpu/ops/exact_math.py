@@ -121,8 +121,16 @@ def corrected_div(a, b):
     prod = q0 * b
     err = ((qh * bh - prod) + qh * bl + ql * bh) + ql * bl
     r = (a - prod) - err
-    q = q0 + r / b
-    return jnp.where(jnp.isfinite(q0), q, q0)
+    corr = r / b
+    q = q0 + corr
+    # fall back to the plain quotient wherever the refinement machinery
+    # produced non-finite intermediates: b = ±inf (q0 = 0 exactly right,
+    # but split(inf) → NaN), or |q0|/|b| beyond the Veltkamp-splittable
+    # range (4097·x overflows above ~8.3e34). In those regions q0 is
+    # already correct (x/inf = 0 exactly) or within hardware rounding of
+    # magnitudes no texture pipeline reaches; returning NaN was wrong on
+    # EVERY backend. The finite-domain path is bit-unchanged.
+    return jnp.where(jnp.isfinite(q0) & jnp.isfinite(corr), q, q0)
 
 
 def nc_mul(x, y):
@@ -163,6 +171,15 @@ def nc_mul(x, y):
     yh = t - (t - y)
     yl = y - yh
     err = ((xh * yh - p) + xh * yl + xl * yh) + xl * yl
+    # the err term is a DECOY (err − err == +0.0; only the fadd in the
+    # return blocks contraction) — but a non-finite err (inf/NaN operand,
+    # or |x|,|y| past the ~8.3e34 Veltkamp-splittable bound) made
+    # p + (NaN − NaN) = NaN where Rust's two-rounding gives ±inf.
+    # Sanitize it; the select's runtime condition keeps the compiler from
+    # folding err − err statically, so the anti-FMA construction stands.
+    # (Known quirk, pre-existing: a −0.0 product returns +0.0 here — the
+    # fadd with +0.0 — while TPU/Rust keep −0.0; u8 export masks it.)
+    err = jnp.where(jnp.isfinite(err), err, f32(0.0))
     return p + (err - err)
 
 

@@ -174,6 +174,16 @@ def _apply_axis0(plane, lefts, weights, in_len: int):
     # mul+add into one-rounding FMAs (measured 4517/29100 f32-bit diffs vs
     # the Rust-order numpy result at 173×211→300×97 triangle). TPU does not
     # contract — keep its plain mul for speed on the hot path.
+    #
+    # KNOWN DIVERGENCE (non-finite planes only): the zero-weight mask below
+    # exists because per-row tap windows are padded to max_taps with w=0.0
+    # (Rust iterates exact windows and has no pad taps) — but it also masks
+    # GENUINE in-window zero weights (integer-ratio Lanczos3/CatmullRom
+    # sinc zeros), where Rust computes p·0 and would propagate a NaN pixel
+    # into the output. Distinguishing pad from genuine zeros would need a
+    # second mask plumbed through all four lockstep consumers for behavior
+    # reachable only via divide-by-zero chains; all finite inputs (and all
+    # goldens) are bit-identical either way.
     if jax.default_backend() == "cpu":
         from .exact_math import nc_mul as _mul
     else:

@@ -112,8 +112,11 @@ def _jitted_converters():
 
     @jax.jit
     def rgb_mean(r, g, b):
-        # gray = ((r + g) + b) / 3 — same association as `slot_image.rs:247-250`
-        return ((up(r) + up(g)) + up(b)) / jnp.float32(3.0)
+        # gray = ((r + g) + b) / 3 — same association as `slot_image.rs:247-250`;
+        # the /3 goes through the gated div so TPU's reciprocal-multiply
+        # rounding can't shift the gray plane's bits off the CPU pipeline
+        s = (up(r) + up(g)) + up(b)
+        return _div(s, jnp.full_like(s, 3.0))
 
     return dict(
         gray_to_u8=gray_to_u8,

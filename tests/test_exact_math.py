@@ -102,3 +102,62 @@ def test_mix_divide_and_pow_goldens_still_exact():
     ref_pow = np.asarray(jax.jit(lambda x, y: x**y)(A, B))
     got_pow = np.asarray(_gray_kernel(MixType.POW)(A, B))
     assert _f32_mismatches(got_pow, ref_pow) == 0  # CPU path = plain pow
+
+
+def test_corrected_div_nonfinite_and_huge_divisors():
+    """The Dekker refinement must fall back to the plain quotient where its
+    intermediates go non-finite: b = ±inf (split(inf) → NaN; the right
+    answer is exactly 0) and |q|/|b| past the Veltkamp-splittable ~8.3e34
+    (4097·x overflows). Regression: these returned NaN on every backend."""
+    import jax.numpy as jnp
+
+    f = jnp.float32
+    inf = np.float32(np.inf)
+    assert np.float32(corrected_div(f(2.0), f(inf))) == 0.0
+    got = np.float32(corrected_div(f(2.0), f(-inf)))
+    assert got == 0.0 and np.signbit(got)  # IEEE: 2/-inf = -0.0
+    assert np.float32(corrected_div(f(3e38), f(3000.0))) == np.float32(1e35)
+    assert np.float32(corrected_div(f(1e38), f(1e-3))) == np.float32(1e38) / np.float32(1e-3)
+    # the documented inf/NaN encodings stay
+    assert np.isposinf(np.float32(corrected_div(f(1.0), f(0.0))))
+    assert np.isnan(np.float32(corrected_div(f(0.0), f(0.0))))
+
+
+def test_nc_mul_propagates_nonfinite_like_two_rounding():
+    """nc_mul's decoy error term must not poison the product: inf/NaN
+    operands (or magnitudes past the splittable bound) made
+    p + (NaN − NaN) = NaN where Rust/numpy two-rounding gives ±inf.
+    Reachable: Blur/resample of a plane containing a divide-by-zero inf."""
+    from kanter_core_tpu.ops.exact_math import nc_mul
+    import jax.numpy as jnp
+
+    f = jnp.float32
+    inf = np.float32(np.inf)
+    assert np.isneginf(np.float32(nc_mul(f(-inf), f(0.5))))
+    assert np.isposinf(np.float32(nc_mul(f(inf), f(2.0))))
+    assert np.isnan(np.float32(nc_mul(f(np.nan), f(0.5))))
+    assert np.float32(nc_mul(f(1e35), f(2.0))) == np.float32(2e35)
+    assert np.isposinf(np.float32(nc_mul(f(3e38), f(3e38))))  # overflow → inf
+    # ... while staying exactly fl(x·y) on the normal range
+    rng = np.random.default_rng(3)
+    a = rng.random(4096, dtype=np.float32)
+    b = rng.random(4096, dtype=np.float32)
+    got = np.asarray(jax.jit(nc_mul)(a, b))
+    assert _f32_mismatches(got, a * b) == 0
+
+
+def test_compile_graph_cache_distinguishes_none_and_empty_targets():
+    """targets=None (default outputs) and targets=[] (a program computing
+    nothing) must not share a cache entry."""
+    from kanter_core_tpu import Node, NodeGraph, NodeType, SlotId
+    from kanter_core_tpu.compiler import compile_graph
+
+    g = NodeGraph()
+    val = g.add_node(Node(NodeType.Value(0.5)))
+    out = g.add_node(Node(NodeType.OutputGray("out")))
+    g.connect(val, out, SlotId(0), SlotId(0))
+
+    empty = compile_graph(g, targets=[])
+    assert empty() == {}
+    full = compile_graph(g)  # must NOT hit the empty-targets entry
+    assert (out, SlotId(0)) in full()
