@@ -32,20 +32,45 @@ def value_grad_fn(prog, loss_fn: Callable, wrt: list) -> Callable:
     `params` is `{node_id: float}` over `wrt` (Value nodes); `loss_fn`
     receives `{(node_id, slot_id): (planes...)}` for the program's targets
     and returns a scalar.
+
+    Every `wrt` id must name a TOP-LEVEL Value node of the program —
+    otherwise the param key would be silently unused and its gradient
+    exactly 0.0 (nested-graph Value nodes bind under `g<graph_id>_value_*`
+    keys and are not fittable through this helper).
+
+    The program's other bindings are passed as ARGUMENTS on every call (not
+    closed over): a closure would bake image/input planes into the jitted
+    gradient program as XLA compile-time constants — the const-fold
+    rounding hazard `compiler._const_guard` exists for — and would go
+    silently stale after `prog.set_value`/`bind_input`.
     """
     import jax
-    import jax.numpy as jnp
+
+    from .errors import ErrorKind, TexProError
 
     wrt_keys = [f"value_{int(n)}" for n in wrt]
-    base = dict(prog._bindings)
+    missing = [k for k in wrt_keys if k not in prog._bindings]
+    if missing:
+        raise TexProError(
+            ErrorKind.INVALID_NODE_ID,
+            f"not top-level Value bindings of this program: {missing} "
+            "(nested-graph Values bind as g<graph_id>_value_* and cannot "
+            "be fitted through value_grad_fn)",
+        )
 
-    def wrapped(params: dict):
+    def wrapped(params: dict, base: dict):
         args = dict(base)
         for node_id, key in zip(wrt, wrt_keys):
             args[key] = params[int(node_id)]
         return loss_fn(prog._raw_fn(args))
 
-    return jax.jit(jax.value_and_grad(wrapped))
+    jitted = jax.jit(jax.value_and_grad(wrapped))
+
+    def f(params: dict):
+        return jitted(params, dict(prog._bindings))
+
+    f._jitted = jitted  # two-arg form, for callers composing under jit
+    return f
 
 
 def fit_values(
@@ -82,7 +107,7 @@ def fit_values(
                 total = total + jnp.mean((got - ref) ** 2)
         return total
 
-    grad_fn = value_grad_fn(prog, loss_fn, wrt)
+    grad_fn = value_grad_fn(prog, loss_fn, wrt)._jitted
 
     params = {
         int(n): jnp.float32(
@@ -93,15 +118,17 @@ def fit_values(
     optimizer = optimizer or optax.adam(learning_rate)
     opt_state = optimizer.init(params)
 
+    # bindings ride as step ARGUMENTS (see value_grad_fn's docstring) —
+    # closing over them here would re-bake them as trace constants
     @jax.jit
-    def step(params, opt_state):
-        loss, grads = grad_fn(params)
+    def step(params, opt_state, base):
+        loss, grads = grad_fn(params, base)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     losses = []
     for _ in range(steps):
-        params, opt_state, loss = step(params, opt_state)
+        params, opt_state, loss = step(params, opt_state, dict(prog._bindings))
         losses.append(float(loss))
 
     return {NodeId(k): float(v) for k, v in params.items()}, losses

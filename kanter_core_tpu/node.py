@@ -312,6 +312,11 @@ class NodeType:
         payload = self.payload
         if self.kind == NodeTypeKind.GRAPH and payload is not None:
             payload = payload.clone()
+        elif self.kind == NodeTypeKind.LEVELS and payload is not None:
+            import numpy as _np
+
+            if isinstance(payload, (list, _np.ndarray)):
+                payload = payload.copy()  # mutable params, type-preserving
         return NodeType(self.kind, payload)
 
     def to_json(self):
@@ -413,14 +418,19 @@ class Node:
         return self
 
     def clone(self) -> "Node":
-        """Shallow clone sharing `priority`/`cancel` (reference `Node: Clone`)."""
+        """Clone sharing `priority`/`cancel` handles but owning its
+        `node_type` (reference `Node: Clone`: the enum clones by VALUE —
+        Graph payloads deep-copy — while the atomics' Arc handles are
+        shared). A shallow copy here let `node().node_type.set_name(...)`
+        rename the REAL node behind the dirty tracker's back, and let a
+        concurrent rename / nested-graph edit mutate an engine dispatch's
+        cloned snapshot mid-flight."""
         node = copy.copy(self)
+        node.node_type = self.node_type.clone()
         return node
 
     def deep_clone_type(self) -> "Node":
-        node = self.clone()
-        node.node_type = self.node_type.clone()
-        return node
+        return self.clone()  # kept for callers; clone() now owns node_type
 
     # --- slot signature tables (`node_type.rs:141-210`) ---
     def input_slots(self) -> list[Slot]:

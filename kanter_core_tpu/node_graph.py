@@ -40,6 +40,11 @@ class NodeGraph:
         with open(path, "r") as f:
             try:
                 graph = NodeGraph.from_json(json.load(f))
+            except TexProError as e:
+                # structural validation inside from_json (e.g. a bogus
+                # resize-policy tag) raises its own kinds; the documented
+                # contract is IO for ANY malformed file
+                raise TexProError(ErrorKind.IO, f"invalid graph JSON: {e}") from e
             except (json.JSONDecodeError, KeyError, TypeError, ValueError) as e:
                 raise TexProError(ErrorKind.IO, f"invalid graph JSON: {e}") from e
         if graph.nodes:
@@ -142,7 +147,13 @@ class NodeGraph:
                 # non-ASCII numeral) -> 0.
                 if all(c.isdigit() for c in number):
                     try:
-                        parsed = int(number) if number else -1
+                        # Rust's u32::parse accepts ASCII digits ONLY —
+                        # Python's int() also parses Unicode decimals
+                        # (int('٣') == 3), which would dedup 'a_٣' to
+                        # 'a_4' where the reference produces 'a_0'
+                        parsed = (
+                            int(number) if number and number.isascii() else -1
+                        )
                     except ValueError:
                         parsed = -1
                     nxt = (parsed + 1) & 0xFFFFFFFF if 0 <= parsed <= 0xFFFFFFFF else 0
@@ -291,28 +302,46 @@ class NodeGraph:
             raise TexProError(ErrorKind.INVALID_EDGE, "connection would create a cycle")
 
     def validate_acyclic(self) -> None:
-        """Raises InvalidEdge if the edge set contains a cycle.
+        """Raises InvalidEdge if the edge set contains a cycle, a dangling
+        edge endpoint, or a cyclic NESTED subgraph (Graph-node payloads are
+        validated recursively — an inner cycle hangs evaluation exactly like
+        an outer one).
 
         Used by `LiveGraph.set_node_graph` and `NodeGraph.from_path` so that
         hand-edited or deserialized cyclic graphs fail loudly instead of
         hanging the engine (see `_check_no_cycle`). Kahn's algorithm.
         """
+        from .node import NodeTypeKind
+
+        ids = {node.node_id for node in self.nodes}
+        for edge in self.edges:
+            # explicit dangling checks: a missing consumer used to pass
+            # silently (crashing later deep in evaluation) and a missing
+            # producer was misreported as "contains a cycle"
+            if edge.output_id not in ids or edge.input_id not in ids:
+                raise TexProError(
+                    ErrorKind.INVALID_EDGE,
+                    f"dangling edge {int(edge.output_id)}->{int(edge.input_id)}"
+                    " references a missing node",
+                )
         indegree: dict[NodeId, int] = {node.node_id: 0 for node in self.nodes}
         for edge in self.edges:
-            if edge.input_id in indegree:
-                indegree[edge.input_id] += 1
+            indegree[edge.input_id] += 1
         frontier = [nid for nid, deg in indegree.items() if deg == 0]
         seen = 0
         while frontier:
             nid = frontier.pop()
             seen += 1
             for edge in self.edges:
-                if edge.output_id == nid and edge.input_id in indegree:
+                if edge.output_id == nid:
                     indegree[edge.input_id] -= 1
                     if indegree[edge.input_id] == 0:
                         frontier.append(edge.input_id)
         if seen != len(indegree):
             raise TexProError(ErrorKind.INVALID_EDGE, "graph contains a cycle")
+        for node in self.nodes:
+            if node.node_type.kind == NodeTypeKind.GRAPH and node.node_type.payload:
+                node.node_type.payload.validate_acyclic()
 
     def try_connect(
         self,
@@ -349,8 +378,8 @@ class NodeGraph:
         except TexProError:
             pass  # don't care whether anything got disconnected
 
-        if new_edge in self.edges:
-            raise TexProError(ErrorKind.INVALID_EDGE)
+        # (no duplicate-edge check: the disconnect above just removed every
+        # edge into this input slot, so `new_edge` cannot be present)
         self.edges.append(new_edge)
         return new_edge
 

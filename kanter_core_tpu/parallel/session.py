@@ -67,7 +67,12 @@ class BatchedLiveSession:
             from .sharded import BATCH_AXIS, ROW_AXIS
 
             names = self.mesh.axis_names
-            if BATCH_AXIS in names:
+            if (
+                BATCH_AXIS in names
+                and host.shape[0] % self.mesh.shape[BATCH_AXIS] == 0
+            ):
+                # (indivisible batches degrade to replicate, same as the
+                # rows branch — device_put would raise at edit time)
                 spec = P(BATCH_AXIS, None, None)
             elif (
                 ROW_AXIS in names

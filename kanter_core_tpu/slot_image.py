@@ -243,8 +243,25 @@ class SlotImage:
         return np.ascontiguousarray(out).view(np.uint8).reshape(-1)
 
     def to_u8_srgb(self) -> np.ndarray:
+        import jax
+
         conv = _jitted_converters()
-        if self.is_rgba():
+        if self._all_planes_off_device():
+            # spilled planes: run the sRGB pack on the in-process XLA:CPU
+            # backend instead of round-tripping hundreds of MB through the
+            # (possibly remote) device — the same economy to_u8's native
+            # host pack buys. u8 outputs are identical: the golden contract
+            # is the CPU backend, and the corrected div/pow formulations
+            # agree with glibc after u8 quantization on the full grid.
+            with jax.default_device(jax.devices("cpu")[0]):
+                if self.is_rgba():
+                    out = conv["rgba_to_u8_srgb"](
+                        *[p.host_data() for p in self.planes]
+                    )
+                else:
+                    out = conv["gray_to_u8_srgb"](self.planes[0].host_data())
+                out = np.asarray(out)
+        elif self.is_rgba():
             out = conv["rgba_to_u8_srgb"](*[p.data() for p in self.planes])
         else:
             out = conv["gray_to_u8_srgb"](self.planes[0].data())

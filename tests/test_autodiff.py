@@ -75,3 +75,50 @@ def test_grad_through_height_to_normal_jnp():
     h = rng.random((16, 16), dtype=np.float32)
     grad = jax.grad(lambda x: sum(jnp.sum(p) for p in _h2n_jnp(x)))(h)
     assert np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_value_grad_fn_rejects_unbound_wrt():
+    """A wrt id that is not a top-level Value binding must raise instead of
+    silently returning zero gradients (the nested-graph / wrong-node trap)."""
+    import pytest
+
+    from kanter_core_tpu import TexProError
+    from kanter_core_tpu.autodiff import value_grad_fn
+
+    g = NodeGraph()
+    val = g.add_node(Node(NodeType.Value(0.5)))
+    out = g.add_node(Node(NodeType.OutputGray("out")))
+    g.connect(val, out, SlotId(0), SlotId(0))
+    prog = CompiledGraph(g, targets=[(out, SlotId(0))])
+
+    with pytest.raises(TexProError):
+        value_grad_fn(prog, lambda outs: 0.0, [out])  # not a Value node id
+
+
+def test_grad_fn_tracks_binding_edits():
+    """The gradient fn reads the program's CURRENT bindings per call (a
+    closure snapshot went stale after set_value/bind_input and baked planes
+    in as XLA constants)."""
+    import jax.numpy as jnp
+
+    g = NodeGraph()
+    v1 = g.add_node(Node(NodeType.Value(0.5)))
+    v2 = g.add_node(Node(NodeType.Value(0.2)))
+    mix = g.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+    out = g.add_node(Node(NodeType.OutputGray("out")))
+    g.connect(v1, mix, SlotId(0), SlotId(0))
+    g.connect(v2, mix, SlotId(0), SlotId(1))
+    g.connect(mix, out, SlotId(0), SlotId(0))
+    prog = CompiledGraph(g, targets=[(out, SlotId(0))])
+
+    from kanter_core_tpu.autodiff import value_grad_fn
+
+    grad_fn = value_grad_fn(
+        prog, lambda outs: jnp.sum(outs[(out, SlotId(0))][0]), [v1]
+    )
+    # d(v1*v2)/d(v1) == v2
+    _, g1 = grad_fn({int(v1): jnp.float32(0.5)})
+    assert np.isclose(float(g1[int(v1)]), 0.2)
+    prog.set_value(v2, 0.8)
+    _, g2 = grad_fn({int(v1): jnp.float32(0.5)})
+    assert np.isclose(float(g2[int(v1)]), 0.8), "grad fn served stale bindings"

@@ -458,3 +458,71 @@ def test_cli_value_requires_value_node(tmp_path, capsys):
     rc = main(["render", str(path), "--value", f"{int(v)}=0.5",
                "--output", f"out={png}"])
     assert rc == 0 and png.exists()
+
+
+def test_node_clone_owns_its_node_type():
+    """`NodeGraph.node()` returns a clone (reference `Node: Clone` — the
+    enum clones by VALUE); a shallow copy shared the NodeType object, so
+    `node().node_type.set_name(...)` renamed the REAL node behind the dirty
+    tracker, cloned engine snapshots could be mutated mid-flight by
+    concurrent renames, and nested-Graph payloads leaked across clones."""
+    g = NodeGraph()
+    out = g.add_node(Node(NodeType.OutputGray("out")))
+    g.node(out).node_type.set_name("hijacked")
+    assert g.node(out).node_type.name() == "out"
+
+    clone = g.clone()
+    clone.rename_output_node(out, "renamed")
+    assert g.node(out).node_type.name() == "out"
+
+    # nested Graph payloads must not be shared either
+    inner = NodeGraph()
+    iv = inner.add_node(Node(NodeType.Value(0.5)))
+    host = NodeGraph()
+    sub = host.add_node(Node(NodeType.Graph(inner)))
+    payload_via_clone = host.node(sub).node_type.payload
+    assert payload_via_clone is not host._node_with_id_mut(sub).node_type.payload
+    payload_via_clone._node_with_id_mut(iv).node_type = NodeType.Value(0.9)
+    assert (
+        host._node_with_id_mut(sub).node_type.payload._node_with_id_mut(iv)
+        .node_type.payload == 0.5
+    )
+
+
+def test_validate_acyclic_recurses_and_rejects_dangling(tmp_path):
+    """A cyclic NESTED subgraph or a dangling edge endpoint must fail at
+    load (they used to pass silently and hang/crash evaluation later)."""
+    import json as _json
+
+    # cyclic inner graph inside a Graph node
+    inner = NodeGraph()
+    a = inner.add_node(Node(NodeType.Mix()))
+    b = inner.add_node(Node(NodeType.Mix()))
+    inner.connect(a, b, SlotId(0), SlotId(0))
+    inner.edges.append(Edge(b, a, SlotId(0), SlotId(0)))  # forced cycle
+    host = NodeGraph()
+    host.add_node(Node(NodeType.Graph(inner)))
+    with pytest.raises(TexProError):
+        host.validate_acyclic()
+
+    # dangling consumer: write JSON with an edge to a missing node id
+    g = NodeGraph()
+    v = g.add_node(Node(NodeType.Value(0.1)))
+    o = g.add_node(Node(NodeType.OutputGray("o")))
+    g.connect(v, o, SlotId(0), SlotId(0))
+    data = g.to_json()
+    data["edges"].append(
+        {"output_id": int(v), "input_id": 999, "output_slot": 0, "input_slot": 0}
+    )
+    path = tmp_path / "dangling.json"
+    path.write_text(_json.dumps(data))
+    with pytest.raises(TexProError):
+        NodeGraph.from_path(str(path))
+
+
+def test_name_collision_rejects_unicode_digits_like_rust():
+    """Rust's u32::parse accepts ASCII digits only; Python's int() parses
+    Unicode decimals — 'a_٣' must dedup to 'a_0' (parse failure), not
+    'a_4'."""
+    assert NodeGraph._avoid_name_collision(["a_٣"], "a_٣") == "a_0"
+    assert NodeGraph._avoid_name_collision(["a_3"], "a_3") == "a_4"

@@ -68,3 +68,20 @@ def test_buffer_srgba_through_engine():
     assert srgb[0] == expect and srgb[3] == 255
     assert linear[0] == 127  # untouched path stays linear
     tp.shutdown_now()
+
+
+def test_to_u8_srgb_off_device_fallback_matches():
+    """Fully spilled images export sRGB without a device round-trip; the
+    off-device (XLA:CPU) path must byte-match the device path."""
+    rng = np.random.default_rng(9)
+    planes = [rng.random((32, 32), dtype=np.float32) for _ in range(4)]
+    img = SlotImage([plane_from_host(p) for p in planes])
+    on_device = img.to_u8_srgb()
+
+    spilled = SlotImage([plane_from_host(p) for p in planes])
+    for p in spilled.planes:
+        p.data()           # promote to device first
+        p.evict_to_host()  # then spill
+    assert spilled._all_planes_off_device()
+    off_device = spilled.to_u8_srgb()
+    assert np.array_equal(on_device, off_device)
