@@ -32,11 +32,9 @@ def _cmd_info(args) -> int:
 
 
 def _cmd_render(args) -> int:
-    import numpy as np
-
     from .ids import NodeId, SlotId
     from .live_graph import LiveGraph, NodeState
-    from .node import Node, NodeType, NodeTypeKind
+    from .node import NodeType, NodeTypeKind
     from .node_graph import NodeGraph
     from .ops.image_io import read_slot_image, save_rgba_png
     from .slot_data import SlotData
@@ -85,7 +83,6 @@ def _cmd_render(args) -> int:
                     return 2
                 node.node_type = NodeType.Value(float(value))
 
-        status = 0
         for spec in args.output or []:
             name, _, path = spec.partition("=")
             slot = graph.output_slot_id_with_name(name)
@@ -102,7 +99,7 @@ def _cmd_render(args) -> int:
                 size = lg.slot_data_size(node_id, SlotId(0))
             save_rgba_png(path, pixels, size)
             print(f"wrote {path} ({size})")
-        return status
+        return 0
 
 
 def _cmd_bench(_args) -> int:

@@ -259,6 +259,24 @@ class Engine:
             self._wake_cv.notify_all()
 
     def run(self) -> None:
+        """Scheduler thread entry: the loop body, with a last-resort guard —
+        an unexpected exception escaping the loop would kill the daemon
+        silently (shutdown stays False, fatal_error stays None) and strand
+        every blocked waiter in a permanent 2 ms spin. Worker exceptions are
+        funneled through result messages; this guards the scheduler itself."""
+        try:
+            self._run_loop()
+        except BaseException as error:  # noqa: BLE001 — surfacing, not hiding
+            for lg in self.tex_pro.live_graphs_snapshot():
+                try:
+                    lg.fatal_error = error
+                    lg._notify_state_change()
+                except Exception:
+                    pass
+            self.tex_pro.shutdown.store(True)
+            raise  # daemon thread: the traceback still reaches stderr
+
+    def _run_loop(self) -> None:
         tex_pro = self.tex_pro
         while not tex_pro.shutdown.load():
             self._drain_results()

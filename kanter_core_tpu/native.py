@@ -32,13 +32,42 @@ def _load():
         if _lib is not None or _build_failed:
             return _lib
         try:
-            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_CPP):
+            # staleness is keyed on CONTENT + HOST, not mtime: the library
+            # is built -march=native, so an .so that arrived via rsync/
+            # tarball from another machine (fresh mtime, foreign microarch)
+            # must rebuild, not load — a foreign binary dies with SIGILL,
+            # which no Python fallback can catch. The fingerprint file
+            # records sha256(cpp) + the CPU's feature flags.
+            import hashlib
+            import platform
+
+            with open(_CPP, "rb") as f:
+                src_hash = hashlib.sha256(f.read()).hexdigest()
+            try:
+                with open("/proc/cpuinfo") as f:
+                    flags = next(
+                        (ln for ln in f if ln.startswith("flags")), ""
+                    )
+            except OSError:
+                flags = ""
+            host = hashlib.sha256(
+                (platform.machine() + flags).encode()
+            ).hexdigest()[:16]
+            stamp = f"{src_hash} {host}\n"
+            stamp_path = _SO + ".stamp"
+            current = None
+            if os.path.exists(_SO) and os.path.exists(stamp_path):
+                with open(stamp_path) as f:
+                    current = f.read()
+            if current != stamp:
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _CPP],
                     check=True,
                     capture_output=True,
                     timeout=120,
                 )
+                with open(stamp_path, "w") as f:
+                    f.write(stamp)
             lib = ctypes.CDLL(_SO)
             lib.salted_hash64.restype = ctypes.c_uint64
             lib.salted_hash64.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_uint64]
@@ -113,7 +142,10 @@ def planes_from_u8(pixels: np.ndarray) -> list[np.ndarray]:
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, channels = pixels.shape
-    if lib is None:
+    # the C kernel writes through a 4-pointer plane array for c < channels
+    # and assumes u8 input — validate HERE (it cannot): a [H, W, 5] array
+    # or a non-u8 dtype must take the pure-Python path, not corrupt memory
+    if lib is None or channels > 4 or pixels.dtype != np.uint8:
         from .ops.image_io import deconstruct_image
 
         return deconstruct_image(pixels)

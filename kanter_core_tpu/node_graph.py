@@ -128,6 +128,15 @@ class NodeGraph:
                 return node.clone()
         raise TexProError(ErrorKind.INVALID_NODE_ID)
 
+    def node_kind(self, node_id: NodeId):
+        """Non-cloning kind lookup (`node()` clones — including a GRAPH
+        node's whole nested payload — which is far too heavy for hot-path
+        callers that only need the kind). Returns None for a missing id."""
+        for node in self.nodes:
+            if node.node_id == node_id:
+                return node.node_type.kind
+        return None
+
     def _node_with_id_mut(self, node_id: NodeId) -> Optional[Node]:
         for node in self.nodes:
             if node.node_id == node_id:

@@ -51,13 +51,12 @@ class ProcessPackManager:
         (`engine._WorkerPool`)."""
         from .node import NodeTypeKind
 
-        try:
-            return (
-                pack.live_graph.node(pack.node_id).node_type.kind
-                == NodeTypeKind.GRAPH
-            )
-        except TexProError:
-            return False
+        # non-cloning kind read: `node()` deep-clones (a GRAPH pack would
+        # copy its whole nested NodeGraph payload) and this runs O(packs^2)
+        # per admission update on the scheduler tick
+        with pack.live_graph._lock:
+            kind = pack.live_graph.node_graph.node_kind(pack.node_id)
+        return kind == NodeTypeKind.GRAPH
 
     def _occupied(self) -> int:
         return sum(1 for p in self.process_packs if not self._is_graph_pack(p))

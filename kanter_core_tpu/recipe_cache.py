@@ -52,14 +52,6 @@ class RecipeCache:
         self.misses = 0
 
     @staticmethod
-    def _bytes_of(outputs: list) -> int:
-        unique = {}
-        for _, image in outputs:
-            for plane in image.planes:
-                unique[id(plane)] = plane.bytes()
-        return sum(unique.values())
-
-    @staticmethod
     def _unique_planes(outputs: list):
         seen = {}
         for _, image in outputs:

@@ -231,7 +231,9 @@ class TextureProcessor:
             with live_graph.write() as lg:
                 if lg.fatal_error is not None:
                     raise lg.fatal_error
-                if lg._shutdown.load():
+                # guard None like _await_clean: a LiveGraph never pushed
+                # onto a processor has no shutdown flag yet
+                if lg._shutdown is not None and lg._shutdown.load():
                     raise TexProError(
                         ErrorKind.NODE_PROCESSING,
                         "texture processor is shut down; slot data will never arrive",

@@ -395,3 +395,32 @@ def test_second_edit_keeps_processing_dirty(tex_pro):
         # commit-path demotion still works (force_state is the escape hatch)
         g.force_state(mix, NodeState.DIRTY)
         assert g.node_state(mix) == NodeState.DIRTY
+
+
+@pytest.mark.filterwarnings("ignore::pytest.PytestUnhandledThreadExceptionWarning")
+def test_engine_thread_crash_surfaces_on_waiters():
+    """An unexpected exception escaping the scheduler loop must surface as
+    fatal_error on every live graph (and set shutdown) instead of killing
+    the daemon silently and stranding blocked waiters forever."""
+    from kanter_core_tpu import TextureProcessor
+
+    tp = TextureProcessor(10_000_000)
+    try:
+        lg = tp.new_live_graph()
+        with lg.write() as g:
+            val = g.add_node(Node(NodeType.Value(0.5)))
+            out = g.add_node(Node(NodeType.OutputGray("o")))
+            g.connect(val, out, SlotId(0), SlotId(0))
+
+        boom = RuntimeError("synthetic scheduler crash")
+
+        def crash(*_a, **_k):
+            raise boom
+
+        tp.engine._collect_packs = crash
+        tp.engine.wake()
+        with pytest.raises(RuntimeError, match="synthetic scheduler crash"):
+            TextureProcessor.buffer_rgba(lg, out, SlotId(0))
+        assert tp.shutdown.load()
+    finally:
+        tp.shutdown_now()
