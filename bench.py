@@ -6,8 +6,8 @@ interactive path (re-run after a Value edit — a program-cache hit), a
 16×4k batched variant AT SPEC (config 5) via vmap, and config 4's eviction
 clause — the same chain through the live engine with a one-plane device
 tier, forcing the PlaneBufferQueue to spill to host mid-run (default
-canvas 2048 so tunnel stalls can't blow the run's budget; see the stage
-comment for the measured 4k-at-spec results and the env override).
+canvas 4096 = BASELINE config 4 AT SPEC; set KANTER_BENCH_EVICT_CANVAS=2048
+if tunnel stalls blow the run's budget).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
@@ -114,7 +114,15 @@ def main() -> None:
 
     # --- config 4: fused 64-node chain @ 4k, amortized device time ---
     graph, inputs, white, out = bounded_chain_graph(depth=CHAIN)
-    compute_nodes = CHAIN + 1  # mixes + combine
+    from kanter_core_tpu.node import NodeTypeKind as _K
+
+    # count the COMPUTE nodes from the graph itself: the builder's
+    # round-robin emits ceil(depth/5)*5 mixes (65 at depth 64), so
+    # CHAIN + 1 undercounted node_evals_gpix_s
+    compute_nodes = sum(
+        1 for n in graph.nodes
+        if n.node_type.kind in (_K.MIX, _K.COMBINE_RGBA)
+    )
     prog = CompiledGraph(graph, targets=[(out, SlotId(0))])
     for i, node in enumerate(inputs):
         prog.bind_input(node, [_device_random((CANVAS, CANVAS), seed=i)])
@@ -231,7 +239,12 @@ def main() -> None:
     # --- config 5 AT SPEC: BATCH×BATCH_CANVAS² (default 16×4096²) batched
     # re-eval. Inputs 4×16×4k² f32 = 4.3 GB + outputs 4.3 GB fit a 16 GB
     # chip; if this backend OOMs, halve the canvas and SAY SO. ---
-    del chain, prog, chain16, prog16  # release the 4k planes before the 4.3 GB stage
+    # release the 4k planes before the 4.3 GB stage — including the
+    # CLOSURES (chain_body holds prog; a del of the prog name alone keeps
+    # every bound plane alive through the cell) and the interactive stage's
+    # device temps
+    del chain, prog, chain16, prog16, chain_body, chain16_body
+    del base0, rolled, r, chks, warm_chk
 
     # per-shape roofline for config 5: achievable pointwise bandwidth at the
     # batched stage's 1 GB buffers is measurably LOWER than at 64 MB planes
@@ -242,7 +255,10 @@ def main() -> None:
         _device_random((BATCH, BATCH_CANVAS, BATCH_CANVAS), seed=60 + i)
         for i in range(3)
     )
-    calb = _ScanBench(lambda c, ps: tuple(p * c for p in ps), cal, n1=2, n2=8)
+    # n1=8/n2=32: at ~10 ms/iter the two-length difference must sit well
+    # above the ~30 ms RTT jitter (CLAUDE.md measured a 14 ms artifact at
+    # n1=2,n2=8)
+    calb = _ScanBench(lambda c, ps: tuple(p * c for p in ps), cal, n1=8, n2=32)
     cal_s, cal_ok = calb.run(repeats=3)
     roofline_batched = 2 * 3 * BATCH * BATCH_CANVAS * BATCH_CANVAS * 4 / cal_s / 1e9
     distinct &= cal_ok
@@ -271,7 +287,7 @@ def main() -> None:
                 out_planes = jax.vmap(bprog._raw_fn, in_axes=(batch_axes,))(args)
                 return out_planes[bout_key]
 
-            bbench = _ScanBench(batched_body, bound, n1=2, n2=8, base=0.955)
+            bbench = _ScanBench(batched_body, bound, n1=8, n2=32, base=0.955)
             batched_s, ok = bbench.run(repeats=3)
             distinct &= ok
             extras["batched_checksums_distinct"] = ok
@@ -296,7 +312,10 @@ def main() -> None:
     # planes, so the PlaneBufferQueue must spill to host MID-RUN. Wall time
     # includes those device→host transfers (over the tunnel, here); the
     # bytes_host metric proves eviction actually happened. ---
-    del bprog, bound
+    # bbench._consts pins the 4.3 GB input set and batched_body holds
+    # bprog — release them all or the eviction stage runs with ~4.3 GB
+    # less headroom than designed
+    del bprog, bound, bbench, batched_body
     # Default 4096 = BASELINE config 4 AT SPEC. Two-phase pipelined eviction
     # (transient_buffer.begin_evict) overlaps the device→host copies and no
     # longer blocks the render: r2's serial loop took 77-346 s, the pipelined

@@ -104,7 +104,7 @@ def stages(canvas: int):
         (p1,),
         4 * plane_bytes,
         canvas * canvas,
-        4, 16, 1.0,
+        8, 32, 1.0,  # sub-ms op: n2>=32 or the two-length diff is RTT jitter
     )
 
     # --- blur σ=1 and σ=5 (2 separable passes: 2 reads + 2 writes min) ---
@@ -115,7 +115,7 @@ def stages(canvas: int):
             (p1,),
             4 * plane_bytes,
             canvas * canvas,
-            4, 16, 0.25,
+            8, 32, 0.25,  # sub-ms op: n2>=32 (CLAUDE.md noise floor)
         )
 
     # --- blur through the shard_map'd kernel on a 1-chip mesh: the sharded
@@ -134,7 +134,7 @@ def stages(canvas: int):
             (p1,),
             4 * plane_bytes,
             canvas * canvas,
-            4, 16, 0.25,
+            8, 32, 0.25,
         )
 
     # --- levels remap (compute-bound off-CPU: corrected div + ds_pow) ---
@@ -148,7 +148,7 @@ def stages(canvas: int):
         (p1,),
         2 * plane_bytes,
         canvas * canvas,
-        4, 16, 0.25,
+        8, 32, 0.25,  # sub-ms op: n2>=32 (CLAUDE.md noise floor)
     )
 
     # --- resample up ×2 and down ×2, Triangle + Lanczos3
@@ -169,20 +169,30 @@ def stages(canvas: int):
                 8, 32, 0.25,  # fast op: needs a long scan to clear the noise floor
             )
 
-    # --- u8 export, RGBA interleave (4 f32 reads + 1 u32 write) ---
+    # --- u8 export, RGBA interleave (4 f32 reads + 1 u32 write): the
+    #     PRODUCTION pack formulation (slot_image's little-endian u32) ---
     from kanter_core_tpu.ops.common import f32_to_u8
 
     def u8_body(c, ps):
-        packed = f32_to_u8((ps[0] + c) % 1.0)
-        for p in ps[1:]:
-            packed = packed + f32_to_u8(p)  # sum keeps all 4 conversions live
+        import jax.numpy as _jnp
+
+        r8 = f32_to_u8((ps[0] + c) % 1.0)
+        g8, b8, a8 = (f32_to_u8(p) for p in ps[1:])
+        packed = (
+            r8.astype(_jnp.uint32)
+            | (g8.astype(_jnp.uint32) << 8)
+            | (b8.astype(_jnp.uint32) << 16)
+            | (a8.astype(_jnp.uint32) << 24)
+        )
+        # the full u32 pack is the measured output; benchlib's checksum
+        # wrap-sums integer planes exactly, so r8-sized deltas stay visible
         return (packed,)
 
     yield (
         "u8_export_rgba",
         u8_body,
         rgba,
-        4 * plane_bytes + canvas * canvas,
+        4 * plane_bytes + canvas * canvas * 4,
         canvas * canvas,
         8, 64, 0.02,
     )

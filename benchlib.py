@@ -45,6 +45,23 @@ def chk(planes):
     planes = lax.optimization_barrier(planes)
     total = jnp.float32(0)
     for p in planes:
+        if jnp.issubdtype(p.dtype, jnp.integer):
+            # integer planes (u32 packs): accumulate EXACTLY with wrapping
+            # u32 arithmetic and round only once at the end — summing
+            # full-range u32 values in f32 absorbs small deltas below the
+            # accumulator's ulp (~1e6 at 1e13), which silently collided
+            # checksums of genuinely distinct outputs
+            q = p.astype(jnp.uint32)
+            h, w = q.shape[-2], q.shape[-1]
+            wrapped = jnp.sum(
+                q[..., : min(64, h), : min(64, w)], dtype=jnp.uint32
+            ) + jnp.sum(q[..., h // 2, w // 2], dtype=jnp.uint32) * jnp.uint32(1024)
+            # mask below 2^24 so the f32 cast is EXACT (an unmasked wrap
+            # lands anywhere in [0, 2^32) where the cast rounds to ulp up
+            # to 512 — r8-sized deltas then sit a few ulp apart and can
+            # still collide); deltas survive exactly mod 2^20
+            total = total + (wrapped & jnp.uint32(0xFFFFF)).astype(jnp.float32)
+            continue
         p = p.astype(jnp.float32) if p.dtype != jnp.float32 else p
         h, w = p.shape[-2], p.shape[-1]
         total = total + jnp.sum(p[..., : min(64, h), : min(64, w)])

@@ -119,6 +119,30 @@ def deep_chain_graph(
     return graph, inputs, white, out
 
 
+def add_logistic_step(graph: NodeGraph, x: NodeId, one: NodeId, v_val: NodeId) -> NodeId:
+    """Append one logistic-map iteration x ← 4v·x·(1−x) to `graph` as 5 Mix
+    nodes (invert, multiply, scale-by-v, double, double) and return the new
+    chain head. The canonical step for chain builders and demos — the ×4
+    comes from two self-ADDs because resize clamps planes to [0,1] and the
+    Value must stay ≤ 1 (see `bounded_chain_graph`'s docstring)."""
+    inv = graph.add_node(Node(NodeType.Mix(MixType.SUBTRACT)))
+    graph.connect(one, inv, SlotId(0), SlotId(0))  # 1 − x (gray chain)
+    graph.connect(x, inv, SlotId(0), SlotId(1))
+    prod = graph.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+    graph.connect(x, prod, SlotId(0), SlotId(0))  # x(1−x)
+    graph.connect(inv, prod, SlotId(0), SlotId(1))
+    s = graph.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+    graph.connect(prod, s, SlotId(0), SlotId(0))  # v·x(1−x), stays ≤ 0.25
+    graph.connect(v_val, s, SlotId(0), SlotId(1))
+    d1 = graph.add_node(Node(NodeType.Mix(MixType.ADD)))
+    graph.connect(s, d1, SlotId(0), SlotId(0))  # ×2
+    graph.connect(s, d1, SlotId(0), SlotId(1))
+    d2 = graph.add_node(Node(NodeType.Mix(MixType.ADD)))
+    graph.connect(d1, d2, SlotId(0), SlotId(0))  # ×2 → 4v·x(1−x)
+    graph.connect(d1, d2, SlotId(0), SlotId(1))
+    return d2
+
+
 def bounded_chain_graph(depth: int = 64) -> tuple[NodeGraph, list[NodeId], NodeId, NodeId]:
     """Benchmark chain that stays numerically alive AND value-sensitive at
     any depth: three per-channel GRAY chains iterating the logistic map
@@ -144,29 +168,12 @@ def bounded_chain_graph(depth: int = 64) -> tuple[NodeGraph, list[NodeId], NodeI
     one = graph.add_node(Node(NodeType.Value(1.0)))
     v_val = graph.add_node(Node(NodeType.Value(0.96)))
 
-    def logistic_step(x: NodeId) -> tuple[NodeId, int]:
-        inv = graph.add_node(Node(NodeType.Mix(MixType.SUBTRACT)))
-        graph.connect(one, inv, SlotId(0), SlotId(0))  # 1 − x (gray chain)
-        graph.connect(x, inv, SlotId(0), SlotId(1))
-        prod = graph.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
-        graph.connect(x, prod, SlotId(0), SlotId(0))  # x(1−x)
-        graph.connect(inv, prod, SlotId(0), SlotId(1))
-        s = graph.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
-        graph.connect(prod, s, SlotId(0), SlotId(0))  # v·x(1−x), stays ≤ 0.25
-        graph.connect(v_val, s, SlotId(0), SlotId(1))
-        d1 = graph.add_node(Node(NodeType.Mix(MixType.ADD)))
-        graph.connect(s, d1, SlotId(0), SlotId(0))  # ×2
-        graph.connect(s, d1, SlotId(0), SlotId(1))
-        d2 = graph.add_node(Node(NodeType.Mix(MixType.ADD)))
-        graph.connect(d1, d2, SlotId(0), SlotId(0))  # ×2 → 4v·x(1−x)
-        graph.connect(d1, d2, SlotId(0), SlotId(1))
-        return d2, 5
-
     chains = [inputs[0], inputs[1], inputs[2]]
     count = 0
     ch = 0
     while count + 5 <= depth + 4:  # round-robin steps until ~depth mix nodes
-        chains[ch], added = logistic_step(chains[ch])
+        chains[ch] = add_logistic_step(graph, chains[ch], one, v_val)
+        added = 5
         count += added
         ch = (ch + 1) % 3
         if count >= depth:

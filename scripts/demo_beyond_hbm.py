@@ -34,6 +34,7 @@ if os.environ.get("KANTER_FORCE_CPU"):
 
 import numpy as np
 
+from kanter_core_tpu.graphs import add_logistic_step
 from kanter_core_tpu import (
     MixType,
     Node,
@@ -66,28 +67,10 @@ def build(canvas: int, depth: int):
         graph.connect(sep, up, SlotId(channel_slot), SlotId(0))
         return up
 
-    def logistic_step(x: NodeId) -> NodeId:
-        inv = graph.add_node(Node(NodeType.Mix(MixType.SUBTRACT)))
-        graph.connect(one, inv, SlotId(0), SlotId(0))
-        graph.connect(x, inv, SlotId(0), SlotId(1))
-        prod = graph.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
-        graph.connect(x, prod, SlotId(0), SlotId(0))
-        graph.connect(inv, prod, SlotId(0), SlotId(1))
-        s = graph.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
-        graph.connect(prod, s, SlotId(0), SlotId(0))
-        graph.connect(v_val, s, SlotId(0), SlotId(1))
-        d1 = graph.add_node(Node(NodeType.Mix(MixType.ADD)))
-        graph.connect(s, d1, SlotId(0), SlotId(0))
-        graph.connect(s, d1, SlotId(0), SlotId(1))
-        d2 = graph.add_node(Node(NodeType.Mix(MixType.ADD)))
-        graph.connect(d1, d2, SlotId(0), SlotId(0))
-        graph.connect(d1, d2, SlotId(0), SlotId(1))
-        return d2
-
     chain = upscale(0)
     steps = max(1, depth // 5)
     for _ in range(steps):
-        chain = logistic_step(chain)
+        chain = add_logistic_step(graph, chain, one, v_val)
     out = graph.add_node(Node(NodeType.OutputGray("out")))
     graph.connect(chain, out, SlotId(0), SlotId(0))
     return graph, out

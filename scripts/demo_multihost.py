@@ -142,6 +142,12 @@ def orchestrate() -> int:
     ref = reference_crc()
     print(f"single-process reference crc: {ref}")
 
+    # drain worker output CONCURRENTLY: a sequential communicate(worker 0)
+    # while worker 1 blocks on a full stderr pipe (verbose XLA distributed
+    # logging can exceed 64 KB) deadlocks both sides of the collective
+    # until the timeout — drain each worker from its own thread instead
+    import threading
+
     workers = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker", str(i)],
@@ -149,9 +155,26 @@ def orchestrate() -> int:
         )
         for i in range(NPROC)
     ]
+    results: list = [None] * NPROC
+
+    def drain(i, proc):
+        results[i] = proc.communicate(timeout=600)
+
+    threads = [
+        threading.Thread(target=drain, args=(i, p), daemon=True)
+        for i, p in enumerate(workers)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=620)
     crcs = []
     for i, proc in enumerate(workers):
-        out, err = proc.communicate(timeout=600)
+        if results[i] is None:
+            proc.kill()
+            print(f"worker {i} TIMED OUT", file=sys.stderr)
+            return 1
+        out, err = results[i]
         if proc.returncode != 0:
             print(f"worker {i} FAILED:\n{err[-2000:]}", file=sys.stderr)
             return 1

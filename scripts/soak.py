@@ -58,6 +58,17 @@ def main():
         memory_threshold=int(rng.integers(64, 4096)), tile_bytes=tile_bytes,
         bucket_sizes=bucket_sizes, precision=precision,
     )
+    try:
+        _main_loop(tp, rng, tile_bytes, bucket_sizes, precision)
+    finally:
+        # ALWAYS join the daemons before the interpreter exits — a failure
+        # SystemExit with the eviction manager mid device-transfer aborts
+        # the process from C++ ("FATAL: exception not rethrown", rc=134,
+        # CLAUDE.md), replacing the seed/iteration diagnostic with noise
+        tp.shutdown_now()
+
+
+def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
     lg = tp.new_live_graph()
 
     values, mixes, combines = [], [], []
@@ -183,7 +194,6 @@ def main():
             print(f"iter {i + 1}/{ITERS} ok; cache={tp.recipe_cache.stats()}", flush=True)
 
     print(f"SOAK PASS: {ITERS} iterations, seed {SEED}")
-    tp.shutdown_now()
 
 
 if __name__ == "__main__":
