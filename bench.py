@@ -392,7 +392,26 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except RuntimeError as e:
+        # the axon tunnel goes DOWN for hours at a time (backend init
+        # raises UNAVAILABLE) — keep the one-JSON-line contract with an
+        # honest failure record instead of a stack trace the driver
+        # cannot parse
+        if "UNAVAILABLE" not in str(e) and "Unable to initialize backend" not in str(e):
+            raise
+        print(
+            json.dumps(
+                {
+                    "metric": "fused chain throughput",
+                    "value": 0.0,
+                    "unit": "Gpixel/s/chip",
+                    "vs_baseline": 0.0,
+                    "error": f"TPU backend unavailable (tunnel outage): {e}",
+                }
+            )
+        )
     # Belt and braces for the driver: the JSON line above IS the result. The
     # remote-TPU client has aborted the process at interpreter teardown
     # before ("FATAL: exception not rethrown" unwinding a daemon thread
