@@ -430,3 +430,51 @@ def test_with_state_handle_graph_is_authoritative_after_autoflatten():
     assert np.allclose(second, 0.5), (
         "with_state handle's graph was discarded by the base re-flatten"
     )
+
+
+def test_concurrent_handles_with_different_payloads():
+    """Two with_state handles carrying DIFFERENT trace-baked payloads
+    (Blur σ with equal tap counts) evaluating concurrently must each get
+    their own executable: the payload fingerprint keys the program cache
+    and the trace-node table is published under the trace lock, so neither
+    handle can serve the other's baked weights."""
+    import threading
+
+    def build(sigma):
+        g = NodeGraph()
+        val = g.add_node(Node(NodeType.Value(0.6)))
+        mixn = Node(NodeType.Mix(MixType.ADD))
+        mixn.resize_policy = ResizePolicy.SpecificSize(Size(64, 64))
+        mix = g.add_node(mixn)
+        bl = g.add_node(Node(NodeType.Blur(sigma)))
+        out = g.add_node(Node(NodeType.OutputGray("out")))
+        g.connect(val, mix, SlotId(0), SlotId(0))
+        g.connect(mix, bl, SlotId(0), SlotId(0))
+        g.connect(bl, out, SlotId(0), SlotId(0))
+        return g, out
+
+    g9, out = build(0.9)
+    base = BucketedGraph(g9, targets=[(out, SlotId(0))])
+    g10, _ = build(1.0)
+
+    handles = [base.with_state(g9.clone(), {}), base.with_state(g10.clone(), {})]
+    refs = [
+        [np.asarray(p) for p in CompiledGraph(g, targets=[(out, SlotId(0))])()[(out, SlotId(0))]]
+        for g in (g9, g10)
+    ]
+    errors = []
+
+    def run(idx):
+        try:
+            for _ in range(6):
+                got = handles[idx]()[(out, SlotId(0))]
+                _assert_planes_equal(refs[idx], got, f"handle {idx}")
+        except Exception as e:  # noqa: BLE001
+            errors.append((idx, e))
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in (0, 1, 0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
