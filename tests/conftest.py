@@ -78,3 +78,30 @@ def assert_matches_golden(live_graph, node_id, name, slot_id=None):
     ref = golden(name)
     assert data.shape[0] == ref.size, f"{name}: size {data.shape} vs {ref.shape}"
     assert np.array_equal(data.reshape(ref.shape), ref), f"{name}: pixels differ"
+
+
+def planes_bit_equal(a, b) -> bool:
+    """Bit-level f32 plane equality with NaN PAYLOADS out of the contract:
+    positions must agree on NaN-ness, and every non-NaN bit must match.
+
+    Why: 0/0 produces a quiet NaN whose SIGN/payload depends on how LLVM
+    lowered that particular fdiv (measured: the dense compiler's constant
+    zero plane gives 0x7fc00000 where the tiled twin's gathered zero rows
+    give 0xffc00000 — same graph, same backend). The reference makes no
+    NaN-payload guarantee either (Rust leaves it to the ISA), and the u8
+    export pins every NaN to 255, so payloads are unobservable; comparing
+    them would make parity fail on semantically identical outputs.
+    """
+    a, b = np.asarray(a), np.asarray(b)
+    if a.shape != b.shape or a.dtype != b.dtype:
+        return False
+    if a.dtype == np.float32:
+        an, bn = np.isnan(a), np.isnan(b)
+        if not np.array_equal(an, bn):
+            return False
+        au = a.view(np.uint32).copy()
+        bu = b.view(np.uint32).copy()
+        au[an] = 0
+        bu[bn] = 0
+        return np.array_equal(au, bu)
+    return np.array_equal(a, b)

@@ -28,12 +28,15 @@ from kanter_core_tpu.compiler import CompiledGraph
 
 def _assert_planes_equal(ref, got, label=""):
     """Bit-compare plane lists with an explicit length check — a bare zip
-    would silently compare nothing if one side dropped planes."""
+    would silently compare nothing if one side dropped planes. NaN payloads
+    are out of the contract (conftest.planes_bit_equal has the rationale)."""
+    from conftest import planes_bit_equal
+
     assert len(ref) == len(got), f"{label}: {len(ref)} vs {len(got)} planes"
     for r, gp in zip(ref, got):
         r = np.asarray(r)
         assert r.shape == np.asarray(gp).shape, label
-        assert np.array_equal(r, gp), f"{label} diverged"
+        assert planes_bit_equal(r, np.asarray(gp)), f"{label} diverged"
 
 
 def _drag_chain(w=300, h=300):
