@@ -286,6 +286,24 @@ def _determinism_kernels():
     cases.append(
         ("srgb_u8_export", lambda: _jitted_converters()["gray_to_u8_srgb"](sweep), 0)
     )
+
+    # inputs drawn EAGERLY (a lazy draw inside the lambda would desync the
+    # shared rng between a KANTER_PARITY_ROWS-filtered run and the
+    # unfiltered --dump-ref subprocess)
+    _mean_rng = np.random.default_rng(77)
+    _mr, _mg, _mb = (
+        _mean_rng.integers(0, 256, (128, 128)).astype(np.float32) / np.float32(255.0)
+        for _ in range(3)
+    )
+    cases.append(
+        (
+            # rgba->gray coercion: the /3 routes through the gated corrected
+            # div off-CPU so the gray plane's bits match the CPU pipeline
+            "rgba_to_gray_mean",
+            lambda: _jitted_converters()["rgb_mean"](_mr, _mg, _mb),
+            0,
+        )
+    )
     for filt in ResizeFilter:
         cases.append(
             (f"resample_{filt.name}",
@@ -310,7 +328,11 @@ def f32_determinism():
         env={**os.environ, "KANTER_FORCE_CPU": "1"},
     )
     ref = np.load("/tmp/parity_ref.npz")
+    rows_filter = os.environ.get("KANTER_PARITY_ROWS", "")
+    wanted = [r for r in rows_filter.split(",") if r]
     for name, fn, known in _determinism_kernels():
+        if wanted and not any(w in name for w in wanted):
+            continue
         got = np.stack([np.asarray(p) for p in jax.tree.leaves(fn())])
         r = ref[name]
         if got.dtype.kind == "f":
