@@ -215,9 +215,12 @@ def _as_type(img: ImgVal, rgba: bool) -> ImgVal:
     s = (r + g) + b
     # /3 must round like glibc on every backend (CLAUDE.md: TPU div is
     # ~1 ulp loose via reciprocal-multiply) or rgba→gray planes break the
-    # cross-backend f32-bit determinism the recipe cache relies on
+    # cross-backend f32-bit determinism the recipe cache relies on. On CPU
+    # the divisor must be const-guarded: XLA:CPU rewrites division by a
+    # compile-time constant into reciprocal-multiply (measured 6422/16384
+    # f32-bit diffs vs the reference's true division for /3)
     if jax.default_backend() == "cpu":
-        return ImgVal([s / jnp.float32(3.0)])
+        return ImgVal([s / _const_guard(jnp.full_like(s, jnp.float32(3.0)))])
     from .ops.exact_math import corrected_div
 
     return ImgVal([corrected_div(s, jnp.full_like(s, 3.0))])

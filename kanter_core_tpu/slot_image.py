@@ -33,7 +33,14 @@ def _jitted_converters():
     # glibc-rounding div/pow on backends whose hardware ops are ~1 ulp off
     # (see ops/exact_math.py); XLA CPU's plain ops ARE glibc already.
     if jax.default_backend() == "cpu":
-        _div = lambda a, b: a / b  # noqa: E731
+        # XLA CPU's plain div IS glibc — but ONLY for runtime divisors: the
+        # algebraic simplifier rewrites division by a compile-time CONSTANT
+        # into multiplication by the reciprocal (~1 ulp off on ~39% of
+        # inputs for /3, measured), so every constant divisor here must
+        # hide behind an optimization_barrier to stay a true divide.
+        from jax import lax
+
+        _div = lambda a, b: a / lax.optimization_barrier(b)  # noqa: E731
         _pow = jnp.power
     else:
         from .ops.exact_math import corrected_div as _div, ds_pow as _pow

@@ -163,3 +163,51 @@ def test_compile_graph_cache_distinguishes_none_and_empty_targets():
     assert empty() == {}
     full = compile_graph(g)  # must NOT hit the empty-targets entry
     assert (out, SlotId(0)) in full()
+
+
+def test_constant_divisor_division_is_true_ieee_on_cpu():
+    """XLA:CPU's algebraic simplifier rewrites division by a compile-time
+    CONSTANT into multiplication by the reciprocal (~1 ulp off on ~39% of
+    inputs for /3, measured 6422/16384 vs true division) — diverging from
+    the reference's plain Rust `/` (`slot_image.rs:247-250`). Every
+    constant divisor in a traced consumer must hide behind an
+    optimization_barrier / `_const_guard` (or route through corrected_div
+    off-CPU). Pins the rgba→gray /3 in BOTH its homes: the eager
+    `SlotImage.as_type` converter and the fused `compiler._as_type`
+    (shared by tiled/bucketed)."""
+    import jax.numpy as jnp
+
+    from kanter_core_tpu.compiler import ImgVal, _as_type
+    from kanter_core_tpu.slot_image import SlotImage
+    from kanter_core_tpu.transient_buffer import plane_from_host
+
+    rng = np.random.default_rng(77)
+    r, g, b = (
+        rng.integers(0, 256, (128, 128)).astype(np.float32) / np.float32(255.0)
+        for _ in range(3)
+    )
+    ref = ((r + g) + b) / np.float32(3.0)  # numpy = hardware IEEE true div
+
+    # eager path (slot_image._jitted_converters rgb_mean)
+    img = SlotImage([plane_from_host(p) for p in (r, g, b, np.ones_like(r))])
+    got = np.asarray(img.as_type(rgba=False).planes[0].data())
+    assert _f32_mismatches(got, ref) == 0
+
+    # fused/tiled/bucketed path (compiler._as_type)
+    @jax.jit
+    def fused(r, g, b, a):
+        return _as_type(ImgVal([r, g, b, a]), rgba=False).planes[0]
+
+    got = np.asarray(fused(r, g, b, jnp.ones_like(r)))
+    assert _f32_mismatches(got, ref) == 0
+
+    # the srgb export's constant divisors (/12.92, /(1.055)) ride the same
+    # barrier'd _div; pin the sub-threshold linear segment at f32 level
+    from kanter_core_tpu.slot_image import _jitted_converters
+
+    x = np.linspace(0.0, 0.04045, 4096, dtype=np.float32)
+    packed = np.asarray(_jitted_converters()["gray_to_u8_srgb"](x.reshape(64, 64)))
+    v = (packed & 0xFF).astype(np.uint8)
+    expect = np.clip(x / np.float32(12.92), 0.0, 1.0) * np.float32(255.0)
+    expect = expect.astype(np.uint8).reshape(64, 64)  # truncating cast, Rust `as u8`
+    assert np.array_equal(v, expect)

@@ -34,7 +34,14 @@ def _jnp_blur(p, sigma):
 def test_blur_pallas_matches_jnp(h, w, sigma):
     rng = np.random.default_rng(hash((h, w, int(sigma * 10))) % 2**32)
     p = rng.random((h, w), dtype=np.float32)
-    ref = jax.jit(lambda x: _jnp_blur(x, sigma))(p)
+    # EAGER reference: jitting the whole 2·(2r+1)-tap roll chain trips
+    # XLA:CPU's compile-time blowup on many-tap shifted sums (146 s at
+    # σ=20 on a 1-core host — past the 120 s deadlock watchdog). Eager is
+    # bit-identical to the jitted lowering here (verified: no constants to
+    # fold, and nc_mul already forces separately-rounded products on CPU
+    # under jit and eager alike); eager==jit parity for jit-sized σ stays
+    # pinned by test_blur.py's fuzz rows and the chip battery.
+    ref = _jnp_blur(p, sigma)
     got = blur_pallas(p, gaussian_taps(sigma), chunk_rows=16, interpret=True)
     assert np.array_equal(np.asarray(ref), np.asarray(got))
 
