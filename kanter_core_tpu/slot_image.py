@@ -61,18 +61,6 @@ def _jitted_converters():
             ),
         )
 
-    def linear_to_srgb(x):
-        return jnp.where(
-            x <= 0.0,
-            x,
-            jnp.where(
-                x <= jnp.float32(0.0031308),
-                x * jnp.float32(12.92),
-                jnp.float32(1.055) * _pow(x, jnp.full_like(x, 1.0 / 2.4))
-                - jnp.float32(0.055),
-            ),
-        )
-
     def pack_u32(r8, g8, b8, a8):
         # Elementwise u32 pack instead of a channel-stack: the [H, W, 4]-u8
         # stack lowers to a layout transpose on TPU, while r|g<<8|b<<16|a<<24
