@@ -55,7 +55,7 @@ BUCKETABLE_KINDS = frozenset(
     {
         K.VALUE, K.IMAGE, K.INPUT_GRAY, K.INPUT_RGBA, K.EMBED,
         K.OUTPUT_GRAY, K.OUTPUT_RGBA, K.MIX, K.HEIGHT_TO_NORMAL, K.BLUR,
-        K.LEVELS, K.SEPARATE_RGBA, K.COMBINE_RGBA,
+        K.LEVELS, K.NOISE, K.SEPARATE_RGBA, K.COMBINE_RGBA,
     }
 )
 
@@ -107,6 +107,11 @@ def size_normalized_fingerprint(graph, extra: str = "") -> str:
             rp = node.get("resize_policy")
             if isinstance(rp, dict) and "SpecificSize" in rp:
                 node = dict(node, resize_policy={"SpecificSize": {"width": 0, "height": 0}})
+            nt = node.get("node_type")
+            if isinstance(nt, dict) and "Noise" in nt:
+                # a Noise node's intrinsic size rides in (padded) arguments
+                # here, exactly like a dragged SpecificSize
+                node = dict(node, node_type={"Noise": dict(nt["Noise"], width=0, height=0)})
             out["nodes"].append(node)
         return out
 
@@ -404,6 +409,21 @@ class BucketedGraph:
             if kind == K.VALUE:
                 args[f"value_{nid}"] = np.float32(node.node_type.payload)
                 continue
+            if kind == K.NOISE:
+                from .ops.noise import noise_bindings
+
+                nb = noise_bindings(node.node_type.payload)
+                th, tw = info.out_size.height, info.out_size.width
+                # padded index vectors: pad rows/cols repeat the last true
+                # coordinate (computed redundantly, cropped at commit)
+                args[f"nzr_{nid}"] = _pad1(nb["rows"], bucket_of(th, B))
+                args[f"nzc_{nid}"] = _pad1(nb["cols"], bucket_of(tw, B))
+                args[f"nzs_{nid}"] = nb["seed"]
+                args[f"nzp_{nid}"] = nb["persistence"]
+                args[f"nzfx_{nid}"] = nb["fx"]
+                args[f"nzfy_{nid}"] = nb["fy"]
+                args[f"nzpd_{nid}"] = nb["periods"]
+                continue
             if kind in _LEAF_KINDS:
                 if kind == K.IMAGE:
                     key = f"image_{nid}"
@@ -559,6 +579,17 @@ class BucketedGraph:
                 env[(node_id, SlotId(0))] = ImgVal(
                     [jnp.reshape(jnp.asarray(args[f"value_{nid}"], jnp.float32), (1, 1))]
                 )
+                continue
+            if kind == K.NOISE:
+                from .ops.noise import noise_plane
+
+                plane = noise_plane(
+                    args[f"nzr_{nid}"], args[f"nzc_{nid}"],
+                    args[f"nzs_{nid}"], args[f"nzp_{nid}"],
+                    args[f"nzfx_{nid}"], args[f"nzfy_{nid}"],
+                    args[f"nzpd_{nid}"],
+                )
+                env[(node_id, SlotId(0))] = ImgVal(shard([plane]))
                 continue
             if kind in _LEAF_KINDS:
                 count = self._counts[node_id][SlotId(0)]

@@ -438,6 +438,18 @@ class GraphCompiler:
                 ImgVal([levels_plane(p, params) for p in inp.planes]),
             )]
 
+        if kind == K.NOISE:
+            from .ops.noise import noise_plane
+
+            b = args[f"{prefix}noise_{nid}"]
+            return [(
+                SlotId(0),
+                ImgVal([noise_plane(
+                    b["rows"], b["cols"], b["seed"], b["persistence"],
+                    b["fx"], b["fy"], b["periods"],
+                )]),
+            )]
+
         if kind == K.SEPARATE_RGBA:
             inp = by_slot.get(SlotId(0))
             if inp is not None and inp.is_rgba:
@@ -669,6 +681,12 @@ class CompiledGraph:
                 bindings[f"{prefix}levels_{nid}"] = np.asarray(
                     node.node_type.payload, np.float32
                 )
+            elif kind == K.NOISE:
+                from .ops.noise import noise_bindings
+
+                bindings[f"{prefix}noise_{nid}"] = noise_bindings(
+                    node.node_type.payload
+                )
             elif kind == K.IMAGE:
                 try:
                     slot_image = image_io.read_slot_image(node.node_type.payload)
@@ -738,9 +756,11 @@ def _u8_export(img: ImgVal):
 
 
 def _normalize_values(graph_json):
-    """Zero out Value and Levels payloads: they are program *arguments*, so
-    two graphs differing only in those constants share one compiled program
-    (the interactive slider-drag case must not retrace per tick)."""
+    """Zero out Value and Levels payloads, and Noise's argument-borne
+    fields (`cells`/`seed`/`persistence` — `width`/`height`/`octaves` shape
+    the trace and stay): they are program *arguments*, so two graphs
+    differing only in those constants share one compiled program (the
+    interactive slider-drag case must not retrace per tick)."""
     zero_levels = {
         "in_lo": 0.0, "in_hi": 0.0, "gamma": 0.0, "out_lo": 0.0, "out_hi": 0.0,
     }
@@ -752,6 +772,10 @@ def _normalize_values(graph_json):
                 node = dict(node, node_type={"Value": 0.0})
             elif "Levels" in node_type:
                 node = dict(node, node_type={"Levels": zero_levels})
+            elif "Noise" in node_type:
+                node = dict(node, node_type={"Noise": dict(
+                    node_type["Noise"], cells=0, seed=0, persistence=0.0,
+                )})
             elif "Graph" in node_type:
                 node = dict(node, node_type={"Graph": _normalize_values(node_type["Graph"])})
         out["nodes"].append(node)
@@ -814,6 +838,12 @@ def collect_value_bindings(node_graph: NodeGraph, prefix: str = "") -> dict:
         elif kind == NodeTypeKind.LEVELS:
             bindings[f"{prefix}levels_{int(node.node_id)}"] = np.asarray(
                 node.node_type.payload, np.float32
+            )
+        elif kind == NodeTypeKind.NOISE:
+            from .ops.noise import noise_bindings
+
+            bindings[f"{prefix}noise_{int(node.node_id)}"] = noise_bindings(
+                node.node_type.payload
             )
         elif kind == NodeTypeKind.GRAPH:
             bindings.update(

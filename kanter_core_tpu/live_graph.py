@@ -376,6 +376,17 @@ class LiveGraph:
             self.set_state(node_id, NodeState.DIRTY)
             self.node(node_id).cancel.store(True)
 
+    def set_noise(self, node_id: NodeId, width, height, cells=8, octaves=4,
+                  seed=0, persistence=0.5) -> None:
+        """Change a Noise node's parameters and dirty it (extension node;
+        seed/persistence/cells edits re-run a cached program)."""
+        with self._lock:
+            self.node_graph.set_noise(
+                node_id, width, height, cells, octaves, seed, persistence
+            )
+            self.set_state(node_id, NodeState.DIRTY)
+            self.node(node_id).cancel.store(True)
+
     def set_image_node_path(self, node_id: NodeId, path) -> None:
         """Change an Image node's source path and dirty it
         (`node_graph.rs:65-83`)."""

@@ -183,6 +183,7 @@ class NodeTypeKind(enum.Enum):
     COMBINE_RGBA = "CombineRgba"
     BLUR = "Blur"  # TPU-native extension: no reference counterpart
     LEVELS = "Levels"  # TPU-native extension: no reference counterpart
+    NOISE = "Noise"  # TPU-native extension: no reference counterpart
 
 
 class NodeType:
@@ -264,6 +265,26 @@ class NodeType:
         )
 
     @staticmethod
+    def Noise(width: int, height: int, cells: int = 8, octaves: int = 4,
+              seed: int = 0, persistence: float = 0.5) -> "NodeType":
+        """Seamlessly-tiling FBM value-noise source (extension node; see
+        ops/noise.py). `width`×`height` Gray output; `cells` lattice cells
+        per axis at octave 0 (doubling per octave, wrapping toroidally);
+        `seed`/`persistence`/`cells` are PROGRAM ARGUMENTS in every traced
+        consumer, so seed cycling and slider drags re-run cached
+        executables; `octaves` and the size shape the trace."""
+        width, height = int(width), int(height)
+        cells, octaves = int(cells), int(octaves)
+        if width < 1 or height < 1 or cells < 1 or octaves < 1:
+            raise TexProError(
+                ErrorKind.GENERIC, "Noise needs size/cells/octaves >= 1"
+            )
+        return NodeType(
+            NodeTypeKind.NOISE,
+            (width, height, cells, octaves, int(seed), float(persistence)),
+        )
+
+    @staticmethod
     def SeparateRgba() -> "NodeType":
         return NodeType(NodeTypeKind.SEPARATE_RGBA)
 
@@ -340,6 +361,11 @@ class NodeType:
             p = self.payload
             return {"Levels": {"in_lo": p[0], "in_hi": p[1], "gamma": p[2],
                                "out_lo": p[3], "out_hi": p[4]}}
+        if k == NodeTypeKind.NOISE:
+            p = self.payload
+            return {"Noise": {"width": p[0], "height": p[1], "cells": p[2],
+                              "octaves": p[3], "seed": p[4],
+                              "persistence": p[5]}}
         # newtype string payloads: InputGray/InputRgba/OutputGray/OutputRgba/Image/Write
         return {k.value: self.payload}
 
@@ -365,6 +391,11 @@ class NodeType:
             return NodeType.Levels(
                 payload["in_lo"], payload["in_hi"], payload["gamma"],
                 payload["out_lo"], payload["out_hi"],
+            )
+        if kind == NodeTypeKind.NOISE:
+            return NodeType.Noise(
+                payload["width"], payload["height"], payload["cells"],
+                payload["octaves"], payload["seed"], payload["persistence"],
             )
         return NodeType(kind, payload)
 
@@ -436,7 +467,7 @@ class Node:
     def input_slots(self) -> list[Slot]:
         k = self.node_type.kind
         K = NodeTypeKind
-        if k in (K.INPUT_GRAY, K.INPUT_RGBA, K.IMAGE, K.EMBED, K.VALUE):
+        if k in (K.INPUT_GRAY, K.INPUT_RGBA, K.IMAGE, K.EMBED, K.VALUE, K.NOISE):
             return []
         if k == K.OUTPUT_GRAY:
             return [Slot("input", SlotId(0), SlotType.GRAY)]
@@ -484,7 +515,7 @@ class Node:
             return [Slot("output", SlotId(0), SlotType.RGBA)]
         if k == K.WRITE:
             return []  # sink node; see input_slots note
-        if k == K.VALUE:
+        if k in (K.VALUE, K.NOISE):
             return [Slot("output", SlotId(0), SlotType.GRAY)]
         if k == K.MIX:
             return [Slot("output", SlotId(0), SlotType.GRAY_OR_RGBA)]

@@ -90,6 +90,13 @@ class NodeGraph:
             raise TexProError(ErrorKind.INVALID_NODE_ID)
         node.node_type = NodeType.Levels(in_lo, in_hi, gamma, out_lo, out_hi)
 
+    def set_noise(self, node_id: NodeId, width, height, cells, octaves,
+                  seed, persistence) -> None:
+        node = self._node_with_id_mut(node_id)
+        if node is None or node.node_type.kind != NodeTypeKind.NOISE:
+            raise TexProError(ErrorKind.INVALID_NODE_ID)
+        node.node_type = NodeType.Noise(width, height, cells, octaves, seed, persistence)
+
     def set_image_node_path(self, node_id: NodeId, path: str) -> None:
         node = self._node_with_id_mut(node_id)
         if node is None or node.node_type.kind != NodeTypeKind.IMAGE:

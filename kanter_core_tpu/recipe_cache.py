@@ -226,6 +226,16 @@ def node_recipe(node, input_recipes: list, live_graph) -> Optional[str]:
         import struct
 
         return _h(base, struct.pack("<5f", *node.node_type.payload), input_recipes)
+    if kind == K.NOISE:
+        import struct
+
+        w, h, cells, octaves, seed, pers = node.node_type.payload
+        return _h(
+            base,
+            (int(w), int(h), int(cells), int(octaves), int(seed)),
+            struct.pack("<f", pers),
+            input_recipes,
+        )
     # HeightToNormal, SeparateRgba, CombineRgba, Output*
     if kind in (K.OUTPUT_GRAY, K.OUTPUT_RGBA):
         return _h(base, input_recipes)

@@ -69,6 +69,7 @@ TILEABLE_KINDS = frozenset(
         K.HEIGHT_TO_NORMAL,
         K.BLUR,
         K.LEVELS,
+        K.NOISE,
         K.SEPARATE_RGBA,
         K.COMBINE_RGBA,
         K.EMBED,
@@ -248,6 +249,15 @@ def flatten_graph_nodes(graph, bindings, preset=None):
                 extra_bindings[f"value_{int(clone.node_id)}"] = np.float32(
                     n.node_type.payload
                 )
+            elif kind == K.NOISE:
+                # same staleness rule as Value: seed/cells/persistence edits
+                # keep the structure fingerprint, so a cached evaluator's
+                # baked payload could go stale — current bindings win
+                from .ops.noise import noise_bindings
+
+                extra_bindings[f"noise_{int(clone.node_id)}"] = noise_bindings(
+                    n.node_type.payload
+                )
             elif kind == K.IMAGE:
                 # inner node ids are derived deterministically, so a
                 # re-flatten (the bucketed evaluator's per-call path) can
@@ -413,6 +423,10 @@ def infer_sizes(graph, bindings, preset=None) -> dict:
         if kind == K.VALUE:
             info.out_planes[SlotId(0)] = 1
             info.out_size = Size(1, 1)
+        elif kind == K.NOISE:
+            w, h = node.node_type.payload[0], node.node_type.payload[1]
+            info.out_planes[SlotId(0)] = 1
+            info.out_size = Size(int(w), int(h))
         elif kind in (K.IMAGE, K.EMBED):
             key = (
                 f"image_{int(node_id)}"
@@ -555,12 +569,14 @@ class TiledEvaluator:
 
     @staticmethod
     def normalize_bindings(bindings: dict) -> dict:
-        return {
-            k: tuple(np.asarray(p, dtype=np.float32) for p in v)
-            if isinstance(v, (tuple, list))
-            else np.float32(v)
-            for k, v in bindings.items()
-        }
+        def norm(v):
+            if isinstance(v, (tuple, list)):
+                return tuple(np.asarray(p, dtype=np.float32) for p in v)
+            if isinstance(v, dict):
+                return v  # noise_<id> argument pytree (already typed)
+            return np.float32(v)
+
+        return {k: norm(v) for k, v in bindings.items()}
 
     def with_bindings(self, bindings: dict) -> "TiledEvaluator":
         """A shallow handle sharing this evaluator's compiled band programs
@@ -683,6 +699,23 @@ class TiledEvaluator:
                     val = node.node_type.payload
                 args[f"value_{nid}"] = np.float32(val)
                 continue
+            if kind == K.NOISE:
+                nb = self.bindings.get(f"noise_{nid}")
+                if nb is None:
+                    from .ops.noise import noise_bindings
+
+                    nb = noise_bindings(node.node_type.payload)
+                # the band's GLOBAL rows substitute for the full-plane row
+                # vector — the kernel is elementwise in (row, col), so the
+                # band is a bit-exact crop of the whole plane
+                args[f"nzr_{nid}"] = rows.astype(np.int32)
+                args[f"nzc_{nid}"] = np.asarray(nb["cols"], np.int32)
+                args[f"nzs_{nid}"] = nb["seed"]
+                args[f"nzp_{nid}"] = nb["persistence"]
+                args[f"nzfx_{nid}"] = nb["fx"]
+                args[f"nzfy_{nid}"] = nb["fy"]
+                args[f"nzpd_{nid}"] = nb["periods"]
+                continue
             leaf_key = None
             if kind == K.IMAGE:
                 leaf_key = f"image_{nid}"
@@ -798,6 +831,16 @@ class TiledEvaluator:
                 env[(node_id, SlotId(0))] = ImgVal(
                     [jnp.reshape(jnp.asarray(args[f"value_{nid}"], jnp.float32), (1, 1))]
                 )
+                continue
+            if kind == K.NOISE:
+                from .ops.noise import noise_plane
+
+                env[(node_id, SlotId(0))] = ImgVal([noise_plane(
+                    args[f"nzr_{nid}"], args[f"nzc_{nid}"],
+                    args[f"nzs_{nid}"], args[f"nzp_{nid}"],
+                    args[f"nzfx_{nid}"], args[f"nzfy_{nid}"],
+                    args[f"nzpd_{nid}"],
+                )])
                 continue
             if kind in (K.IMAGE, K.EMBED, K.INPUT_GRAY, K.INPUT_RGBA):
                 count = info.out_planes[SlotId(0)]

@@ -280,6 +280,19 @@ def _determinism_kernels():
     # Levels routes pow through ds_pow off-CPU: like mix_POW, the only
     # allowed diffs are inputs where glibc powf itself misrounds
     cases.append(("levels_remap", _levels_row, 80))
+
+    def _noise_row():
+        from kanter_core_tpu.ops.noise import noise_bindings, noise_plane
+
+        b = noise_bindings((211, 173, 5, 4, 12345, 0.55))
+        return jax.jit(noise_plane)(
+            b["rows"], b["cols"], b["seed"], b["persistence"],
+            b["fx"], b["fy"], b["periods"],
+        )
+
+    # FBM value noise: integer-hash lattice is exact everywhere; the float
+    # interp path uses nc_mul + the gated div, so 0 diffs expected
+    cases.append(("noise_fbm", _noise_row, 0))
     from kanter_core_tpu.slot_image import _jitted_converters
 
     sweep = (np.arange(65536, dtype=np.float32) / 65535.0).reshape(256, 256)

@@ -47,8 +47,10 @@ def _build_random_graph(seed: int, allow_graph_nodes: bool = True) -> tuple[Node
         [(SlotId(0), SlotType.RGBA)],
     )
 
-    def pick(slot_type, pool=None):
-        """A random producer output compatible with `slot_type`."""
+    def pick(slot_type, pool=None, r=None):
+        """A random producer output compatible with `slot_type`. `r`
+        defaults to the main rng; appended coverage blocks pass their own
+        so pre-existing seeds keep their exact graphs."""
         options = []
         for node_id, outputs in (producers if pool is None else pool):
             for slot_id, st in outputs:
@@ -56,7 +58,7 @@ def _build_random_graph(seed: int, allow_graph_nodes: bool = True) -> tuple[Node
                     options.append((node_id, slot_id))
         if not options:
             return None
-        return options[rng.integers(len(options))]
+        return options[(rng if r is None else r).integers(len(options))]
 
     def rand_policy():
         r = rng.integers(4)
@@ -152,6 +154,30 @@ def _build_random_graph(seed: int, allow_graph_nodes: bool = True) -> tuple[Node
         node.resize_policy = ResizePolicy.MostPixels()
         levels_id = add(node, [(SlotId(0), SlotType.GRAY_OR_RGBA)])
         graph.connect(src[0], levels_id, src[1], SlotId(0))
+
+    # Noise coverage (like Levels: separate rng, appended — never perturbs
+    # the main stream): a procedural source mixed into the existing chain so
+    # all four lockstep consumers fuzz it, including through random resizes
+    nrng = np.random.default_rng(seed * 104729 + 7)
+    noise = Node(
+        NodeType.Noise(
+            int(nrng.integers(20, 70)),
+            int(nrng.integers(20, 70)),
+            cells=int(nrng.integers(2, 7)),
+            octaves=int(nrng.integers(1, 4)),
+            seed=int(nrng.integers(0, 2**31)),
+            persistence=float(nrng.uniform(0.3, 0.8)),
+        )
+    )
+    noise_id = add(noise, [(SlotId(0), SlotType.GRAY)])
+    nsrc = pick(SlotType.GRAY_OR_RGBA, r=nrng)
+    if nsrc is not None and nsrc[0] != noise_id:
+        mix = Node(NodeType.Mix(list(MixType)[nrng.integers(5)]))
+        mix.resize_policy = ResizePolicy.MostPixels()
+        mix.resize_filter = list(ResizeFilter)[nrng.integers(len(ResizeFilter))]
+        mix_id = add(mix, [(SlotId(0), SlotType.GRAY_OR_RGBA)])
+        graph.connect(noise_id, mix_id, SlotId(0), SlotId(0))
+        graph.connect(nsrc[0], mix_id, nsrc[1], SlotId(1))
 
     # terminal outputs: one per leaf-ish producer kind
     targets = []
