@@ -151,6 +151,27 @@ def stages(canvas: int):
         8, 32, 0.25,  # sub-ms op: n2>=32 (CLAUDE.md noise floor)
     )
 
+    # --- FBM noise source (4 octaves, compute-bound: 16 lattice hashes +
+    #     interp per pixel; traffic model = the single output write). The
+    #     scan value drives PERSISTENCE (a runtime argument) so every
+    #     iteration's checksum is distinct without integer-cast tricks. ---
+    from kanter_core_tpu.ops.noise import noise_bindings, noise_plane
+
+    nb = noise_bindings((canvas, canvas, 8, 4, 12345, 0.5))
+
+    def noise_body(c, ps):
+        rows, cols, fx, fy, periods = ps
+        return (noise_plane(rows, cols, np.uint32(12345), c, fx, fy, periods),)
+
+    yield (
+        "noise_fbm4",
+        noise_body,
+        (nb["rows"], nb["cols"], nb["fx"], nb["fy"], nb["periods"]),
+        plane_bytes,
+        canvas * canvas,
+        8, 32, 0.25,
+    )
+
     # --- resample up ×2 and down ×2, Triangle + Lanczos3
     #     (traffic: in read + tmp[outH,inW] write+read + out write) ---
     for filt, fname in ((ResizeFilter.TRIANGLE, "tri"), (ResizeFilter.LANCZOS3, "lcz")):

@@ -55,7 +55,7 @@ BUCKETABLE_KINDS = frozenset(
     {
         K.VALUE, K.IMAGE, K.INPUT_GRAY, K.INPUT_RGBA, K.EMBED,
         K.OUTPUT_GRAY, K.OUTPUT_RGBA, K.MIX, K.HEIGHT_TO_NORMAL, K.BLUR,
-        K.LEVELS, K.NOISE, K.SEPARATE_RGBA, K.COMBINE_RGBA,
+        K.LEVELS, K.NOISE, K.GRADIENT_MAP, K.SEPARATE_RGBA, K.COMBINE_RGBA,
     }
 )
 
@@ -500,6 +500,12 @@ class BucketedGraph:
                 )
             elif kind == K.LEVELS:
                 args[f"lv_{nid}"] = np.asarray(node.node_type.payload, np.float32)
+            elif kind == K.GRADIENT_MAP:
+                from .ops.gradient import gradient_bindings
+
+                gb = gradient_bindings(node.node_type.payload)
+                args[f"gdp_{nid}"] = gb["pos"]
+                args[f"gdc_{nid}"] = gb["colors"]
         return args
 
     def _plane_shape(self, pid, kind, size: Size, B: int) -> tuple:
@@ -699,6 +705,15 @@ class BucketedGraph:
                 env[(node_id, SlotId(0))] = ImgVal(
                     shard([levels_plane(p, params) for p in by_slot[SlotId(0)].planes])
                 )
+                continue
+
+            if kind == K.GRADIENT_MAP:
+                from .ops.gradient import gradient_planes
+
+                outs = gradient_planes(
+                    by_slot[SlotId(0)].planes[0], args[f"gdp_{nid}"], args[f"gdc_{nid}"]
+                )
+                env[(node_id, SlotId(0))] = ImgVal(shard(list(outs)))
                 continue
 
             if kind == K.SEPARATE_RGBA:

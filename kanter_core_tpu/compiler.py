@@ -450,6 +450,18 @@ class GraphCompiler:
                 )]),
             )]
 
+        if kind == K.GRADIENT_MAP:
+            from .ops.gradient import gradient_planes
+
+            inp = by_slot.get(SlotId(0))
+            if inp is None or inp.is_rgba:
+                raise TexProError(
+                    ErrorKind.INVALID_BUFFER_COUNT, "GradientMap needs a Gray input"
+                )
+            b = args[f"{prefix}grad_{nid}"]
+            outs = gradient_planes(inp.planes[0], b["pos"], b["colors"])
+            return [(SlotId(0), ImgVal(list(outs)))]
+
         if kind == K.SEPARATE_RGBA:
             inp = by_slot.get(SlotId(0))
             if inp is not None and inp.is_rgba:
@@ -687,6 +699,12 @@ class CompiledGraph:
                 bindings[f"{prefix}noise_{nid}"] = noise_bindings(
                     node.node_type.payload
                 )
+            elif kind == K.GRADIENT_MAP:
+                from .ops.gradient import gradient_bindings
+
+                bindings[f"{prefix}grad_{nid}"] = gradient_bindings(
+                    node.node_type.payload
+                )
             elif kind == K.IMAGE:
                 try:
                     slot_image = image_io.read_slot_image(node.node_type.payload)
@@ -776,6 +794,11 @@ def _normalize_values(graph_json):
                 node = dict(node, node_type={"Noise": dict(
                     node_type["Noise"], cells=0, seed=0, persistence=0.0,
                 )})
+            elif "GradientMap" in node_type:
+                # stop VALUES are arguments; the COUNT shapes the trace
+                node = dict(node, node_type={"GradientMap": {
+                    "stops": [[0.0] * 5] * len(node_type["GradientMap"]["stops"]),
+                }})
             elif "Graph" in node_type:
                 node = dict(node, node_type={"Graph": _normalize_values(node_type["Graph"])})
         out["nodes"].append(node)
@@ -843,6 +866,12 @@ def collect_value_bindings(node_graph: NodeGraph, prefix: str = "") -> dict:
             from .ops.noise import noise_bindings
 
             bindings[f"{prefix}noise_{int(node.node_id)}"] = noise_bindings(
+                node.node_type.payload
+            )
+        elif kind == NodeTypeKind.GRADIENT_MAP:
+            from .ops.gradient import gradient_bindings
+
+            bindings[f"{prefix}grad_{int(node.node_id)}"] = gradient_bindings(
                 node.node_type.payload
             )
         elif kind == NodeTypeKind.GRAPH:

@@ -387,6 +387,14 @@ class LiveGraph:
             self.set_state(node_id, NodeState.DIRTY)
             self.node(node_id).cancel.store(True)
 
+    def set_gradient_map(self, node_id: NodeId, stops) -> None:
+        """Change a GradientMap node's stops and dirty it (extension node;
+        same-count stop edits re-run a cached program)."""
+        with self._lock:
+            self.node_graph.set_gradient_map(node_id, stops)
+            self.set_state(node_id, NodeState.DIRTY)
+            self.node(node_id).cancel.store(True)
+
     def set_image_node_path(self, node_id: NodeId, path) -> None:
         """Change an Image node's source path and dirty it
         (`node_graph.rs:65-83`)."""

@@ -184,6 +184,7 @@ class NodeTypeKind(enum.Enum):
     BLUR = "Blur"  # TPU-native extension: no reference counterpart
     LEVELS = "Levels"  # TPU-native extension: no reference counterpart
     NOISE = "Noise"  # TPU-native extension: no reference counterpart
+    GRADIENT_MAP = "GradientMap"  # TPU-native extension: no reference counterpart
 
 
 class NodeType:
@@ -285,6 +286,25 @@ class NodeType:
         )
 
     @staticmethod
+    def GradientMap(stops) -> "NodeType":
+        """Colorize ramp (extension node; see ops/gradient.py): gray →
+        RGBA through ≥2 color stops `(position, r, g, b, a)`, lerped per
+        segment. Stops are sorted by position here; their VALUES are
+        program arguments in every traced consumer (stop drags re-run
+        cached executables), only the stop COUNT shapes the trace."""
+        stops = tuple(
+            (float(s[0]), float(s[1]), float(s[2]), float(s[3]), float(s[4]))
+            for s in stops
+        )
+        if len(stops) < 2:
+            raise TexProError(
+                ErrorKind.GENERIC, "GradientMap needs at least 2 stops"
+            )
+        return NodeType(
+            NodeTypeKind.GRADIENT_MAP, tuple(sorted(stops, key=lambda s: s[0]))
+        )
+
+    @staticmethod
     def SeparateRgba() -> "NodeType":
         return NodeType(NodeTypeKind.SEPARATE_RGBA)
 
@@ -366,6 +386,8 @@ class NodeType:
             return {"Noise": {"width": p[0], "height": p[1], "cells": p[2],
                               "octaves": p[3], "seed": p[4],
                               "persistence": p[5]}}
+        if k == NodeTypeKind.GRADIENT_MAP:
+            return {"GradientMap": {"stops": [list(s) for s in self.payload]}}
         # newtype string payloads: InputGray/InputRgba/OutputGray/OutputRgba/Image/Write
         return {k.value: self.payload}
 
@@ -397,6 +419,8 @@ class NodeType:
                 payload["width"], payload["height"], payload["cells"],
                 payload["octaves"], payload["seed"], payload["persistence"],
             )
+        if kind == NodeTypeKind.GRADIENT_MAP:
+            return NodeType.GradientMap(payload["stops"])
         return NodeType(kind, payload)
 
 
@@ -485,7 +509,7 @@ class Node:
                 Slot("left", SlotId(0), SlotType.GRAY_OR_RGBA),
                 Slot("right", SlotId(1), SlotType.GRAY_OR_RGBA),
             ]
-        if k == K.HEIGHT_TO_NORMAL:
+        if k in (K.HEIGHT_TO_NORMAL, K.GRADIENT_MAP):
             return [Slot("input", SlotId(0), SlotType.GRAY)]
         if k in (K.BLUR, K.LEVELS):
             return [Slot("input", SlotId(0), SlotType.GRAY_OR_RGBA)]
@@ -519,7 +543,7 @@ class Node:
             return [Slot("output", SlotId(0), SlotType.GRAY)]
         if k == K.MIX:
             return [Slot("output", SlotId(0), SlotType.GRAY_OR_RGBA)]
-        if k == K.HEIGHT_TO_NORMAL:
+        if k in (K.HEIGHT_TO_NORMAL, K.GRADIENT_MAP):
             return [Slot("output", SlotId(0), SlotType.RGBA)]
         if k in (K.BLUR, K.LEVELS):
             return [Slot("output", SlotId(0), SlotType.GRAY_OR_RGBA)]

@@ -97,6 +97,12 @@ class NodeGraph:
             raise TexProError(ErrorKind.INVALID_NODE_ID)
         node.node_type = NodeType.Noise(width, height, cells, octaves, seed, persistence)
 
+    def set_gradient_map(self, node_id: NodeId, stops) -> None:
+        node = self._node_with_id_mut(node_id)
+        if node is None or node.node_type.kind != NodeTypeKind.GRADIENT_MAP:
+            raise TexProError(ErrorKind.INVALID_NODE_ID)
+        node.node_type = NodeType.GradientMap(stops)
+
     def set_image_node_path(self, node_id: NodeId, path: str) -> None:
         node = self._node_with_id_mut(node_id)
         if node is None or node.node_type.kind != NodeTypeKind.IMAGE:

@@ -16,7 +16,18 @@ from __future__ import annotations
 from ..errors import ErrorKind, TexProError
 from ..node import NodeTypeKind
 from ..slot_data import SlotData
-from . import blur, embed, graph_op, height_to_normal, inout, levels, mix, noise, separate_combine
+from . import (
+    blur,
+    embed,
+    gradient,
+    graph_op,
+    height_to_normal,
+    inout,
+    levels,
+    mix,
+    noise,
+    separate_combine,
+)
 from .resize import resize_buffers
 
 
@@ -65,6 +76,8 @@ def process_node_internal(node, slot_datas, embedded_slot_datas, input_slot_data
         output = levels.process(slot_datas, node)
     elif kind == K.NOISE:
         output = noise.process(node)
+    elif kind == K.GRADIENT_MAP:
+        output = gradient.process(slot_datas, node)
     elif kind == K.SEPARATE_RGBA:
         output = separate_combine.process_separate(slot_datas, node)
     elif kind == K.COMBINE_RGBA:

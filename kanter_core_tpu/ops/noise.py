@@ -34,6 +34,10 @@ engine's conventions and the TPU's strengths:
 
 Output: one Gray plane in [0, 1), height×width from the payload; consumers
 resize it per their resize policy like any other producer.
+
+Cost (measured, bench_ops `noise_fbm4` row, 4 octaves on chip): 0.037 ms at
+2048² / 0.35 ms at 4096² (48-114 Gpix/s) — ~1.7× a bare pointwise add, i.e.
+the 16 integer hashes + interp per pixel stay VPU-bound and cheap.
 """
 
 from __future__ import annotations

@@ -236,6 +236,11 @@ def node_recipe(node, input_recipes: list, live_graph) -> Optional[str]:
             struct.pack("<f", pers),
             input_recipes,
         )
+    if kind == K.GRADIENT_MAP:
+        import struct
+
+        packed = b"".join(struct.pack("<5f", *s) for s in node.node_type.payload)
+        return _h(base, packed, input_recipes)
     # HeightToNormal, SeparateRgba, CombineRgba, Output*
     if kind in (K.OUTPUT_GRAY, K.OUTPUT_RGBA):
         return _h(base, input_recipes)

@@ -70,6 +70,7 @@ TILEABLE_KINDS = frozenset(
         K.BLUR,
         K.LEVELS,
         K.NOISE,
+        K.GRADIENT_MAP,
         K.SEPARATE_RGBA,
         K.COMBINE_RGBA,
         K.EMBED,
@@ -256,6 +257,13 @@ def flatten_graph_nodes(graph, bindings, preset=None):
                 from .ops.noise import noise_bindings
 
                 extra_bindings[f"noise_{int(clone.node_id)}"] = noise_bindings(
+                    n.node_type.payload
+                )
+            elif kind == K.GRADIENT_MAP:
+                # stop-value edits keep the fingerprint too — bindings win
+                from .ops.gradient import gradient_bindings
+
+                extra_bindings[f"grad_{int(clone.node_id)}"] = gradient_bindings(
                     n.node_type.payload
                 )
             elif kind == K.IMAGE:
@@ -480,6 +488,13 @@ def infer_sizes(graph, bindings, preset=None) -> dict:
             if not info.inputs:
                 raise TexProError(ErrorKind.INVALID_BUFFER_COUNT, "Levels needs an input")
             info.out_planes[SlotId(0)] = in_planes(0)
+            info.out_size = info.working
+        elif kind == K.GRADIENT_MAP:
+            if not info.inputs or in_planes(0) != 1:
+                raise TexProError(
+                    ErrorKind.INVALID_BUFFER_COUNT, "GradientMap needs a Gray input"
+                )
+            info.out_planes[SlotId(0)] = 4
             info.out_size = info.working
         elif kind == K.SEPARATE_RGBA:
             inp = by_slot.get(SlotId(0))
@@ -773,6 +788,14 @@ class TiledEvaluator:
                     self.bindings.get(f"levels_{nid}", node.node_type.payload),
                     np.float32,
                 )
+            elif kind == K.GRADIENT_MAP:
+                gb = self.bindings.get(f"grad_{nid}")
+                if gb is None:
+                    from .ops.gradient import gradient_bindings
+
+                    gb = gradient_bindings(node.node_type.payload)
+                args[f"gdp_{nid}"] = gb["pos"]
+                args[f"gdc_{nid}"] = gb["colors"]
         return args
 
     # --- forward band evaluation (traced) ---
@@ -926,6 +949,15 @@ class TiledEvaluator:
                 env[(node_id, SlotId(0))] = ImgVal(
                     [levels_plane(p, params) for p in by_slot[SlotId(0)].planes]
                 )
+                continue
+
+            if kind == K.GRADIENT_MAP:
+                from .ops.gradient import gradient_planes
+
+                outs = gradient_planes(
+                    by_slot[SlotId(0)].planes[0], args[f"gdp_{nid}"], args[f"gdc_{nid}"]
+                )
+                env[(node_id, SlotId(0))] = ImgVal(list(outs))
                 continue
 
             if kind == K.SEPARATE_RGBA:

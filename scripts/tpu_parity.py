@@ -293,6 +293,21 @@ def _determinism_kernels():
     # FBM value noise: integer-hash lattice is exact everywhere; the float
     # interp path uses nc_mul + the gated div, so 0 diffs expected
     cases.append(("noise_fbm", _noise_row, 0))
+
+    def _gradient_row():
+        from kanter_core_tpu.ops.gradient import gradient_bindings, gradient_planes
+
+        b = gradient_bindings((
+            (0.0, 0.05, 0.1, 0.3, 1.0),
+            (0.35, 0.8, 0.5, 0.2, 1.0),
+            (0.7, 0.95, 0.9, 0.6, 0.9),
+            (1.0, 1.0, 1.0, 1.0, 1.0),
+        ))
+        return jax.jit(gradient_planes)(src, b["pos"], b["colors"])
+
+    # segment select + lerp: corrected_div (runtime divisors) + nc_mul,
+    # so 0 diffs expected
+    cases.append(("gradient_map", _gradient_row, 0))
     from kanter_core_tpu.slot_image import _jitted_converters
 
     sweep = (np.arange(65536, dtype=np.float32) / 65535.0).reshape(256, 256)

@@ -179,6 +179,19 @@ def _build_random_graph(seed: int, allow_graph_nodes: bool = True) -> tuple[Node
         graph.connect(noise_id, mix_id, SlotId(0), SlotId(0))
         graph.connect(nsrc[0], mix_id, nsrc[1], SlotId(1))
 
+    # GradientMap coverage (separate rng, appended): colorize a random gray
+    # producer through 2-5 random stops
+    grng = np.random.default_rng(seed * 15485863 + 3)
+    gsrc = pick(SlotType.GRAY, r=grng)
+    if gsrc is not None:
+        n_stops = int(grng.integers(2, 6))
+        pos = np.sort(grng.random(n_stops))
+        stops = [
+            (float(p), *(float(v) for v in grng.random(4))) for p in pos
+        ]
+        gm_id = add(Node(NodeType.GradientMap(stops)), [(SlotId(0), SlotType.RGBA)])
+        graph.connect(gsrc[0], gm_id, gsrc[1], SlotId(0))
+
     # terminal outputs: one per leaf-ish producer kind
     targets = []
     gray = pick(SlotType.GRAY)
