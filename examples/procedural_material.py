@@ -4,8 +4,14 @@ one seamlessly-tiling FBM noise source, in one fused dirty-tracked graph.
 
 Demonstrates the parameter-as-argument design end to end: cycling the
 noise seed, dragging the contrast (Levels), and recoloring the ramp
-(GradientMap) all re-render WITHOUT a single recompile — the program
-fingerprint normalizes every edited field out.
+(GradientMap) each re-render through a cached program — the program
+fingerprint normalizes every edited field out. Note the granularity:
+the FIRST edit of a given dirty-shape compiles that partition once
+(a clean upstream node becomes a partition INPUT instead of being
+recomputed), and a GradientMap edit that changes the stop COUNT
+reshapes the trace; every subsequent drag of the same shape is
+argument-only and reuses the executable, so each edit below is timed
+on its second application.
 
 Run:  python examples/procedural_material.py [out_dir] [size]
 """
@@ -85,15 +91,28 @@ def main():
         save_rgba_png(os.path.join(OUT_DIR, f"{name}.png"), px, Size(SIZE, SIZE))
     print(f"first render (compile + eval): {time.perf_counter() - t0:.2f}s → {OUT_DIR}")
 
-    # every interactive edit below reuses the SAME compiled program
+    # each pair: a WARM edit (first of its dirty-shape — may compile that
+    # partition once) then the measured DRAG (argument-only, cached program)
+    MOSS_DRAG = [(p, r * 1.1, g_, b, a) for (p, r, g_, b, a) in MOSS_RAMP]
     edits = [
-        ("seed cycle", lambda g: g.set_noise(noise, SIZE, SIZE, 6, 5, 2, 0.55)),
-        ("contrast drag", lambda g: g.set_levels(contrast, 0.15, 0.85, 1.1, 0.0, 1.0)),
-        ("recolor to moss", lambda g: g.set_gradient_map(albedo, MOSS_RAMP)),
+        ("seed cycle",
+         lambda g: g.set_noise(noise, SIZE, SIZE, 6, 5, 2, 0.55),
+         lambda g: g.set_noise(noise, SIZE, SIZE, 6, 5, 3, 0.55)),
+        ("contrast drag",
+         lambda g: g.set_levels(contrast, 0.15, 0.85, 1.1, 0.0, 1.0),
+         lambda g: g.set_levels(contrast, 0.20, 0.80, 1.2, 0.0, 1.0)),
+        ("moss recolor",
+         lambda g: g.set_gradient_map(albedo, MOSS_RAMP),
+         lambda g: g.set_gradient_map(albedo, MOSS_DRAG)),
     ]
-    for label, edit in edits:
+    for label, warm, drag in edits:
         with lg.write() as g:
-            edit(g)
+            warm(g)
+        t0 = time.perf_counter()
+        TextureProcessor.buffer_rgba(lg, outs["albedo"], SlotId(0))
+        warm_ms = (time.perf_counter() - t0) * 1000
+        with lg.write() as g:
+            drag(g)
         t0 = time.perf_counter()
         px = TextureProcessor.buffer_rgba(lg, outs["albedo"], SlotId(0))
         dt = (time.perf_counter() - t0) * 1000
@@ -102,7 +121,8 @@ def main():
             px,
             Size(SIZE, SIZE),
         )
-        print(f"{label}: re-render {dt:.1f} ms (cached program, argument-only edit)")
+        print(f"{label}: first-of-shape {warm_ms:.1f} ms, "
+              f"drag {dt:.1f} ms (cached program, argument-only)")
 
     tp.shutdown_now()
 

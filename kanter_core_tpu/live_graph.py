@@ -376,6 +376,14 @@ class LiveGraph:
             self.set_state(node_id, NodeState.DIRTY)
             self.node(node_id).cancel.store(True)
 
+    def set_levels(self, node_id: NodeId, in_lo, in_hi, gamma, out_lo, out_hi) -> None:
+        """Change a Levels node's remap parameters and dirty it (extension
+        node; slider drags re-run a cached program)."""
+        with self._lock:
+            self.node_graph.set_levels(node_id, in_lo, in_hi, gamma, out_lo, out_hi)
+            self.set_state(node_id, NodeState.DIRTY)
+            self.node(node_id).cancel.store(True)
+
     def set_noise(self, node_id: NodeId, width, height, cells=8, octaves=4,
                   seed=0, persistence=0.5) -> None:
         """Change a Noise node's parameters and dirty it (extension node;

@@ -118,13 +118,21 @@ def test_levels_slider_drag_reuses_program():
         renders = [render_u8(lg, out)]
         for i, gamma in enumerate((0.5, 0.8, 1.4, 2.7)):
             with lg.write() as gg:
-                gg.node_graph.set_levels(lv, 0.1, 0.9, gamma, 0.0, 1.0)
-                gg.set_state(lv, NodeState.DIRTY)
+                # the LiveGraph wrapper dirties + cancels in one locked step
+                gg.set_levels(lv, 0.1, 0.9, gamma, 0.0, 1.0)
+                assert gg.node_state(lv) == NodeState.DIRTY
             renders.append(render_u8(lg, out))
         for a, b in zip(renders, renders[1:]):
             assert not np.array_equal(a, b), "levels edit did not change pixels"
         # one program for the initial full partition + one for the edited
         # sub-partition (img clean boundary) — NOT one per slider tick
         assert len(tp.engine._fused_programs) == 2
+        import pytest
+
+        from kanter_core_tpu.errors import TexProError
+
+        with lg.write() as gg:
+            with pytest.raises(TexProError):
+                gg.set_levels(out, 0.1, 0.9, 1.0, 0.0, 1.0)  # not a Levels node
     finally:
         tp.shutdown_now()
