@@ -55,7 +55,8 @@ BUCKETABLE_KINDS = frozenset(
     {
         K.VALUE, K.IMAGE, K.INPUT_GRAY, K.INPUT_RGBA, K.EMBED,
         K.OUTPUT_GRAY, K.OUTPUT_RGBA, K.MIX, K.HEIGHT_TO_NORMAL, K.BLUR,
-        K.LEVELS, K.NOISE, K.GRADIENT_MAP, K.SEPARATE_RGBA, K.COMBINE_RGBA,
+        K.LEVELS, K.NOISE, K.GRADIENT_MAP, K.TRANSFORM, K.SEPARATE_RGBA,
+        K.COMBINE_RGBA,
     }
 )
 
@@ -506,6 +507,20 @@ class BucketedGraph:
                 gb = gradient_bindings(node.node_type.payload)
                 args[f"gdp_{nid}"] = gb["pos"]
                 args[f"gdc_{nid}"] = gb["colors"]
+            elif kind == K.TRANSFORM:
+                from .ops.transform import transform_bindings
+
+                xb = transform_bindings(node.node_type.payload)
+                args[f"xfcs_{nid}"] = xb["cs"]
+                args[f"xfis_{nid}"] = xb["inv_s"]
+                args[f"xfof_{nid}"] = xb["off"]
+                # padded GLOBAL output index vectors + LOGICAL wrap extents
+                # as runtime scalars: size drags within a bucket reuse the
+                # program; wrapped gathers never touch pad texels
+                args[f"xfr_{nid}"] = _pad1(np.arange(th), ph_)
+                args[f"xfc_{nid}"] = _pad1(np.arange(tw), pw_)
+                args[f"xfh_{nid}"] = np.int32(th)
+                args[f"xfw_{nid}"] = np.int32(tw)
         return args
 
     def _plane_shape(self, pid, kind, size: Size, B: int) -> tuple:
@@ -712,6 +727,18 @@ class BucketedGraph:
 
                 outs = gradient_planes(
                     by_slot[SlotId(0)].planes[0], args[f"gdp_{nid}"], args[f"gdc_{nid}"]
+                )
+                env[(node_id, SlotId(0))] = ImgVal(shard(list(outs)))
+                continue
+
+            if kind == K.TRANSFORM:
+                from .ops.transform import transform_planes
+
+                outs = transform_planes(
+                    by_slot[SlotId(0)].planes,
+                    args[f"xfr_{nid}"], args[f"xfc_{nid}"],
+                    args[f"xfcs_{nid}"], args[f"xfis_{nid}"], args[f"xfof_{nid}"],
+                    args[f"xfh_{nid}"], args[f"xfw_{nid}"],
                 )
                 env[(node_id, SlotId(0))] = ImgVal(shard(list(outs)))
                 continue

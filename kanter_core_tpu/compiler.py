@@ -462,6 +462,25 @@ class GraphCompiler:
             outs = gradient_planes(inp.planes[0], b["pos"], b["colors"])
             return [(SlotId(0), ImgVal(list(outs)))]
 
+        if kind == K.TRANSFORM:
+            import numpy as _np
+
+            from .ops.transform import transform_planes
+
+            inp = by_slot.get(SlotId(0))
+            if inp is None:
+                raise TexProError(
+                    ErrorKind.INVALID_BUFFER_COUNT, "Transform needs an input"
+                )
+            b = args[f"{prefix}xform_{nid}"]
+            h, w = inp.planes[0].shape
+            outs = transform_planes(
+                inp.planes,
+                _np.arange(h, dtype=_np.int32), _np.arange(w, dtype=_np.int32),
+                b["cs"], b["inv_s"], b["off"], h, w,
+            )
+            return [(SlotId(0), ImgVal(list(outs)))]
+
         if kind == K.SEPARATE_RGBA:
             inp = by_slot.get(SlotId(0))
             if inp is not None and inp.is_rgba:
@@ -705,6 +724,12 @@ class CompiledGraph:
                 bindings[f"{prefix}grad_{nid}"] = gradient_bindings(
                     node.node_type.payload
                 )
+            elif kind == K.TRANSFORM:
+                from .ops.transform import transform_bindings
+
+                bindings[f"{prefix}xform_{nid}"] = transform_bindings(
+                    node.node_type.payload
+                )
             elif kind == K.IMAGE:
                 try:
                     slot_image = image_io.read_slot_image(node.node_type.payload)
@@ -799,6 +824,11 @@ def _normalize_values(graph_json):
                 node = dict(node, node_type={"GradientMap": {
                     "stops": [[0.0] * 5] * len(node_type["GradientMap"]["stops"]),
                 }})
+            elif "Transform" in node_type:
+                node = dict(node, node_type={"Transform": {
+                    "offset_x": 0.0, "offset_y": 0.0, "rotation": 0.0,
+                    "scale_x": 0.0, "scale_y": 0.0,
+                }})
             elif "Graph" in node_type:
                 node = dict(node, node_type={"Graph": _normalize_values(node_type["Graph"])})
         out["nodes"].append(node)
@@ -872,6 +902,12 @@ def collect_value_bindings(node_graph: NodeGraph, prefix: str = "") -> dict:
             from .ops.gradient import gradient_bindings
 
             bindings[f"{prefix}grad_{int(node.node_id)}"] = gradient_bindings(
+                node.node_type.payload
+            )
+        elif kind == NodeTypeKind.TRANSFORM:
+            from .ops.transform import transform_bindings
+
+            bindings[f"{prefix}xform_{int(node.node_id)}"] = transform_bindings(
                 node.node_type.payload
             )
         elif kind == NodeTypeKind.GRAPH:

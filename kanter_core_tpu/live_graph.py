@@ -395,6 +395,17 @@ class LiveGraph:
             self.set_state(node_id, NodeState.DIRTY)
             self.node(node_id).cancel.store(True)
 
+    def set_transform(self, node_id: NodeId, offset_x, offset_y, rotation,
+                      scale_x, scale_y) -> None:
+        """Change a Transform node's placement and dirty it (extension
+        node; drags re-run a cached program)."""
+        with self._lock:
+            self.node_graph.set_transform(
+                node_id, offset_x, offset_y, rotation, scale_x, scale_y
+            )
+            self.set_state(node_id, NodeState.DIRTY)
+            self.node(node_id).cancel.store(True)
+
     def set_gradient_map(self, node_id: NodeId, stops) -> None:
         """Change a GradientMap node's stops and dirty it (extension node;
         same-count stop edits re-run a cached program)."""

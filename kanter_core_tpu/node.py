@@ -185,6 +185,7 @@ class NodeTypeKind(enum.Enum):
     LEVELS = "Levels"  # TPU-native extension: no reference counterpart
     NOISE = "Noise"  # TPU-native extension: no reference counterpart
     GRADIENT_MAP = "GradientMap"  # TPU-native extension: no reference counterpart
+    TRANSFORM = "Transform"  # TPU-native extension: no reference counterpart
 
 
 class NodeType:
@@ -305,6 +306,21 @@ class NodeType:
         )
 
     @staticmethod
+    def Transform(offset_x: float = 0.0, offset_y: float = 0.0,
+                  rotation: float = 0.0, scale_x: float = 1.0,
+                  scale_y: float = 1.0) -> "NodeType":
+        """Affine placement (extension node; see ops/transform.py): rotate
+        by `rotation` degrees and scale around the canvas center, then
+        translate by `(offset_x, offset_y)` pixels; samples bilinearly with
+        toroidal wrap. All five parameters are program arguments in every
+        traced consumer (drags re-run cached executables)."""
+        return NodeType(
+            NodeTypeKind.TRANSFORM,
+            (float(offset_x), float(offset_y), float(rotation),
+             float(scale_x), float(scale_y)),
+        )
+
+    @staticmethod
     def SeparateRgba() -> "NodeType":
         return NodeType(NodeTypeKind.SEPARATE_RGBA)
 
@@ -388,6 +404,11 @@ class NodeType:
                               "persistence": p[5]}}
         if k == NodeTypeKind.GRADIENT_MAP:
             return {"GradientMap": {"stops": [list(s) for s in self.payload]}}
+        if k == NodeTypeKind.TRANSFORM:
+            p = self.payload
+            return {"Transform": {"offset_x": p[0], "offset_y": p[1],
+                                  "rotation": p[2], "scale_x": p[3],
+                                  "scale_y": p[4]}}
         # newtype string payloads: InputGray/InputRgba/OutputGray/OutputRgba/Image/Write
         return {k.value: self.payload}
 
@@ -421,6 +442,11 @@ class NodeType:
             )
         if kind == NodeTypeKind.GRADIENT_MAP:
             return NodeType.GradientMap(payload["stops"])
+        if kind == NodeTypeKind.TRANSFORM:
+            return NodeType.Transform(
+                payload["offset_x"], payload["offset_y"], payload["rotation"],
+                payload["scale_x"], payload["scale_y"],
+            )
         return NodeType(kind, payload)
 
 
@@ -511,7 +537,7 @@ class Node:
             ]
         if k in (K.HEIGHT_TO_NORMAL, K.GRADIENT_MAP):
             return [Slot("input", SlotId(0), SlotType.GRAY)]
-        if k in (K.BLUR, K.LEVELS):
+        if k in (K.BLUR, K.LEVELS, K.TRANSFORM):
             return [Slot("input", SlotId(0), SlotType.GRAY_OR_RGBA)]
         if k == K.SEPARATE_RGBA:
             return [Slot("input", SlotId(0), SlotType.RGBA)]
@@ -545,7 +571,7 @@ class Node:
             return [Slot("output", SlotId(0), SlotType.GRAY_OR_RGBA)]
         if k in (K.HEIGHT_TO_NORMAL, K.GRADIENT_MAP):
             return [Slot("output", SlotId(0), SlotType.RGBA)]
-        if k in (K.BLUR, K.LEVELS):
+        if k in (K.BLUR, K.LEVELS, K.TRANSFORM):
             return [Slot("output", SlotId(0), SlotType.GRAY_OR_RGBA)]
         if k == K.SEPARATE_RGBA:
             return [

@@ -97,6 +97,15 @@ class NodeGraph:
             raise TexProError(ErrorKind.INVALID_NODE_ID)
         node.node_type = NodeType.Noise(width, height, cells, octaves, seed, persistence)
 
+    def set_transform(self, node_id: NodeId, offset_x, offset_y, rotation,
+                      scale_x, scale_y) -> None:
+        node = self._node_with_id_mut(node_id)
+        if node is None or node.node_type.kind != NodeTypeKind.TRANSFORM:
+            raise TexProError(ErrorKind.INVALID_NODE_ID)
+        node.node_type = NodeType.Transform(
+            offset_x, offset_y, rotation, scale_x, scale_y
+        )
+
     def set_gradient_map(self, node_id: NodeId, stops) -> None:
         node = self._node_with_id_mut(node_id)
         if node is None or node.node_type.kind != NodeTypeKind.GRADIENT_MAP:

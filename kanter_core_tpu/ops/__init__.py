@@ -27,6 +27,7 @@ from . import (
     mix,
     noise,
     separate_combine,
+    transform,
 )
 from .resize import resize_buffers
 
@@ -78,6 +79,8 @@ def process_node_internal(node, slot_datas, embedded_slot_datas, input_slot_data
         output = noise.process(node)
     elif kind == K.GRADIENT_MAP:
         output = gradient.process(slot_datas, node)
+    elif kind == K.TRANSFORM:
+        output = transform.process(slot_datas, node)
     elif kind == K.SEPARATE_RGBA:
         output = separate_combine.process_separate(slot_datas, node)
     elif kind == K.COMBINE_RGBA:

@@ -241,6 +241,10 @@ def node_recipe(node, input_recipes: list, live_graph) -> Optional[str]:
 
         packed = b"".join(struct.pack("<5f", *s) for s in node.node_type.payload)
         return _h(base, packed, input_recipes)
+    if kind == K.TRANSFORM:
+        import struct
+
+        return _h(base, struct.pack("<5f", *node.node_type.payload), input_recipes)
     # HeightToNormal, SeparateRgba, CombineRgba, Output*
     if kind in (K.OUTPUT_GRAY, K.OUTPUT_RGBA):
         return _h(base, input_recipes)

@@ -71,6 +71,7 @@ TILEABLE_KINDS = frozenset(
         K.LEVELS,
         K.NOISE,
         K.GRADIENT_MAP,
+        K.TRANSFORM,
         K.SEPARATE_RGBA,
         K.COMBINE_RGBA,
         K.EMBED,
@@ -264,6 +265,12 @@ def flatten_graph_nodes(graph, bindings, preset=None):
                 from .ops.gradient import gradient_bindings
 
                 extra_bindings[f"grad_{int(clone.node_id)}"] = gradient_bindings(
+                    n.node_type.payload
+                )
+            elif kind == K.TRANSFORM:
+                from .ops.transform import transform_bindings
+
+                extra_bindings[f"xform_{int(clone.node_id)}"] = transform_bindings(
                     n.node_type.payload
                 )
             elif kind == K.IMAGE:
@@ -496,6 +503,13 @@ def infer_sizes(graph, bindings, preset=None) -> dict:
                 )
             info.out_planes[SlotId(0)] = 4
             info.out_size = info.working
+        elif kind == K.TRANSFORM:
+            if not info.inputs:
+                raise TexProError(
+                    ErrorKind.INVALID_BUFFER_COUNT, "Transform needs an input"
+                )
+            info.out_planes[SlotId(0)] = in_planes(0)
+            info.out_size = info.working
         elif kind == K.SEPARATE_RGBA:
             inp = by_slot.get(SlotId(0))
             if inp is not None and in_planes(0) == 4:
@@ -552,6 +566,12 @@ def _expand_rows(info: _Info, rows: np.ndarray) -> np.ndarray:
         h = info.out_size.height
         offs = np.arange(-radius, radius + 1)
         return np.unique((rows[:, None] + offs[None, :]).ravel() % h)
+    if kind == K.TRANSFORM:
+        # affine wrap sampling is global: any output row may gather any
+        # input row (rotation), so the band hoists the FULL input height.
+        # Correct but band-dense on this node's input — ancestors
+        # re-evaluate every band (documented in the op's module docstring).
+        return np.arange(info.working.height)
     return rows
 
 
@@ -796,6 +816,18 @@ class TiledEvaluator:
                     gb = gradient_bindings(node.node_type.payload)
                 args[f"gdp_{nid}"] = gb["pos"]
                 args[f"gdc_{nid}"] = gb["colors"]
+            elif kind == K.TRANSFORM:
+                xb = self.bindings.get(f"xform_{nid}")
+                if xb is None:
+                    from .ops.transform import transform_bindings
+
+                    xb = transform_bindings(node.node_type.payload)
+                # the band's GLOBAL output rows; the input gather above
+                # already hoisted the full working height (`_expand_rows`)
+                args[f"xfr_{nid}"] = rows.astype(np.int32)
+                args[f"xfcs_{nid}"] = xb["cs"]
+                args[f"xfis_{nid}"] = xb["inv_s"]
+                args[f"xfof_{nid}"] = xb["off"]
         return args
 
     # --- forward band evaluation (traced) ---
@@ -956,6 +988,21 @@ class TiledEvaluator:
 
                 outs = gradient_planes(
                     by_slot[SlotId(0)].planes[0], args[f"gdp_{nid}"], args[f"gdc_{nid}"]
+                )
+                env[(node_id, SlotId(0))] = ImgVal(list(outs))
+                continue
+
+            if kind == K.TRANSFORM:
+                import numpy as _np
+
+                from .ops.transform import transform_planes
+
+                outs = transform_planes(
+                    by_slot[SlotId(0)].planes,  # full working height (gathered)
+                    args[f"xfr_{nid}"],
+                    _np.arange(info.working.width, dtype=_np.int32),
+                    args[f"xfcs_{nid}"], args[f"xfis_{nid}"], args[f"xfof_{nid}"],
+                    info.working.height, info.working.width,
                 )
                 env[(node_id, SlotId(0))] = ImgVal(list(outs))
                 continue

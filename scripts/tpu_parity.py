@@ -308,6 +308,27 @@ def _determinism_kernels():
     # segment select + lerp: corrected_div (runtime divisors) + nc_mul,
     # so 0 diffs expected
     cases.append(("gradient_map", _gradient_row, 0))
+
+    def _transform_row():
+        import numpy as _np
+
+        from kanter_core_tpu.ops.transform import (
+            transform_bindings,
+            transform_planes,
+        )
+
+        b = transform_bindings((7.25, -3.5, 33.0, 1.3, 0.8))
+        h, w = src.shape
+        out, = jax.jit(transform_planes, static_argnums=(6, 7))(
+            (src,),
+            _np.arange(h, dtype=_np.int32), _np.arange(w, dtype=_np.int32),
+            b["cs"], b["inv_s"], b["off"], h, w,
+        )
+        return out
+
+    # affine wrap-sample: host-side trig/reciprocals, nc_mul coordinate
+    # chain, barriered wrap extents, no in-trace division → 0 diffs
+    cases.append(("transform_affine", _transform_row, 0))
     from kanter_core_tpu.slot_image import _jitted_converters
 
     sweep = (np.arange(65536, dtype=np.float32) / 65535.0).reshape(256, 256)

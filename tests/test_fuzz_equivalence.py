@@ -192,6 +192,21 @@ def _build_random_graph(seed: int, allow_graph_nodes: bool = True) -> tuple[Node
         gm_id = add(Node(NodeType.GradientMap(stops)), [(SlotId(0), SlotType.RGBA)])
         graph.connect(gsrc[0], gm_id, gsrc[1], SlotId(0))
 
+    # Transform coverage (separate rng, appended): affine-place a random
+    # gray-or-rgba producer with random offset/rotation/scale
+    xrng = np.random.default_rng(seed * 22801763 + 9)
+    xsrc = pick(SlotType.GRAY_OR_RGBA, r=xrng)
+    if xsrc is not None:
+        xf_id = add(
+            Node(NodeType.Transform(
+                float(xrng.uniform(-40, 40)), float(xrng.uniform(-40, 40)),
+                float(xrng.uniform(0, 360)),
+                float(xrng.uniform(0.4, 2.5)), float(xrng.uniform(0.4, 2.5)),
+            )),
+            [(SlotId(0), SlotType.GRAY_OR_RGBA)],
+        )
+        graph.connect(xsrc[0], xf_id, xsrc[1], SlotId(0))
+
     # terminal outputs: one per leaf-ish producer kind
     targets = []
     gray = pick(SlotType.GRAY)
