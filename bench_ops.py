@@ -172,6 +172,31 @@ def stages(canvas: int):
         8, 32, 0.25,
     )
 
+    # --- directional warp (strength read + 4-neighbor gathered input read
+    #     + out write; traffic model counts the input once, so the GB/s is
+    #     a LOWER bound — judge against gather_rows_calib, not the copy
+    #     roofline). The scan value shifts the strength field, so every
+    #     iteration gathers a different displacement pattern. ---
+    from kanter_core_tpu.ops.warp import warp_bindings, warp_planes
+
+    wb = warp_bindings((57.0, 24.0))
+    warp_rows = np.arange(canvas, dtype=np.int32)
+
+    def warp_body(c, ps):
+        return warp_planes(
+            (ps[0],), (ps[1] + c) % 1.0, warp_rows, warp_rows,
+            ps[2], canvas, canvas,
+        )
+
+    yield (
+        "warp_directional",
+        warp_body,
+        (p1, p2, wb["k"]),
+        3 * plane_bytes,
+        canvas * canvas,
+        8, 32, 0.25,
+    )
+
     # --- resample up ×2 and down ×2, Triangle + Lanczos3
     #     (traffic: in read + tmp[outH,inW] write+read + out write) ---
     for filt, fname in ((ResizeFilter.TRIANGLE, "tri"), (ResizeFilter.LANCZOS3, "lcz")):

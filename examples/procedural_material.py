@@ -79,8 +79,14 @@ def main():
         ao = g.add_node(Node(NodeType.Mix(MixType.SUBTRACT)))
         g.connect(white, ao, SlotId(0), SlotId(0))
         g.connect(blur, ao, SlotId(0), SlotId(1))
+        # surface detail: a second noise field directionally warps the
+        # albedo (crevice colors smear along one slope direction)
+        detail = g.add_node(Node(NodeType.Noise(SIZE, SIZE, 9, 3, seed=7, persistence=0.5)))
+        warp = g.add_node(Node(NodeType.Warp(120.0, max(2.0, SIZE / 64.0))))
+        g.connect(albedo, warp, SlotId(0), SlotId(0))
+        g.connect(detail, warp, SlotId(0), SlotId(1))
         outs = {}
-        for name, src in (("albedo", albedo), ("normal", normal), ("ao", ao)):
+        for name, src in (("albedo", warp), ("normal", normal), ("ao", ao)):
             out = g.add_node(Node(NodeType.OutputRgba(name)))
             g.connect(src, out, SlotId(0), SlotId(0))
             outs[name] = out
@@ -104,6 +110,9 @@ def main():
         ("moss recolor",
          lambda g: g.set_gradient_map(albedo, MOSS_RAMP),
          lambda g: g.set_gradient_map(albedo, MOSS_DRAG)),
+        ("warp drag",
+         lambda g: g.set_warp(warp, 120.0, 3.0),
+         lambda g: g.set_warp(warp, 135.0, 5.5)),
     ]
     for label, warm, drag in edits:
         with lg.write() as g:

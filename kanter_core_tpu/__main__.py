@@ -71,6 +71,24 @@ def _cmd_render(args) -> int:
                 lg.node_graph.set_levels(NodeId(int(node_id)), *parts)
                 lg.set_state(NodeId(int(node_id)), NodeState.DIRTY)
 
+            for spec in args.warp or []:
+                node_id, _, csv = spec.partition("=")
+                parts = [float(x) for x in csv.split(",")]
+                if len(parts) != 2:
+                    print("error: --warp NODE_ID=angle,intensity",
+                          file=sys.stderr)
+                    return 2
+                lg.set_warp(NodeId(int(node_id)), *parts)
+
+            for spec in args.transform or []:
+                node_id, _, csv = spec.partition("=")
+                parts = [float(x) for x in csv.split(",")]
+                if len(parts) != 5:
+                    print("error: --transform NODE_ID=offset_x,offset_y,"
+                          "rotation,scale_x,scale_y", file=sys.stderr)
+                    return 2
+                lg.set_transform(NodeId(int(node_id)), *parts)
+
             for spec in args.value or []:
                 node_id, _, value = spec.partition("=")
                 node = lg.node_mut(NodeId(int(node_id)))
@@ -133,6 +151,15 @@ def main(argv=None) -> int:
         "--levels", action="append",
         metavar="NODE_ID=in_lo,in_hi,gamma,out_lo,out_hi",
         help="override a Levels node's parameters",
+    )
+    p_render.add_argument(
+        "--warp", action="append", metavar="NODE_ID=angle,intensity",
+        help="override a Warp node's parameters",
+    )
+    p_render.add_argument(
+        "--transform", action="append",
+        metavar="NODE_ID=offset_x,offset_y,rotation,scale_x,scale_y",
+        help="override a Transform node's placement",
     )
     p_render.add_argument("--srgb", action="store_true", help="export via sRGB conversion")
     p_render.add_argument("--memory-threshold", type=int, default=1 << 31)

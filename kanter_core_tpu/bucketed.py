@@ -55,8 +55,8 @@ BUCKETABLE_KINDS = frozenset(
     {
         K.VALUE, K.IMAGE, K.INPUT_GRAY, K.INPUT_RGBA, K.EMBED,
         K.OUTPUT_GRAY, K.OUTPUT_RGBA, K.MIX, K.HEIGHT_TO_NORMAL, K.BLUR,
-        K.LEVELS, K.NOISE, K.GRADIENT_MAP, K.TRANSFORM, K.SEPARATE_RGBA,
-        K.COMBINE_RGBA,
+        K.LEVELS, K.NOISE, K.GRADIENT_MAP, K.TRANSFORM, K.WARP,
+        K.SEPARATE_RGBA, K.COMBINE_RGBA,
     }
 )
 
@@ -521,6 +521,18 @@ class BucketedGraph:
                 args[f"xfc_{nid}"] = _pad1(np.arange(tw), pw_)
                 args[f"xfh_{nid}"] = np.int32(th)
                 args[f"xfw_{nid}"] = np.int32(tw)
+            elif kind == K.WARP:
+                from .ops.warp import warp_bindings
+
+                wb = warp_bindings(node.node_type.payload)
+                args[f"wpk_{nid}"] = wb["k"]
+                # same padded-index/runtime-extent scheme as Transform; the
+                # strength map is used POSITIONALLY (padded plane, aligned
+                # grid), so pad texels only ever produce pad outputs
+                args[f"wpr_{nid}"] = _pad1(np.arange(th), ph_)
+                args[f"wpc_{nid}"] = _pad1(np.arange(tw), pw_)
+                args[f"wph_{nid}"] = np.int32(th)
+                args[f"wpw_{nid}"] = np.int32(tw)
         return args
 
     def _plane_shape(self, pid, kind, size: Size, B: int) -> tuple:
@@ -739,6 +751,24 @@ class BucketedGraph:
                     args[f"xfr_{nid}"], args[f"xfc_{nid}"],
                     args[f"xfcs_{nid}"], args[f"xfis_{nid}"], args[f"xfof_{nid}"],
                     args[f"xfh_{nid}"], args[f"xfw_{nid}"],
+                )
+                env[(node_id, SlotId(0))] = ImgVal(shard(list(outs)))
+                continue
+
+            if kind == K.WARP:
+                from .ops.warp import warp_planes
+
+                strength = by_slot.get(SlotId(1))
+                if strength is None:
+                    # pass-through alias, like the other consumers
+                    env[(node_id, SlotId(0))] = by_slot[SlotId(0)]
+                    continue
+                outs = warp_planes(
+                    by_slot[SlotId(0)].planes,
+                    strength.planes[0],  # padded, positionally aligned
+                    args[f"wpr_{nid}"], args[f"wpc_{nid}"],
+                    args[f"wpk_{nid}"],
+                    args[f"wph_{nid}"], args[f"wpw_{nid}"],
                 )
                 env[(node_id, SlotId(0))] = ImgVal(shard(list(outs)))
                 continue

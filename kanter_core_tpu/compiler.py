@@ -481,6 +481,29 @@ class GraphCompiler:
             )
             return [(SlotId(0), ImgVal(list(outs)))]
 
+        if kind == K.WARP:
+            import numpy as _np
+
+            from .ops.warp import warp_planes
+
+            inp = by_slot.get(SlotId(0))
+            if inp is None:
+                raise TexProError(
+                    ErrorKind.INVALID_BUFFER_COUNT, "Warp needs an input"
+                )
+            strength = by_slot.get(SlotId(1))
+            if strength is None:
+                # dangling strength ⇒ pass-through ALIAS (same ImgVal planes)
+                return [(SlotId(0), inp)]
+            b = args[f"{prefix}warp_{nid}"]
+            h, w = inp.planes[0].shape
+            outs = warp_planes(
+                inp.planes, strength.planes[0],
+                _np.arange(h, dtype=_np.int32), _np.arange(w, dtype=_np.int32),
+                b["k"], h, w,
+            )
+            return [(SlotId(0), ImgVal(list(outs)))]
+
         if kind == K.SEPARATE_RGBA:
             inp = by_slot.get(SlotId(0))
             if inp is not None and inp.is_rgba:
@@ -730,6 +753,12 @@ class CompiledGraph:
                 bindings[f"{prefix}xform_{nid}"] = transform_bindings(
                     node.node_type.payload
                 )
+            elif kind == K.WARP:
+                from .ops.warp import warp_bindings
+
+                bindings[f"{prefix}warp_{nid}"] = warp_bindings(
+                    node.node_type.payload
+                )
             elif kind == K.IMAGE:
                 try:
                     slot_image = image_io.read_slot_image(node.node_type.payload)
@@ -829,6 +858,10 @@ def _normalize_values(graph_json):
                     "offset_x": 0.0, "offset_y": 0.0, "rotation": 0.0,
                     "scale_x": 0.0, "scale_y": 0.0,
                 }})
+            elif "Warp" in node_type:
+                node = dict(node, node_type={"Warp": {
+                    "angle": 0.0, "intensity": 0.0,
+                }})
             elif "Graph" in node_type:
                 node = dict(node, node_type={"Graph": _normalize_values(node_type["Graph"])})
         out["nodes"].append(node)
@@ -908,6 +941,12 @@ def collect_value_bindings(node_graph: NodeGraph, prefix: str = "") -> dict:
             from .ops.transform import transform_bindings
 
             bindings[f"{prefix}xform_{int(node.node_id)}"] = transform_bindings(
+                node.node_type.payload
+            )
+        elif kind == NodeTypeKind.WARP:
+            from .ops.warp import warp_bindings
+
+            bindings[f"{prefix}warp_{int(node.node_id)}"] = warp_bindings(
                 node.node_type.payload
             )
         elif kind == NodeTypeKind.GRAPH:

@@ -406,6 +406,14 @@ class LiveGraph:
             self.set_state(node_id, NodeState.DIRTY)
             self.node(node_id).cancel.store(True)
 
+    def set_warp(self, node_id: NodeId, angle, intensity) -> None:
+        """Change a Warp node's direction/intensity and dirty it (extension
+        node; drags re-run a cached program)."""
+        with self._lock:
+            self.node_graph.set_warp(node_id, angle, intensity)
+            self.set_state(node_id, NodeState.DIRTY)
+            self.node(node_id).cancel.store(True)
+
     def set_gradient_map(self, node_id: NodeId, stops) -> None:
         """Change a GradientMap node's stops and dirty it (extension node;
         same-count stop edits re-run a cached program)."""

@@ -79,15 +79,32 @@ SlotOutput = Slot
 
 
 class MixType(enum.Enum):
+    # Reference variants (`/root/reference/src/node/mix.rs:21-27`):
     ADD = "Add"
     SUBTRACT = "Subtract"
     MULTIPLY = "Multiply"
     DIVIDE = "Divide"
     POW = "Pow"
+    # TPU-native extension blend modes (no reference counterpart; classic
+    # compositing modes every texture tool ships — semantics in ops/mix.py).
+    # Appended AFTER the reference variants so `list(MixType)[..5]` indexing
+    # and existing graph JSON stay stable:
+    DARKEN = "Darken"
+    LIGHTEN = "Lighten"
+    DIFFERENCE = "Difference"
+    SCREEN = "Screen"
+    OVERLAY = "Overlay"
 
     @staticmethod
     def default() -> "MixType":
         return MixType.ADD
+
+    @staticmethod
+    def reference_types() -> tuple:
+        """The five variants the reference implements (goldens cover these);
+        the rest are extension blend modes."""
+        return (MixType.ADD, MixType.SUBTRACT, MixType.MULTIPLY,
+                MixType.DIVIDE, MixType.POW)
 
 
 class ResizeFilter(enum.Enum):
@@ -186,6 +203,7 @@ class NodeTypeKind(enum.Enum):
     NOISE = "Noise"  # TPU-native extension: no reference counterpart
     GRADIENT_MAP = "GradientMap"  # TPU-native extension: no reference counterpart
     TRANSFORM = "Transform"  # TPU-native extension: no reference counterpart
+    WARP = "Warp"  # TPU-native extension: no reference counterpart
 
 
 class NodeType:
@@ -321,6 +339,16 @@ class NodeType:
         )
 
     @staticmethod
+    def Warp(angle: float = 0.0, intensity: float = 16.0) -> "NodeType":
+        """Directional displacement by a gray strength map (extension node;
+        see ops/warp.py): sample the input at `intensity·(cos θ, sin θ)·
+        (m−0.5)` pixels away, bilinear with toroidal wrap. Both parameters
+        are one program argument in every traced consumer (drags re-run
+        cached executables); a dangling strength input is a pass-through
+        alias."""
+        return NodeType(NodeTypeKind.WARP, (float(angle), float(intensity)))
+
+    @staticmethod
     def SeparateRgba() -> "NodeType":
         return NodeType(NodeTypeKind.SEPARATE_RGBA)
 
@@ -409,6 +437,9 @@ class NodeType:
             return {"Transform": {"offset_x": p[0], "offset_y": p[1],
                                   "rotation": p[2], "scale_x": p[3],
                                   "scale_y": p[4]}}
+        if k == NodeTypeKind.WARP:
+            p = self.payload
+            return {"Warp": {"angle": p[0], "intensity": p[1]}}
         # newtype string payloads: InputGray/InputRgba/OutputGray/OutputRgba/Image/Write
         return {k.value: self.payload}
 
@@ -447,6 +478,8 @@ class NodeType:
                 payload["offset_x"], payload["offset_y"], payload["rotation"],
                 payload["scale_x"], payload["scale_y"],
             )
+        if kind == NodeTypeKind.WARP:
+            return NodeType.Warp(payload["angle"], payload["intensity"])
         return NodeType(kind, payload)
 
 
@@ -539,6 +572,11 @@ class Node:
             return [Slot("input", SlotId(0), SlotType.GRAY)]
         if k in (K.BLUR, K.LEVELS, K.TRANSFORM):
             return [Slot("input", SlotId(0), SlotType.GRAY_OR_RGBA)]
+        if k == K.WARP:
+            return [
+                Slot("input", SlotId(0), SlotType.GRAY_OR_RGBA),
+                Slot("strength", SlotId(1), SlotType.GRAY),
+            ]
         if k == K.SEPARATE_RGBA:
             return [Slot("input", SlotId(0), SlotType.RGBA)]
         if k == K.COMBINE_RGBA:
@@ -571,7 +609,7 @@ class Node:
             return [Slot("output", SlotId(0), SlotType.GRAY_OR_RGBA)]
         if k in (K.HEIGHT_TO_NORMAL, K.GRADIENT_MAP):
             return [Slot("output", SlotId(0), SlotType.RGBA)]
-        if k in (K.BLUR, K.LEVELS, K.TRANSFORM):
+        if k in (K.BLUR, K.LEVELS, K.TRANSFORM, K.WARP):
             return [Slot("output", SlotId(0), SlotType.GRAY_OR_RGBA)]
         if k == K.SEPARATE_RGBA:
             return [

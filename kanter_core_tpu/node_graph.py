@@ -106,6 +106,12 @@ class NodeGraph:
             offset_x, offset_y, rotation, scale_x, scale_y
         )
 
+    def set_warp(self, node_id: NodeId, angle, intensity) -> None:
+        node = self._node_with_id_mut(node_id)
+        if node is None or node.node_type.kind != NodeTypeKind.WARP:
+            raise TexProError(ErrorKind.INVALID_NODE_ID)
+        node.node_type = NodeType.Warp(angle, intensity)
+
     def set_gradient_map(self, node_id: NodeId, stops) -> None:
         node = self._node_with_id_mut(node_id)
         if node is None or node.node_type.kind != NodeTypeKind.GRADIENT_MAP:

@@ -28,6 +28,7 @@ from . import (
     noise,
     separate_combine,
     transform,
+    warp,
 )
 from .resize import resize_buffers
 
@@ -81,6 +82,8 @@ def process_node_internal(node, slot_datas, embedded_slot_datas, input_slot_data
         output = gradient.process(slot_datas, node)
     elif kind == K.TRANSFORM:
         output = transform.process(slot_datas, node)
+    elif kind == K.WARP:
+        output = warp.process(slot_datas, node)
     elif kind == K.SEPARATE_RGBA:
         output = separate_combine.process_separate(slot_datas, node)
     elif kind == K.COMBINE_RGBA:

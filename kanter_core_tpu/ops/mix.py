@@ -11,6 +11,13 @@ Missing-input defaults (`mix.rs:56-84`):
 - neither: single 1×1 gray 0.0 output.
 The RGBA variant computes the three color channels and forces alpha to 1.0
 (`mix.rs:194-213`).
+
+Extension blend modes (no reference counterpart): Darken/Lighten/Difference/
+Screen/Overlay — the classic compositing modes every texture tool ships,
+added as extra MixType variants so they inherit the whole Mix contract
+(missing-input defaults, gray/rgba coercion, alpha=1.0) and ride through all
+four lockstep consumers via this module's `_binary`. Formulations are chosen
+for cross-backend bit parity (see the comment in `_binary`).
 """
 
 from __future__ import annotations
@@ -83,6 +90,38 @@ def _binary(mix_type: MixType):
             return ds_pow(l, r)
 
         return _f32_operands(_pow)
+    # --- extension blend modes (no reference counterpart; the classic
+    # compositing formulas on straight channels). Every formulation is a
+    # fixed association of exact two-rounding ops (min/max/abs/add/sub,
+    # exact ×2) with nc_mul on every product — min/max/abs are bit-exact on
+    # both backends and nc_mul blocks LLVM's FMA contraction on CPU (it
+    # contracts even through a select — CLAUDE.md), so f32 planes stay
+    # bit-identical across CPU/TPU and all four lockstep consumers. NaN/inf
+    # propagate IEEE-style (matching Mix DIVIDE's stance); note jnp.minimum/
+    # maximum return NaN when either operand is NaN, and `NaN < 0.5` is
+    # False so Overlay's select resolves to the high branch deterministically.
+    if mix_type == MixType.DARKEN:
+        return _f32_operands(jnp.minimum)
+    if mix_type == MixType.LIGHTEN:
+        return _f32_operands(jnp.maximum)
+    if mix_type == MixType.DIFFERENCE:
+        return _f32_operands(lambda l, r: jnp.abs(l - r))
+    if mix_type == MixType.SCREEN:
+        # 1 − (1−l)(1−r), formulated as l + (1−l)·r: one sub, one guarded
+        # product, one add — the product feeds the add, hence nc_mul
+        return _f32_operands(
+            lambda l, r: l + nc_mul(jnp.float32(1.0) - l, r)
+        )
+    if mix_type == MixType.OVERLAY:
+
+        def _overlay(l, r):
+            two = jnp.float32(2.0)  # power-of-two scale: exact
+            one = jnp.float32(1.0)
+            lo = nc_mul(l, r) * two
+            hi = one - nc_mul(one - l, one - r) * two
+            return jnp.where(l < jnp.float32(0.5), lo, hi)
+
+        return _f32_operands(_overlay)
     raise ValueError(mix_type)
 
 

@@ -79,6 +79,41 @@ def transform_bindings(payload) -> dict:
     }
 
 
+def bilinear_wrap_gather(planes, u, v, wh, ww):
+    """Shared bilinear toroidal sampler: `u`/`v` are continuous texel
+    coordinates `[nr, nc]` (f32), `wh`/`ww` the barriered i32 wrap extents.
+    Extracted verbatim from `transform_planes` (identical op sequence →
+    identical jaxpr → the chip-verified bit parity carries over) so the
+    Warp node samples through the exact same formulation."""
+    import jax.numpy as jnp
+
+    # deterministic i32 conversion: clamp BEFORE the cast (f32→i32 overflow
+    # is backend-defined; non-finite coords land here too)
+    uf = jnp.clip(jnp.floor(u), -1e9, 1e9)
+    vf = jnp.clip(jnp.floor(v), -1e9, 1e9)
+    fu = u - uf  # exact (Sterbenz) for in-range coords
+    fv = v - vf
+    x0 = jnp.mod(uf.astype(jnp.int32), ww)  # floor-mod: wraps negatives
+    y0 = jnp.mod(vf.astype(jnp.int32), wh)
+    x1 = jnp.where(x0 + 1 == ww, 0, x0 + 1)
+    y1 = jnp.where(y0 + 1 == wh, 0, y0 + 1)
+    outs = []
+    for p in planes:
+        if p.dtype != jnp.float32:
+            # bf16 pipeline (DESIGN.md §9): compute in f32, fresh per consumer
+            p = p.astype(jnp.float32)
+        stride = p.shape[1]  # static (possibly padded) width for addressing
+        flat = p.reshape(-1)
+        n00 = flat[y0 * stride + x0]
+        n10 = flat[y0 * stride + x1]
+        n01 = flat[y1 * stride + x0]
+        n11 = flat[y1 * stride + x1]
+        nx0 = n00 + nc_mul(fu, n10 - n00)
+        nx1 = n01 + nc_mul(fu, n11 - n01)
+        outs.append(nx0 + nc_mul(fv, nx1 - nx0))
+    return tuple(outs)
+
+
 def transform_planes(planes, rows, cols, cs, inv_s, off, wrap_h, wrap_w):
     """Traceable affine-sample of `planes` (each `[Hp, Wp]`, logical extent
     `(wrap_h, wrap_w)`) onto output pixels `rows × cols` (GLOBAL i32 index
@@ -110,31 +145,7 @@ def transform_planes(planes, rows, cols, cs, inv_s, off, wrap_h, wrap_w):
     qy = nc_mul(py, cos)[:, None] - nc_mul(px, sin)[None, :]
     u = nc_mul(qx, inv_s[0]) + (cxc - f32(0.5))  # continuous texel coord
     v = nc_mul(qy, inv_s[1]) + (cyc - f32(0.5))
-    # deterministic i32 conversion: clamp BEFORE the cast (f32→i32 overflow
-    # is backend-defined; non-finite coords from scale=0 land here too)
-    uf = jnp.clip(jnp.floor(u), -1e9, 1e9)
-    vf = jnp.clip(jnp.floor(v), -1e9, 1e9)
-    fu = u - uf  # exact (Sterbenz) for in-range coords
-    fv = v - vf
-    x0 = jnp.mod(uf.astype(jnp.int32), ww)  # floor-mod: wraps negatives
-    y0 = jnp.mod(vf.astype(jnp.int32), wh)
-    x1 = jnp.where(x0 + 1 == ww, 0, x0 + 1)
-    y1 = jnp.where(y0 + 1 == wh, 0, y0 + 1)
-    outs = []
-    for p in planes:
-        if p.dtype != jnp.float32:
-            # bf16 pipeline (DESIGN.md §9): compute in f32, fresh per consumer
-            p = p.astype(jnp.float32)
-        stride = p.shape[1]  # static (possibly padded) width for addressing
-        flat = p.reshape(-1)
-        n00 = flat[y0 * stride + x0]
-        n10 = flat[y0 * stride + x1]
-        n01 = flat[y1 * stride + x0]
-        n11 = flat[y1 * stride + x1]
-        nx0 = n00 + nc_mul(fu, n10 - n00)
-        nx1 = n01 + nc_mul(fu, n11 - n01)
-        outs.append(nx0 + nc_mul(fv, nx1 - nx0))
-    return tuple(outs)
+    return bilinear_wrap_gather(planes, u, v, wh, ww)
 
 
 @functools.lru_cache(maxsize=8)

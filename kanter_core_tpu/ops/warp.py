@@ -1,0 +1,125 @@
+"""Warp node: directional displacement by a gray strength map (extension
+node, 19th type).
+
+No reference counterpart — the reference's spatial ops stop at resize
+policies and wrap stencils (`/root/reference/src/node/mod.rs:100-130`,
+`height_to_normal.rs:55-56`); a directional warp driven by a mask is the
+other staple placement op of texture authoring tools. The design reuses the
+Transform node's chip-verified machinery wholesale:
+
+- **Semantics**: output pixel `(x, y)` bilinearly samples the input (with
+  toroidal wrap, the engine's stencil convention) at
+  `(x + kx·(m−0.5), y + ky·(m−0.5))` where `m` is the strength map's value
+  at `(x, y)` and `(kx, ky) = intensity · (cos θ, sin θ)` for `angle` θ in
+  degrees. Angle 0 displaces along +x (right); 90 along +y (down — rows
+  grow downward). A strength of 0.5 is zero displacement, so mid-gray maps
+  are identity; both parameters ride as ONE f32[2] program argument
+  (`warp_bindings`, host-computed f64→f32 with the quarter-turn exact
+  table), so drags re-run cached executables.
+- **Missing strength input ⇒ pass-through alias**: with slot 1 dangling the
+  node forwards its input planes untouched (an aliasing op, like Output —
+  no kernel, no bf16 cast), which is also what the formula degenerates to.
+  A missing slot-0 input raises INVALID_BUFFER_COUNT like Transform.
+- **Bit parity across consumers**: the coordinate math is two nc_mul
+  products added to exact pixel centers, then the shared
+  `transform.bilinear_wrap_gather` formulation (clip→floor→mod→gather→
+  fixed-association lerp), with the wrap extents barriered for the same
+  constant-folder reason as Transform. The strength plane reaches the
+  kernel ALIGNED to the output grid in every consumer: the tiled twin
+  row-gathers the band's rows out of the hoisted full-height map BEFORE
+  the elementwise coordinate math (gathers commute bit-exactly with
+  elementwise ops), the bucketed twin uses its padded plane positionally.
+  Chip battery row: `warp_directional`.
+- **Tiled cost**: like Transform, any output row may sample any input row
+  (the map is unbounded data), so `_expand_rows` hoists the FULL input
+  height — bands are correct but ancestor-dense on this node's inputs.
+
+Output: same plane count and size as the input.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..ids import SlotId
+from ..slot_data import SlotData
+from ..slot_image import SlotImage
+from ..transient_buffer import plane_from_device
+from .common import slot_data_with_name
+from .exact_math import nc_mul
+from .transform import _QUARTER, bilinear_wrap_gather
+
+
+def warp_bindings(payload) -> dict:
+    """The canonical `warp_<id>` program argument: `k = intensity·(cos θ,
+    sin θ)` as one f32[2], host-computed in f64 with a single rounding
+    (quarter-turn angles hit the exact table so axis-aligned warps move by
+    exactly `intensity·(m−0.5)` pixels)."""
+    deg, intensity = (float(v) for v in payload)
+    d = deg % 360.0
+    if d in _QUARTER:
+        cos, sin = _QUARTER[d]
+    else:
+        r = np.deg2rad(np.float64(d))
+        cos, sin = float(np.cos(r)), float(np.sin(r))
+    k = np.float64(intensity) * np.asarray([cos, sin], np.float64)
+    return {"k": k.astype(np.float32)}
+
+
+def warp_planes(planes, strength, rows, cols, k, wrap_h, wrap_w):
+    """Traceable directional warp of `planes` (each `[Hp, Wp]`, logical
+    extent `(wrap_h, wrap_w)`) at output pixels `rows × cols` (GLOBAL i32
+    index vectors). `strength` is the gray map ALIGNED to the output grid
+    (`[len(rows), len(cols)]` — callers gather/crop it first). `k` is the
+    f32[2] displacement vector from `warp_bindings`; `wrap_h`/`wrap_w` are
+    trace-time ints OR runtime i32 scalars (bucketed)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    f32 = jnp.float32
+    # barrier the wrap extents — same constant-folder hazard as Transform
+    wh = lax.optimization_barrier(jnp.asarray(wrap_h, jnp.int32))
+    ww = lax.optimization_barrier(jnp.asarray(wrap_w, jnp.int32))
+    m = strength
+    if m.dtype != f32:
+        # bf16 pipeline (DESIGN.md §9): compute in f32, fresh per consumer
+        m = m.astype(f32)
+    d = m - f32(0.5)  # [nr, nc]; exact for m in [0.25, 1] (Sterbenz)
+    u = cols.astype(f32)[None, :] + nc_mul(k[0], d)  # continuous texel coord
+    v = rows.astype(f32)[:, None] + nc_mul(k[1], d)
+    return bilinear_wrap_gather(planes, u, v, wh, ww)
+
+
+@functools.lru_cache(maxsize=8)
+def _kernel():
+    import jax
+
+    return jax.jit(warp_planes, static_argnums=(5, 6))
+
+
+def process(slot_datas, node):
+    """Eager per-node consumer: same plane count and size as the input;
+    dangling strength input aliases the input planes through."""
+    from ..errors import ErrorKind, TexProError
+
+    slot_data = slot_data_with_name(slot_datas, node, "input")
+    if slot_data is None:
+        raise TexProError(ErrorKind.INVALID_BUFFER_COUNT, "Warp needs an input")
+    strength = slot_data_with_name(slot_datas, node, "strength")
+    if strength is None:
+        # pass-through alias (zero displacement): the image is shared, not
+        # copied — the same re-key Output does (`output.rs:12-33`)
+        return [SlotData(node.node_id, SlotId(0), slot_data.image)]
+    b = warp_bindings(node.node_type.payload)
+    planes = [p.data() for p in slot_data.image.planes]
+    h, w = planes[0].shape
+    outs = _kernel()(
+        tuple(planes),
+        strength.image.planes[0].data(),
+        np.arange(h, dtype=np.int32), np.arange(w, dtype=np.int32),
+        b["k"], h, w,
+    )
+    image = SlotImage([plane_from_device(o) for o in outs])
+    return [SlotData(node.node_id, SlotId(0), image)]

@@ -245,6 +245,10 @@ def node_recipe(node, input_recipes: list, live_graph) -> Optional[str]:
         import struct
 
         return _h(base, struct.pack("<5f", *node.node_type.payload), input_recipes)
+    if kind == K.WARP:
+        import struct
+
+        return _h(base, struct.pack("<2f", *node.node_type.payload), input_recipes)
     # HeightToNormal, SeparateRgba, CombineRgba, Output*
     if kind in (K.OUTPUT_GRAY, K.OUTPUT_RGBA):
         return _h(base, input_recipes)

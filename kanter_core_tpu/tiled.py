@@ -72,6 +72,7 @@ TILEABLE_KINDS = frozenset(
         K.NOISE,
         K.GRADIENT_MAP,
         K.TRANSFORM,
+        K.WARP,
         K.SEPARATE_RGBA,
         K.COMBINE_RGBA,
         K.EMBED,
@@ -271,6 +272,12 @@ def flatten_graph_nodes(graph, bindings, preset=None):
                 from .ops.transform import transform_bindings
 
                 extra_bindings[f"xform_{int(clone.node_id)}"] = transform_bindings(
+                    n.node_type.payload
+                )
+            elif kind == K.WARP:
+                from .ops.warp import warp_bindings
+
+                extra_bindings[f"warp_{int(clone.node_id)}"] = warp_bindings(
                     n.node_type.payload
                 )
             elif kind == K.IMAGE:
@@ -510,6 +517,13 @@ def infer_sizes(graph, bindings, preset=None) -> dict:
                 )
             info.out_planes[SlotId(0)] = in_planes(0)
             info.out_size = info.working
+        elif kind == K.WARP:
+            if by_slot.get(SlotId(0)) is None:
+                raise TexProError(
+                    ErrorKind.INVALID_BUFFER_COUNT, "Warp needs an input"
+                )
+            info.out_planes[SlotId(0)] = in_planes(0)
+            info.out_size = info.working
         elif kind == K.SEPARATE_RGBA:
             inp = by_slot.get(SlotId(0))
             if inp is not None and in_planes(0) == 4:
@@ -571,6 +585,16 @@ def _expand_rows(info: _Info, rows: np.ndarray) -> np.ndarray:
         # input row (rotation), so the band hoists the FULL input height.
         # Correct but band-dense on this node's input — ancestors
         # re-evaluate every band (documented in the op's module docstring).
+        return np.arange(info.working.height)
+    if kind == K.WARP:
+        # displacement magnitude is map data (unbounded), so like Transform
+        # any output row may sample any input row: hoist the full height
+        # (the strength map only needs the band's rows, but requirements
+        # are per-node — the band fn row-gathers the map back down).
+        # With the strength input DANGLING the node is a pass-through
+        # alias (elementwise): plain band rows keep the alias positional.
+        if not any(s == SlotId(1) for s, _, _ in info.inputs):
+            return rows
         return np.arange(info.working.height)
     return rows
 
@@ -828,6 +852,16 @@ class TiledEvaluator:
                 args[f"xfcs_{nid}"] = xb["cs"]
                 args[f"xfis_{nid}"] = xb["inv_s"]
                 args[f"xfof_{nid}"] = xb["off"]
+            elif kind == K.WARP:
+                wb = self.bindings.get(f"warp_{nid}")
+                if wb is None:
+                    from .ops.warp import warp_bindings
+
+                    wb = warp_bindings(node.node_type.payload)
+                # band's GLOBAL output rows (inputs are hoisted full-height,
+                # so positional row == global row for the map gather)
+                args[f"wpr_{nid}"] = rows.astype(np.int32)
+                args[f"wpk_{nid}"] = wb["k"]
         return args
 
     # --- forward band evaluation (traced) ---
@@ -1002,6 +1036,32 @@ class TiledEvaluator:
                     args[f"xfr_{nid}"],
                     _np.arange(info.working.width, dtype=_np.int32),
                     args[f"xfcs_{nid}"], args[f"xfis_{nid}"], args[f"xfof_{nid}"],
+                    info.working.height, info.working.width,
+                )
+                env[(node_id, SlotId(0))] = ImgVal(list(outs))
+                continue
+
+            if kind == K.WARP:
+                import numpy as _np
+
+                from .ops.warp import warp_planes
+
+                strength = by_slot.get(SlotId(1))
+                if strength is None:
+                    # pass-through alias, like the other consumers
+                    env[(node_id, SlotId(0))] = by_slot[SlotId(0)]
+                    continue
+                band_rows = args[f"wpr_{nid}"]
+                # inputs were hoisted to FULL height (`_expand_rows`), so the
+                # hoisted map's positional row == global row: gather the
+                # band's rows back out (bit-transparent — gathers commute
+                # with the elementwise coordinate math)
+                outs = warp_planes(
+                    by_slot[SlotId(0)].planes,
+                    strength.planes[0][band_rows, :],
+                    band_rows,
+                    _np.arange(info.working.width, dtype=_np.int32),
+                    args[f"wpk_{nid}"],
                     info.working.height, info.working.width,
                 )
                 env[(node_id, SlotId(0))] = ImgVal(list(outs))

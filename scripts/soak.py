@@ -88,13 +88,17 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
         comb_node.resize_policy = ResizePolicy.SpecificSize(Size(16, 16))
         combines.append(comb)
         blur = g.add_node(Node(NodeType.Blur(1.0)))
+        warp = g.add_node(Node(NodeType.Warp(30.0, 4.0)))
         out = g.add_node(Node(NodeType.OutputRgba("out")))
-        # initial wiring (blur between combine and output)
+        # initial wiring (blur → warp between combine and output; the warp
+        # strength comes from a gray Value so the gather stage soaks too)
         g.connect(values[0], mixes[0], SlotId(0), SlotId(0))
         g.connect(values[1], mixes[0], SlotId(0), SlotId(1))
         g.connect(mixes[0], comb, SlotId(0), SlotId(0))
         g.connect(comb, blur, SlotId(0), SlotId(0))
-        g.connect(blur, out, SlotId(0), SlotId(0))
+        g.connect(blur, warp, SlotId(0), SlotId(0))
+        g.connect(values[2], warp, SlotId(0), SlotId(1))
+        g.connect(warp, out, SlotId(0), SlotId(0))
 
     sources = values + mixes  # gray-or-rgba producers for mix inputs
     extras = []  # add/remove churn pool (action 7)
@@ -103,13 +107,16 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
         n_edits = int(rng.integers(1, 4))
         with lg.write() as g:
             for _ in range(n_edits):
-                action = rng.integers(8)
+                action = rng.integers(9)
                 if action == 0:
                     node = values[rng.integers(len(values))]
                     g.node_mut(node).node_type = NodeType.Value(float(rng.random()))
                 elif action == 1:
+                    # NOTE: widening 5 → len(MixType) (extension blend
+                    # modes) REMAPS every seed's edit sequence — evidence
+                    # predating the widening is historical (VALIDATION.md)
                     mix = mixes[rng.integers(len(mixes))]
-                    g.set_mix_type(mix, list(MixType)[rng.integers(5)])
+                    g.set_mix_type(mix, list(MixType)[rng.integers(len(MixType))])
                 elif action == 2:
                     # rewire a mix input from an earlier source (acyclic:
                     # only allow sources added before the mix)
@@ -130,6 +137,10 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
                 elif action == 6:
                     # blur sigma edit (extension node on the output path)
                     g.set_blur_sigma(blur, float(rng.uniform(0.5, 2.5)))
+                elif action == 8:
+                    # warp drag (displacement gather on the output path)
+                    g.set_warp(warp, float(rng.uniform(0, 360)),
+                               float(rng.uniform(0.0, 8.0)))
                 elif action == 7:
                     # structural churn: add a fresh Value wired into a mix,
                     # or remove one added earlier (dirties its children)

@@ -329,6 +329,44 @@ def _determinism_kernels():
     # affine wrap-sample: host-side trig/reciprocals, nc_mul coordinate
     # chain, barriered wrap extents, no in-trace division → 0 diffs
     cases.append(("transform_affine", _transform_row, 0))
+
+    def _warp_row():
+        import numpy as _np
+
+        from kanter_core_tpu.ops.warp import warp_bindings, warp_planes
+
+        b = warp_bindings((57.0, 18.5))
+        h, w = src.shape
+        # a smooth-ish strength field derived from the shared source plane
+        strength = _np.asarray(src) * _np.float32(0.9)
+        out, = jax.jit(warp_planes, static_argnums=(5, 6))(
+            (src,), strength,
+            _np.arange(h, dtype=_np.int32), _np.arange(w, dtype=_np.int32),
+            b["k"], h, w,
+        )
+        return out
+
+    # directional displacement through the shared bilinear wrap sampler:
+    # same nc_mul/barrier construction as Transform → 0 diffs
+    cases.append(("warp_directional", _warp_row, 0))
+
+    def _blend_row():
+        import jax.numpy as jnp
+
+        from kanter_core_tpu.node import MixType
+        from kanter_core_tpu.ops.mix import _binary
+
+        def chain(a, b):
+            d = _binary(MixType.DARKEN)(a, b)
+            l = _binary(MixType.LIGHTEN)(a, b)
+            s = _binary(MixType.SCREEN)(d, l)
+            return _binary(MixType.OVERLAY)(s, _binary(MixType.DIFFERENCE)(a, b))
+
+        return jax.jit(chain)(src, jnp.roll(src, 1, axis=0))
+
+    # extension blend modes composed into one fused chain: min/max/abs are
+    # exact, products are nc_mul'd, the only select is Overlay's → 0 diffs
+    cases.append(("blend_modes", _blend_row, 0))
     from kanter_core_tpu.slot_image import _jitted_converters
 
     sweep = (np.arange(65536, dtype=np.float32) / 65535.0).reshape(256, 256)

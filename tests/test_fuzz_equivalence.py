@@ -192,6 +192,20 @@ def _build_random_graph(seed: int, allow_graph_nodes: bool = True) -> tuple[Node
         gm_id = add(Node(NodeType.GradientMap(stops)), [(SlotId(0), SlotType.RGBA)])
         graph.connect(gsrc[0], gm_id, gsrc[1], SlotId(0))
 
+    # Extension blend-mode coverage (separate rng, appended): mix two random
+    # producers through a random Darken/Lighten/Difference/Screen/Overlay —
+    # the five extension MixTypes the main block's `integers(5)` never draws
+    brng = np.random.default_rng(seed * 32452843 + 5)
+    bsrc_l = pick(SlotType.GRAY_OR_RGBA, r=brng)
+    bsrc_r = pick(SlotType.GRAY_OR_RGBA, r=brng)
+    if bsrc_l is not None and bsrc_r is not None:
+        blend = Node(NodeType.Mix(list(MixType)[5 + brng.integers(5)]))
+        blend.resize_policy = ResizePolicy.MostPixels()
+        blend.resize_filter = list(ResizeFilter)[brng.integers(len(ResizeFilter))]
+        blend_id = add(blend, [(SlotId(0), SlotType.GRAY_OR_RGBA)])
+        graph.connect(bsrc_l[0], blend_id, bsrc_l[1], SlotId(0))
+        graph.connect(bsrc_r[0], blend_id, bsrc_r[1], SlotId(1))
+
     # Transform coverage (separate rng, appended): affine-place a random
     # gray-or-rgba producer with random offset/rotation/scale
     xrng = np.random.default_rng(seed * 22801763 + 9)
@@ -206,6 +220,23 @@ def _build_random_graph(seed: int, allow_graph_nodes: bool = True) -> tuple[Node
             [(SlotId(0), SlotType.GRAY_OR_RGBA)],
         )
         graph.connect(xsrc[0], xf_id, xsrc[1], SlotId(0))
+
+    # Warp coverage (separate rng, appended): displace a random producer by
+    # a random gray strength map at a random direction/intensity; ~1 in 4
+    # graphs leaves the strength dangling to fuzz the pass-through alias
+    wrng = np.random.default_rng(seed * 49979687 + 11)
+    wsrc = pick(SlotType.GRAY_OR_RGBA, r=wrng)
+    if wsrc is not None:
+        wp_id = add(
+            Node(NodeType.Warp(
+                float(wrng.uniform(0, 360)), float(wrng.uniform(1.0, 30.0)),
+            )),
+            [(SlotId(0), SlotType.GRAY_OR_RGBA)],
+        )
+        graph.connect(wsrc[0], wp_id, wsrc[1], SlotId(0))
+        msrc = pick(SlotType.GRAY, r=wrng)
+        if msrc is not None and wrng.random() < 0.75:
+            graph.connect(msrc[0], wp_id, msrc[1], SlotId(1))
 
     # terminal outputs: one per leaf-ish producer kind
     targets = []
