@@ -169,4 +169,7 @@ def load_checkpoint(tex_pro, path: str) -> LiveGraph:
                 if state in (NodeState.PROCESSING, NodeState.PROCESSING_DIRTY):
                     state = NodeState.DIRTY
                 lg._node_state[NodeId(int(nid_str))] = state
+    # a freshly restored session starts with no undo history (the restore
+    # itself is not a user edit)
+    live_graph.clear_history()
     return live_graph

@@ -16,6 +16,7 @@ variable notified by state changes instead of polling.
 
 from __future__ import annotations
 
+import functools
 import threading
 from contextlib import contextmanager
 from enum import Enum
@@ -45,6 +46,36 @@ class NodeState(Enum):
 
 _DIRTYISH = (NodeState.DIRTY, NodeState.REQUESTED, NodeState.PRIORITISED)
 _PROCESSINGISH = (NodeState.PROCESSING, NodeState.PROCESSING_DIRTY)
+
+
+def _journaled(eager: bool = False):
+    """Wrap a topology-mutating LiveGraph method as one undo unit (see the
+    edit-history block in `__init__`). Standalone calls open their own unit;
+    calls inside an open unit (a `write()` transaction, or another mutator)
+    lazily capture the enclosing unit's pre-edit snapshot — so read-only
+    `write()` blocks (the engine's scheduler/commit scopes) never serialize
+    anything. `eager` forces a journal entry even when the topology is
+    unchanged at method exit — `node_mut` needs it because the caller
+    mutates the returned node AFTER the call returns."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(self, *args, **kwargs):
+            with self._lock:
+                if self.history_capacity <= 0:
+                    return fn(self, *args, **kwargs)
+                if self._txn_depth > 0:
+                    if self._txn_pre is None:
+                        self._txn_pre = self._history_snapshot()
+                    if eager:
+                        self._txn_eager = True
+                    return fn(self, *args, **kwargs)
+                with self._edit_unit(eager=eager, capture=True):
+                    return fn(self, *args, **kwargs)
+
+        return wrapper
+
+    return deco
 
 
 class LiveGraph:
@@ -82,6 +113,21 @@ class LiveGraph:
         # set by the engine on a fatal kernel error (reference: engine panic,
         # `engine.rs:111-119`); awaits re-raise it instead of hanging.
         self.fatal_error: Optional[BaseException] = None
+        # --- edit history (TPU-native extension; the reference has no undo)
+        # Every topology-mutating call — or one whole `write()` transaction —
+        # journals a pre-edit snapshot (the serde structure of node_graph;
+        # topology only, a few KB). `undo()`/`redo()` restore by MINIMAL
+        # DIFF through the normal edit methods, so only genuinely affected
+        # nodes re-dirty (and recompute) — an undo of a parameter drag costs
+        # one cached-program re-run, not a whole-graph rebuild. Pixel data,
+        # embedded/input slot datas, priorities, and flags are NOT journaled.
+        # `history_capacity = 0` disables journaling entirely.
+        self.history_capacity = 100
+        self._undo_stack: list[dict] = []
+        self._redo_stack: list[dict] = []
+        self._txn_depth = 0
+        self._txn_pre: Optional[dict] = None  # lazy pre-edit snapshot
+        self._txn_eager = False
 
     # --- locking ---
     @contextmanager
@@ -92,7 +138,143 @@ class LiveGraph:
     @contextmanager
     def write(self):
         with self._lock:
-            yield self
+            with self._edit_unit():
+                yield self
+
+    # --- edit history (extension; see the block in `__init__`) ---
+    @contextmanager
+    def _edit_unit(self, eager: bool = False, capture: bool = False):
+        """Group everything inside into ONE undo unit. Nested units (a
+        mutating call inside `write()`, or apply-time edits during
+        undo/redo) are absorbed by the outermost one. With `capture` False
+        the pre-edit snapshot is taken lazily by the first mutating call
+        inside (see `_journaled`), so read-only transactions cost nothing."""
+        if self.history_capacity <= 0 or self._txn_depth > 0:
+            yield
+            return
+        self._txn_depth += 1
+        self._txn_pre = self._history_snapshot() if capture else None
+        self._txn_eager = eager
+        try:
+            yield
+        finally:
+            self._txn_depth -= 1
+            pre, eag = self._txn_pre, self._txn_eager
+            self._txn_pre, self._txn_eager = None, False
+            if pre is not None and (eag or self._history_snapshot() != pre):
+                self._undo_stack.append(pre)
+                self._redo_stack.clear()
+                if len(self._undo_stack) > self.history_capacity:
+                    del self._undo_stack[: -self.history_capacity]
+
+    def _history_snapshot(self) -> dict:
+        # serde structures are built fresh per call (node.py `to_json`), so
+        # stored snapshots never alias live mutable state
+        return self.node_graph.to_json()
+
+    def undo_depth(self) -> int:
+        with self._lock:
+            return len(self._undo_stack)
+
+    def redo_depth(self) -> int:
+        with self._lock:
+            return len(self._redo_stack)
+
+    def clear_history(self) -> None:
+        with self._lock:
+            self._undo_stack.clear()
+            self._redo_stack.clear()
+
+    def undo(self) -> bool:
+        """Revert the most recent edit unit. Returns False when there is
+        nothing to undo. Affected nodes re-dirty through the normal edit
+        machinery (in-flight work on them is cancelled at commit time,
+        exactly like a live edit)."""
+        with self._lock:
+            return self._history_step(self._undo_stack, self._redo_stack)
+
+    def redo(self) -> bool:
+        """Re-apply the most recently undone edit unit."""
+        with self._lock:
+            return self._history_step(self._redo_stack, self._undo_stack)
+
+    def _history_step(self, source: list, sink: list) -> bool:
+        if not source:
+            return False
+        target = source.pop()
+        current = self._history_snapshot()
+        self._txn_depth += 1
+        saved_pre, saved_eager = self._txn_pre, self._txn_eager
+        try:
+            self._apply_snapshot(target)
+        except BaseException:
+            source.append(target)  # keep the target available for retry
+            raise
+        finally:
+            self._txn_pre, self._txn_eager = saved_pre, saved_eager
+            self._txn_depth -= 1
+        sink.append(current)
+        if len(sink) > self.history_capacity:
+            del sink[: -self.history_capacity]
+        return True
+
+    def _apply_snapshot(self, snap: dict) -> None:
+        """Morph the live graph into `snap` by minimal diff, reusing the
+        public edit methods so dirtying / cancellation / the `changed` feed
+        behave exactly as if the user had made the inverse edits.
+
+        Order matters for Input/Output name dedup (`_avoid_name_collision`
+        runs on every add): removals, then in-place updates (bypassing
+        dedup — target names are unique by construction), then adds (which
+        can no longer collide), then edges."""
+        tgt_nodes = {int(n["node_id"]): n for n in snap["nodes"]}
+        tgt_edges = {
+            (e["output_id"], e["input_id"], e["output_slot"], e["input_slot"])
+            for e in snap["edges"]
+        }
+        for edge in list(self.node_graph.edges):
+            key = (
+                int(edge.output_id),
+                int(edge.input_id),
+                int(edge.output_slot),
+                int(edge.input_slot),
+            )
+            if key not in tgt_edges:
+                self.remove_edge(edge)
+        cur_ids = {int(n.node_id) for n in self.node_graph.nodes}
+        for nid in sorted(cur_ids - set(tgt_nodes)):
+            self.remove_node(NodeId(nid))
+        for nid in sorted(set(tgt_nodes) & cur_ids):
+            live = self.node_graph._node_with_id_mut(NodeId(nid))
+            if live.to_json() != tgt_nodes[nid]:
+                fresh = Node.from_json(tgt_nodes[nid])
+                live.node_type = fresh.node_type
+                live.resize_policy = fresh.resize_policy
+                live.resize_filter = fresh.resize_filter
+                self._changed.add(NodeId(nid))
+                self.set_state(NodeId(nid), NodeState.DIRTY)
+                live.cancel.store(True)
+        for nid in sorted(set(tgt_nodes) - cur_ids):
+            self.add_node_with_id(Node.from_json(tgt_nodes[nid]))
+        cur_edges = {
+            (int(e.output_id), int(e.input_id), int(e.output_slot), int(e.input_slot))
+            for e in self.node_graph.edges
+        }
+        for key in sorted(tgt_edges - cur_edges):
+            self.connect(key[0], key[1], key[2], key[3])
+        # restore list ORDER too, so the round-trip is serde-exact (node
+        # order feeds input/output name listings and JSON byte-compat)
+        norder = {int(n["node_id"]): i for i, n in enumerate(snap["nodes"])}
+        self.node_graph.nodes.sort(key=lambda n: norder[int(n.node_id)])
+        eorder = {
+            (e["output_id"], e["input_id"], e["output_slot"], e["input_slot"]): i
+            for i, e in enumerate(snap["edges"])
+        }
+        self.node_graph.edges.sort(
+            key=lambda e: eorder[
+                (int(e.output_id), int(e.input_id), int(e.output_slot), int(e.input_slot))
+            ]
+        )
 
     def _notify_state_change(self) -> None:
         with self._state_cv:
@@ -350,6 +532,7 @@ class LiveGraph:
         with self._lock:
             return self.node_graph.node(node_id)
 
+    @_journaled(eager=True)
     def node_mut(self, node_id: NodeId) -> Node:
         """Marks the node dirty and returns the live (mutable) node object
         (`live_graph.rs:369-374`)."""
@@ -360,6 +543,7 @@ class LiveGraph:
                 raise TexProError(ErrorKind.INVALID_NODE_ID)
             return node
 
+    @_journaled()
     def set_mix_type(self, node_id: NodeId, mix_type) -> None:
         """Change a Mix node's operator and dirty it (the reference's
         `NodeGraph::set_mix_type`, `node_graph.rs:48-63`, does not touch
@@ -369,6 +553,7 @@ class LiveGraph:
             self.set_state(node_id, NodeState.DIRTY)
             self.node(node_id).cancel.store(True)
 
+    @_journaled()
     def set_blur_sigma(self, node_id: NodeId, sigma: float) -> None:
         """Change a Blur node's sigma and dirty it (extension node)."""
         with self._lock:
@@ -376,6 +561,7 @@ class LiveGraph:
             self.set_state(node_id, NodeState.DIRTY)
             self.node(node_id).cancel.store(True)
 
+    @_journaled()
     def set_levels(self, node_id: NodeId, in_lo, in_hi, gamma, out_lo, out_hi) -> None:
         """Change a Levels node's remap parameters and dirty it (extension
         node; slider drags re-run a cached program)."""
@@ -384,6 +570,7 @@ class LiveGraph:
             self.set_state(node_id, NodeState.DIRTY)
             self.node(node_id).cancel.store(True)
 
+    @_journaled()
     def set_noise(self, node_id: NodeId, width, height, cells=8, octaves=4,
                   seed=0, persistence=0.5) -> None:
         """Change a Noise node's parameters and dirty it (extension node;
@@ -395,6 +582,7 @@ class LiveGraph:
             self.set_state(node_id, NodeState.DIRTY)
             self.node(node_id).cancel.store(True)
 
+    @_journaled()
     def set_transform(self, node_id: NodeId, offset_x, offset_y, rotation,
                       scale_x, scale_y) -> None:
         """Change a Transform node's placement and dirty it (extension
@@ -406,6 +594,7 @@ class LiveGraph:
             self.set_state(node_id, NodeState.DIRTY)
             self.node(node_id).cancel.store(True)
 
+    @_journaled()
     def set_warp(self, node_id: NodeId, angle, intensity) -> None:
         """Change a Warp node's direction/intensity and dirty it (extension
         node; drags re-run a cached program)."""
@@ -414,6 +603,7 @@ class LiveGraph:
             self.set_state(node_id, NodeState.DIRTY)
             self.node(node_id).cancel.store(True)
 
+    @_journaled()
     def set_gradient_map(self, node_id: NodeId, stops) -> None:
         """Change a GradientMap node's stops and dirty it (extension node;
         same-count stop edits re-run a cached program)."""
@@ -422,6 +612,7 @@ class LiveGraph:
             self.set_state(node_id, NodeState.DIRTY)
             self.node(node_id).cancel.store(True)
 
+    @_journaled()
     def set_image_node_path(self, node_id: NodeId, path) -> None:
         """Change an Image node's source path and dirty it
         (`node_graph.rs:65-83`)."""
@@ -430,6 +621,7 @@ class LiveGraph:
             self.set_state(node_id, NodeState.DIRTY)
             self.node(node_id).cancel.store(True)
 
+    @_journaled()
     def set_node_with_id(self, node_id: NodeId, node: Node) -> None:
         with self._lock:
             index = self.node_graph._index_of_node(node_id)
@@ -441,6 +633,7 @@ class LiveGraph:
         with self._lock:
             return self.node_graph.new_id()
 
+    @_journaled()
     def add_node(self, node: Node) -> NodeId:
         with self._lock:
             priority = node.priority
@@ -448,6 +641,7 @@ class LiveGraph:
             self._add_node_internal(priority, node_id)
             return node_id
 
+    @_journaled()
     def add_node_with_id(self, node: Node) -> None:
         with self._lock:
             priority = node.priority
@@ -460,6 +654,7 @@ class LiveGraph:
         self._node_state[node_id] = NodeState.DIRTY
         self.priority_propagator.push_priority(node_id, priority)
 
+    @_journaled()
     def remove_node(self, node_id: NodeId) -> list:
         """Remove a node; its consumers (and their descendants) are dirtied
         and their cached pixels dropped. The reference only inserts them into
@@ -487,6 +682,7 @@ class LiveGraph:
         with self._lock:
             self.node_graph.can_connect(output_node, input_node, output_slot, input_slot)
 
+    @_journaled()
     def connect(self, output_node, input_node, output_slot, input_slot):
         """Connect + dirty input subtree + cancel in-flight work on the input
         node (`live_graph.rs:488-511`)."""
@@ -504,6 +700,7 @@ class LiveGraph:
             node.cancel.store(True)
             return edge
 
+    @_journaled()
     def remove_edge(self, edge) -> "Edge":
         with self._lock:
             dirty_nodes = self.node_graph.get_children_recursive(edge.input_id)
@@ -518,6 +715,7 @@ class LiveGraph:
                 self.remove_nodes_data(node_id)
             return edge
 
+    @_journaled()
     def disconnect_slot(self, node_id: NodeId, side: Side, slot_id: SlotId) -> list:
         with self._lock:
             edges = self.node_graph.disconnect_slot(NodeId(node_id), side, SlotId(slot_id))
@@ -547,6 +745,7 @@ class LiveGraph:
         with self._lock:
             return self.node_graph.connected_edges(node_id, side, slot_id)
 
+    @_journaled()
     def set_node_graph(self, node_graph: NodeGraph) -> None:
         with self._lock:
             # A cyclic graph would never become processable and hang every
@@ -580,6 +779,7 @@ class LiveGraph:
         with self._lock:
             return self.node_graph.output_ids()
 
+    @_journaled()
     def rename_output_node(self, node_id: NodeId, new_name: str) -> str:
         with self._lock:
             return self.node_graph.rename_output_node(node_id, new_name)

@@ -21,6 +21,7 @@ def process(slot_datas, node, node_graph, tex_pro):
     from ..live_graph import LiveGraph
 
     live_graph = LiveGraph(tex_pro.buffer_queue)
+    live_graph.history_capacity = 0  # throwaway per-eval graph: no undo
     live_graph.set_node_graph(node_graph.clone())
 
     for slot_data in slot_datas:

@@ -166,6 +166,24 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
                         node.resize_filter = list(ResizeFilter)[rng.integers(5)]
             snapshot = g.node_graph.clone()
 
+        # exercise edit HISTORY against the running engine: sometimes undo
+        # the whole batch (one write() == one undo unit) while its dirty
+        # work may still be in flight, then either redo it or leave it
+        # undone — the render + truth comparison below uses whatever
+        # topology results. NOTE: adding this draw REMAPPED every seed's
+        # sequence again (VALIDATION.md soak row).
+        history = rng.random()
+        if history < 0.25 and lg.undo_depth() > 1:  # never undo the build
+            assert lg.undo()
+            if history < 0.125:
+                assert lg.redo()
+            else:
+                # a batch that added extras is gone: drop dangling ids
+                live_ids = set(lg.node_ids())
+                extras[:] = [e for e in extras if e in live_ids]
+            with lg.read() as g:
+                snapshot = g.node_graph.clone()
+
         with LiveGraph.await_clean_read(lg, out) as g:
             engine_px = g.buffer_rgba(out, SlotId(0))
             committed_dtypes = {
