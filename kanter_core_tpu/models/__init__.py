@@ -134,6 +134,161 @@ def pbr_material_graph(
     return graph
 
 
+def wood_material_graph(
+    size: int = 512,
+    seed: int = 3,
+    grain_stretch: float = 6.0,
+    wobble: float = 9.0,
+    ring_contrast: float = 1.6,
+) -> NodeGraph:
+    """Fully procedural wood material: NO inputs, four outputs
+    (`albedo` RGBA, `height`/`roughness` gray, `normal` RGBA).
+
+    Source-to-surface pipeline built entirely from the extension node
+    vocabulary (the reference has no procedural sources at all —
+    `/root/reference/src/node/` starts from Image/Value leaves):
+
+    - grain: seamless FBM noise stretched `grain_stretch×` along y by a
+      `Transform` (toroidal sampling keeps it tileable), then domain-warped
+      sideways by a SECOND low-frequency noise through `Warp` (angle 0 ⇒
+      +x displacement) — the classic grain-wobble construction;
+    - height: `Levels` ring-contrast remap of the warped grain;
+    - albedo: `GradientMap` through four wood-tone stops (earlywood/
+      latewood bands);
+    - normal: blur → `HeightToNormal` of the height;
+    - roughness: inverted-range `Levels` (ridges polish smoother than
+      open grain; `out_lo > out_hi` is a legal inverting remap).
+
+    Every scalar above (stretch, wobble, contrast, stops, sigma) rides as
+    a PROGRAM ARGUMENT — parameter drags re-run cached executables; only
+    `size` and the noise octave/stop counts shape the trace. Embeds as a
+    zero-input `Graph` node. Also the undo/redo showcase: each knob edit
+    is one history unit.
+    """
+    graph = NodeGraph()
+    grain = graph.add_node(Node(NodeType.Noise(size, size, 5, 4, seed)))
+    stretch = graph.add_node(
+        Node(NodeType.Transform(0.0, 0.0, 0.0, 1.0, grain_stretch))
+    )
+    graph.connect(grain, stretch, SlotId(0), SlotId(0))
+    wob_src = graph.add_node(
+        Node(NodeType.Noise(size, size, 3, 2, seed + 1))
+    )
+    warp = graph.add_node(Node(NodeType.Warp(0.0, wobble)))
+    graph.connect(stretch, warp, SlotId(0), SlotId(0))
+    graph.connect(wob_src, warp, SlotId(0), SlotId(1))
+
+    height = graph.add_node(
+        Node(NodeType.Levels(0.2, 0.8, ring_contrast, 0.0, 1.0))
+    )
+    graph.connect(warp, height, SlotId(0), SlotId(0))
+    height_out = graph.add_node(Node(NodeType.OutputGray("height")))
+    graph.connect(height, height_out, SlotId(0), SlotId(0))
+
+    albedo = graph.add_node(
+        Node(
+            NodeType.GradientMap(
+                [
+                    (0.0, 0.26, 0.15, 0.06, 1.0),   # latewood (dark band)
+                    (0.42, 0.45, 0.28, 0.13, 1.0),
+                    (0.72, 0.60, 0.42, 0.22, 1.0),  # earlywood
+                    (1.0, 0.72, 0.55, 0.34, 1.0),
+                ]
+            )
+        )
+    )
+    graph.connect(height, albedo, SlotId(0), SlotId(0))
+    albedo_out = graph.add_node(Node(NodeType.OutputRgba("albedo")))
+    graph.connect(albedo, albedo_out, SlotId(0), SlotId(0))
+
+    pre = graph.add_node(Node(NodeType.Blur(0.8)))
+    graph.connect(height, pre, SlotId(0), SlotId(0))
+    h2n = graph.add_node(Node(NodeType.HeightToNormal()))
+    graph.connect(pre, h2n, SlotId(0), SlotId(0))
+    normal_out = graph.add_node(Node(NodeType.OutputRgba("normal")))
+    graph.connect(h2n, normal_out, SlotId(0), SlotId(0))
+
+    rough = graph.add_node(Node(NodeType.Levels(0.0, 1.0, 1.0, 0.85, 0.45)))
+    graph.connect(height, rough, SlotId(0), SlotId(0))
+    rough_out = graph.add_node(Node(NodeType.OutputGray("roughness")))
+    graph.connect(rough, rough_out, SlotId(0), SlotId(0))
+    return graph
+
+
+def stone_material_graph(
+    size: int = 512,
+    seed: int = 11,
+    crack_warp: float = 14.0,
+    crack_gamma: float = 2.4,
+    ao_sigma: float = 5.0,
+) -> NodeGraph:
+    """Fully procedural stone/rock material: NO inputs, five outputs
+    (`albedo` RGBA, `height`/`roughness`/`ao` gray, `normal` RGBA).
+
+    Self-warped FBM ("domain warping"): a high-octave noise is displaced
+    by ITS OWN low-frequency field through `Warp`, which folds smooth
+    blobs into crack-like creases; a high-gamma `Levels` deepens the
+    creases into fissures. Albedo is a cool gray-stone `GradientMap`, AO
+    is the `1 − k·(blur(h) − h)` cavity construction shared with
+    `ambient_occlusion_graph`, and roughness ADDs cavity dirt on top of a
+    base via Mix (cavities are rougher). All scalars are program
+    arguments; `size`/octaves/stop count shape the trace.
+    """
+    graph = NodeGraph()
+    base = graph.add_node(Node(NodeType.Noise(size, size, 6, 5, seed)))
+    field = graph.add_node(Node(NodeType.Noise(size, size, 3, 2, seed)))
+    warp = graph.add_node(Node(NodeType.Warp(47.0, crack_warp)))
+    graph.connect(base, warp, SlotId(0), SlotId(0))
+    graph.connect(field, warp, SlotId(0), SlotId(1))
+
+    height = graph.add_node(
+        Node(NodeType.Levels(0.15, 0.9, crack_gamma, 0.0, 1.0))
+    )
+    graph.connect(warp, height, SlotId(0), SlotId(0))
+    height_out = graph.add_node(Node(NodeType.OutputGray("height")))
+    graph.connect(height, height_out, SlotId(0), SlotId(0))
+
+    albedo = graph.add_node(
+        Node(
+            NodeType.GradientMap(
+                [
+                    (0.0, 0.13, 0.13, 0.15, 1.0),   # fissure shadow
+                    (0.35, 0.38, 0.38, 0.40, 1.0),
+                    (0.7, 0.55, 0.54, 0.52, 1.0),
+                    (1.0, 0.72, 0.70, 0.66, 1.0),   # weathered face
+                ]
+            )
+        )
+    )
+    graph.connect(height, albedo, SlotId(0), SlotId(0))
+    albedo_out = graph.add_node(Node(NodeType.OutputRgba("albedo")))
+    graph.connect(albedo, albedo_out, SlotId(0), SlotId(0))
+
+    pre = graph.add_node(Node(NodeType.Blur(1.0)))
+    graph.connect(height, pre, SlotId(0), SlotId(0))
+    h2n = graph.add_node(Node(NodeType.HeightToNormal()))
+    graph.connect(pre, h2n, SlotId(0), SlotId(0))
+    normal_out = graph.add_node(Node(NodeType.OutputRgba("normal")))
+    graph.connect(h2n, normal_out, SlotId(0), SlotId(0))
+
+    # ao = 1 - 0.8*(blur(h) - h); roughness = 0.55 + 0.5*(1 - ao)
+    ao_blur = graph.add_node(Node(NodeType.Blur(ao_sigma)))
+    graph.connect(height, ao_blur, SlotId(0), SlotId(0))
+    cavity = _mix(graph, MixType.SUBTRACT, ao_blur, height)
+    scaled = _mix(graph, MixType.MULTIPLY, cavity, _value(graph, 0.8))
+    ao = _mix(graph, MixType.SUBTRACT, _value(graph, 1.0), scaled)
+    ao_out = graph.add_node(Node(NodeType.OutputGray("ao")))
+    graph.connect(ao, ao_out, SlotId(0), SlotId(0))
+    rough = _mix(
+        graph, MixType.ADD,
+        _mix(graph, MixType.MULTIPLY, scaled, _value(graph, 0.5)),
+        _value(graph, 0.55),
+    )
+    rough_out = graph.add_node(Node(NodeType.OutputGray("roughness")))
+    graph.connect(rough, rough_out, SlotId(0), SlotId(0))
+    return graph
+
+
 def emboss_graph(strength: float = 0.6) -> NodeGraph:
     """Gray in → emboss-style relief: `0.5 + k·(h − blur₁(h))` sharpens
     local detail around mid-gray (an unsharp mask re-centered at 0.5)."""
@@ -163,6 +318,8 @@ __all__ = [
     "ambient_occlusion_graph",
     "emboss_graph",
     "pbr_material_graph",
+    "stone_material_graph",
+    "wood_material_graph",
     "blend_graph",
     "blur_graph",
     "channel_shuffle_graph",

@@ -177,3 +177,110 @@ def test_materials_tiled_matches_dense():
             tp.shutdown_now()
     for name in results[None]:
         assert np.array_equal(results[None][name], results[1][name]), name
+
+
+def _evaluate_procedural(graph: NodeGraph, fused: bool = True, tile_bytes=None):
+    """Evaluate a ZERO-input material template through the engine."""
+    tp = TextureProcessor(50_000_000, tile_bytes=tile_bytes)
+    try:
+        lg = tp.new_live_graph()
+        with lg.write() as g:
+            g.fuse_subgraphs = fused
+            g.set_node_graph(graph)
+        outs = {}
+        for out_id in lg.node_graph.output_ids():
+            name = lg.node_graph.node(out_id).node_type.payload
+            outs[name] = np.asarray(TextureProcessor.buffer_rgba(lg, out_id, SlotId(0)))
+        return outs
+    finally:
+        tp.shutdown_now()
+
+
+def test_wood_material_outputs():
+    from kanter_core_tpu.models import wood_material_graph
+
+    outs = _evaluate_procedural(wood_material_graph(size=64))
+    assert set(outs) == {"albedo", "height", "normal", "roughness"}
+    h = outs["height"].reshape(64, 64, 4)[..., 0]
+    assert len(np.unique(h)) > 40, "height must be a rich field, not flat"
+    albedo = outs["albedo"].reshape(64, 64, 4)
+    # wood tones: red channel dominates blue everywhere on the ramp
+    assert (albedo[..., 0].astype(int) >= albedo[..., 2].astype(int)).mean() > 0.99
+    normal = outs["normal"].reshape(64, 64, 4)
+    assert normal[..., 2].mean() > 140, "normal z biases toward viewer"
+    # roughness uses the INVERTING Levels remap: bounded to [0.45, 0.85]
+    rough = outs["roughness"].reshape(64, 64, 4)[..., 0]
+    assert 0.40 * 255 <= rough.min() and rough.max() <= 0.90 * 255
+
+
+def test_stone_material_outputs():
+    from kanter_core_tpu.models import stone_material_graph
+
+    outs = _evaluate_procedural(stone_material_graph(size=64))
+    assert set(outs) == {"albedo", "height", "normal", "roughness", "ao"}
+    ao = outs["ao"].reshape(64, 64, 4)[..., 0]
+    assert ao.mean() > 200 and ao.min() < 250, "mostly lit with real cavities"
+    # near-neutral stone: albedo channel means within a tight band
+    albedo = outs["albedo"].reshape(64, 64, 4).astype(np.float64)
+    means = [albedo[..., c].mean() for c in range(3)]
+    assert max(means) - min(means) < 12.0
+
+
+def test_procedural_materials_fused_matches_pernode():
+    from kanter_core_tpu.models import stone_material_graph, wood_material_graph
+
+    for factory in (wood_material_graph, stone_material_graph):
+        fused = _evaluate_procedural(factory(size=48), fused=True)
+        pernode = _evaluate_procedural(factory(size=48), fused=False)
+        for name in fused:
+            assert np.array_equal(fused[name], pernode[name]), (factory.__name__, name)
+
+
+def test_procedural_materials_tiled_matches_dense():
+    from kanter_core_tpu.models import wood_material_graph
+
+    dense = _evaluate_procedural(wood_material_graph(size=48), tile_bytes=None)
+    tiled = _evaluate_procedural(wood_material_graph(size=48), tile_bytes=1)
+    for name in dense:
+        assert np.array_equal(dense[name], tiled[name]), name
+
+
+def test_procedural_material_serde_round_trip():
+    from kanter_core_tpu.models import stone_material_graph
+
+    graph = stone_material_graph(size=48)
+    clone = NodeGraph.from_json(graph.to_json())
+    assert graph.to_json() == clone.to_json()
+    a = _evaluate_procedural(graph)
+    b = _evaluate_procedural(clone)
+    for name in a:
+        assert np.array_equal(a[name], b[name]), name
+
+
+def test_wood_knob_drag_with_undo():
+    """Knob edits are program-argument swaps AND single history units:
+    drag the wobble, undo, and land bit-exactly on the original render."""
+    from kanter_core_tpu.models import wood_material_graph
+
+    tp = TextureProcessor(50_000_000)
+    try:
+        lg = tp.new_live_graph()
+        with lg.write() as g:
+            g.set_node_graph(wood_material_graph(size=48))
+        (height_out,) = [
+            oid for oid in lg.node_graph.output_ids()
+            if lg.node_graph.node(oid).node_type.payload == "height"
+        ]
+        (warp_id,) = [
+            n.node_id for n in lg.node_graph.nodes
+            if n.node_type.kind.value == "Warp"
+        ]
+        before = np.asarray(TextureProcessor.buffer_rgba(lg, height_out, SlotId(0)))
+        lg.set_warp(warp_id, 0.0, 20.0)
+        dragged = np.asarray(TextureProcessor.buffer_rgba(lg, height_out, SlotId(0)))
+        assert not np.array_equal(before, dragged)
+        assert lg.undo()
+        after = np.asarray(TextureProcessor.buffer_rgba(lg, height_out, SlotId(0)))
+        assert np.array_equal(before, after)
+    finally:
+        tp.shutdown_now()
