@@ -79,6 +79,19 @@ def main():
         print(f"gain={gain_value}: re-render {time.perf_counter() - t0:.3f}s "
               f"center={pixels[(128 * 256 + 128) * 4]} changed={dirty_nodes}")
 
+    # undo/redo: each edit above is one history unit; undo restores the
+    # previous parameters and re-renders bit-exactly from the cached program
+    import numpy as np
+
+    t0 = time.perf_counter()
+    lg.undo()  # back to gain=0.5
+    undone = TextureProcessor.buffer_rgba(lg, out, SlotId(0))
+    print(f"undo → gain=0.5 again in {time.perf_counter() - t0:.3f}s "
+          f"(undo_depth={lg.undo_depth()}, redo_depth={lg.redo_depth()})")
+    lg.redo()  # forward to gain=0.25
+    redone = TextureProcessor.buffer_rgba(lg, out, SlotId(0))
+    print(f"redo bit-exact vs last edit: {np.array_equal(redone, pixels)}")
+
     tp.shutdown_now()
 
 

@@ -367,6 +367,25 @@ def _determinism_kernels():
     # extension blend modes composed into one fused chain: min/max/abs are
     # exact, products are nc_mul'd, the only select is Overlay's → 0 diffs
     cases.append(("blend_modes", _blend_row, 0))
+
+    def _wood_row():
+        from kanter_core_tpu.compiler import CompiledGraph
+        from kanter_core_tpu.models import wood_material_graph
+
+        g = wood_material_graph(size=96)
+        targets = [(oid, SlotId(0)) for oid in sorted(g.output_ids(), key=int)]
+        res = CompiledGraph(g, targets=targets)()
+        return tuple(np.asarray(p) for t in targets for p in res[t])
+
+    # the full procedural-material COMPOSITION through the fused compiler
+    # (Noise → Transform → Warp → Levels → GradientMap/Blur/H2N/invert):
+    # a new formulation CONTEXT per CLAUDE.md's rule, so it gets its own
+    # chip row. Levels gamma routes pow (ds_pow vs glibc powf) and its
+    # misrounds can amplify through the downstream gather/stencil consumers
+    # — the allowance covers that class only (measured 63 diffs across the
+    # 10 output planes on chip; everything else in the chain is
+    # nc_mul/exact-op construction)
+    cases.append(("wood_material_fused", _wood_row, 100))
     from kanter_core_tpu.slot_image import _jitted_converters
 
     sweep = (np.arange(65536, dtype=np.float32) / 65535.0).reshape(256, 256)
