@@ -497,6 +497,19 @@ class GraphCompiler:
                 return [(SlotId(0), inp)]
             b = args[f"{prefix}warp_{nid}"]
             h, w = inp.planes[0].shape
+            if self.mesh is not None:
+                # bounded displacement keeps the gather shard-local: ring
+                # halo exchange instead of GSPMD all-gathering every plane
+                from .ops.warp import fits_mesh, warp_halo, warp_planes_mesh
+
+                axis = self.mesh_axis or self.mesh.axis_names[0]
+                halo = warp_halo(node.node_type.payload[1])
+                if fits_mesh(h, int(self.mesh.shape[axis]), halo):
+                    outs = warp_planes_mesh(
+                        inp.planes, strength.planes[0], b["k"],
+                        self.mesh, axis, halo, h, w,
+                    )
+                    return [(SlotId(0), ImgVal(list(outs)))]
             outs = warp_planes(
                 inp.planes, strength.planes[0],
                 _np.arange(h, dtype=_np.int32), _np.arange(w, dtype=_np.int32),
@@ -859,8 +872,17 @@ def _normalize_values(graph_json):
                     "scale_x": 0.0, "scale_y": 0.0,
                 }})
             elif "Warp" in node_type:
+                # angle and intensity are arguments, but the HALO BUCKET is
+                # structure: tiled band row sets and the mesh shard_map bake
+                # it into the trace (ops/warp.py::warp_halo), so an
+                # intensity drag reuses programs within its bucket and
+                # retraces exactly once when it crosses one (-1 ⇒ unbounded)
+                from .ops.warp import warp_halo
+
+                halo = warp_halo(node_type["Warp"]["intensity"])
                 node = dict(node, node_type={"Warp": {
-                    "angle": 0.0, "intensity": 0.0,
+                    "angle": 0.0,
+                    "intensity": -1.0 if halo is None else float(halo),
                 }})
             elif "Graph" in node_type:
                 node = dict(node, node_type={"Graph": _normalize_values(node_type["Graph"])})

@@ -83,7 +83,7 @@ def process_node_internal(node, slot_datas, embedded_slot_datas, input_slot_data
     elif kind == K.TRANSFORM:
         output = transform.process(slot_datas, node)
     elif kind == K.WARP:
-        output = warp.process(slot_datas, node)
+        output = warp.process(slot_datas, node, mesh=tex_pro.mesh)
     elif kind == K.SEPARATE_RGBA:
         output = separate_combine.process_separate(slot_datas, node)
     elif kind == K.COMBINE_RGBA:

@@ -79,12 +79,20 @@ def transform_bindings(payload) -> dict:
     }
 
 
-def bilinear_wrap_gather(planes, u, v, wh, ww):
+def bilinear_wrap_gather(planes, u, v, wh, ww, row_local=None):
     """Shared bilinear toroidal sampler: `u`/`v` are continuous texel
     coordinates `[nr, nc]` (f32), `wh`/`ww` the barriered i32 wrap extents.
     Extracted verbatim from `transform_planes` (identical op sequence →
     identical jaxpr → the chip-verified bit parity carries over) so the
-    Warp node samples through the exact same formulation."""
+    Warp node samples through the exact same formulation.
+
+    `row_local` (optional) remaps the GLOBAL wrapped row indices `y0`/`y1`
+    to positions in `planes`' row axis when the planes are a row SUBSET of
+    the logical canvas (the tiled band's halo-hoisted rows, a mesh shard's
+    halo-extended block). Integer-only and applied after the wrapped global
+    index is fixed, so the gathered texels — and therefore every downstream
+    lerp bit — are identical to the full-plane gather; `None` emits exactly
+    the original jaxpr."""
     import jax.numpy as jnp
 
     # deterministic i32 conversion: clamp BEFORE the cast (f32→i32 overflow
@@ -97,6 +105,8 @@ def bilinear_wrap_gather(planes, u, v, wh, ww):
     y0 = jnp.mod(vf.astype(jnp.int32), wh)
     x1 = jnp.where(x0 + 1 == ww, 0, x0 + 1)
     y1 = jnp.where(y0 + 1 == wh, 0, y0 + 1)
+    gy0 = y0 if row_local is None else row_local(y0)
+    gy1 = y1 if row_local is None else row_local(y1)
     outs = []
     for p in planes:
         if p.dtype != jnp.float32:
@@ -104,10 +114,10 @@ def bilinear_wrap_gather(planes, u, v, wh, ww):
             p = p.astype(jnp.float32)
         stride = p.shape[1]  # static (possibly padded) width for addressing
         flat = p.reshape(-1)
-        n00 = flat[y0 * stride + x0]
-        n10 = flat[y0 * stride + x1]
-        n01 = flat[y1 * stride + x0]
-        n11 = flat[y1 * stride + x1]
+        n00 = flat[gy0 * stride + x0]
+        n10 = flat[gy0 * stride + x1]
+        n01 = flat[gy1 * stride + x0]
+        n11 = flat[gy1 * stride + x1]
         nx0 = n00 + nc_mul(fu, n10 - n00)
         nx1 = n01 + nc_mul(fu, n11 - n01)
         outs.append(nx0 + nc_mul(fv, nx1 - nx0))

@@ -587,15 +587,24 @@ def _expand_rows(info: _Info, rows: np.ndarray) -> np.ndarray:
         # re-evaluate every band (documented in the op's module docstring).
         return np.arange(info.working.height)
     if kind == K.WARP:
-        # displacement magnitude is map data (unbounded), so like Transform
-        # any output row may sample any input row: hoist the full height
-        # (the strength map only needs the band's rows, but requirements
-        # are per-node — the band fn row-gathers the map back down).
+        # strength is clamped to the unit interval (the node's contract —
+        # ops/warp.py), so displacement is bounded by intensity/2: hoist
+        # only the band's rows ± the halo BUCKET (warp_halo — the bucket,
+        # not the live intensity, so cached evaluators stay valid for
+        # every intensity in the fingerprint's class), toroidal wrap like
+        # Blur. A non-finite intensity is unbounded: full height.
         # With the strength input DANGLING the node is a pass-through
         # alias (elementwise): plain band rows keep the alias positional.
         if not any(s == SlotId(1) for s, _, _ in info.inputs):
             return rows
-        return np.arange(info.working.height)
+        from .ops.warp import warp_halo
+
+        halo = warp_halo(info.node.node_type.payload[1])
+        h = info.working.height
+        if halo is None or 2 * halo + 1 >= h:
+            return np.arange(h)
+        offs = np.arange(-halo, halo + 1)
+        return np.unique((rows[:, None] + offs[None, :]).ravel() % h)
     return rows
 
 
@@ -858,9 +867,17 @@ class TiledEvaluator:
                     from .ops.warp import warp_bindings
 
                     wb = warp_bindings(node.node_type.payload)
-                # band's GLOBAL output rows (inputs are hoisted full-height,
-                # so positional row == global row for the map gather)
+                # band's GLOBAL output rows; inputs are hoisted to the halo
+                # row set `need` (`_expand_rows`), so the band fn needs the
+                # strength's positions in `need` and a global→local row LUT
+                # for the sampler's wrapped gather indices (rows outside
+                # `need` map to 0 — the displacement bound keeps them
+                # unreachable, the 0 keeps the gather index in range)
                 args[f"wpr_{nid}"] = rows.astype(np.int32)
+                args[f"wps_{nid}"] = _positions(need, rows)
+                lut = np.zeros(info.working.height, np.int32)
+                lut[need] = np.arange(len(need), dtype=np.int32)
+                args[f"wplut_{nid}"] = lut
                 args[f"wpk_{nid}"] = wb["k"]
         return args
 
@@ -1051,18 +1068,22 @@ class TiledEvaluator:
                     # pass-through alias, like the other consumers
                     env[(node_id, SlotId(0))] = by_slot[SlotId(0)]
                     continue
-                band_rows = args[f"wpr_{nid}"]
-                # inputs were hoisted to FULL height (`_expand_rows`), so the
-                # hoisted map's positional row == global row: gather the
-                # band's rows back out (bit-transparent — gathers commute
-                # with the elementwise coordinate math)
+                # inputs were hoisted to the halo row set (`_expand_rows`):
+                # gather the band's strength rows out of the hoisted map
+                # (bit-transparent — gathers commute with the elementwise
+                # coordinate math) and remap the sampler's wrapped GLOBAL
+                # row indices to hoisted positions through the band's LUT
+                # (integer-only, after the global index is fixed — the
+                # gathered texels and every lerp bit are unchanged)
+                lut = args[f"wplut_{nid}"]
                 outs = warp_planes(
                     by_slot[SlotId(0)].planes,
-                    strength.planes[0][band_rows, :],
-                    band_rows,
+                    strength.planes[0][args[f"wps_{nid}"], :],
+                    args[f"wpr_{nid}"],
                     _np.arange(info.working.width, dtype=_np.int32),
                     args[f"wpk_{nid}"],
                     info.working.height, info.working.width,
+                    row_local=lambda y: lut[y],
                 )
                 env[(node_id, SlotId(0))] = ImgVal(list(outs))
                 continue

@@ -266,3 +266,73 @@ def test_mesh_bucketed_composition():
     finally:
         plain.shutdown_now()
         meshed.shutdown_now()
+
+
+def test_mesh_engine_warp_sharded_halo(monkeypatch):
+    """The Warp gather composes with the mesh: the fused partition traces
+    `warp_planes_mesh` (ring ppermute exchange of the ±halo-bucket rows —
+    the unit-interval strength contract bounds displacement by
+    intensity/2, `ops/warp.py`) instead of letting GSPMD all-gather every
+    input plane, and stays bit-identical to the plain single-device
+    processor — including out-of-range strength values (Mix ADD of two
+    noises exceeds 1.0, exercising the clamp on both sides)."""
+    from kanter_core_tpu.ops import warp as warp_mod
+
+    def build(g):
+        nz = g.add_node(Node(NodeType.Noise(96, 128, 4, 3, 5, 0.5)))
+        h2n = g.add_node(Node(NodeType.HeightToNormal()))
+        ma = g.add_node(Node(NodeType.Noise(96, 128, 3, 2, 21, 0.6)))
+        mb = g.add_node(Node(NodeType.Noise(96, 128, 2, 2, 9, 0.5)))
+        mix = g.add_node(Node(NodeType.Mix(MixType.ADD)))  # strength > 1
+        wp = g.add_node(Node(NodeType.Warp(57.0, 18.0)))  # halo bucket 16
+        out = g.add_node(Node(NodeType.OutputRgba("out")))
+        g.connect(nz, h2n, SlotId(0), SlotId(0))
+        g.connect(h2n, wp, SlotId(0), SlotId(0))
+        g.connect(ma, mix, SlotId(0), SlotId(0))
+        g.connect(mb, mix, SlotId(0), SlotId(1))
+        g.connect(mix, wp, SlotId(0), SlotId(1))
+        g.connect(wp, out, SlotId(0), SlotId(0))
+        return out
+
+    tp = TextureProcessor(10_000_000)
+    try:
+        lg = tp.new_live_graph()
+        with lg.write() as g:
+            out = build(g)
+        plain = render_u8(lg, out)
+    finally:
+        tp.shutdown_now()
+
+    calls = []
+    real = warp_mod.warp_planes_mesh
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(warp_mod, "warp_planes_mesh", counting)
+    tp = TextureProcessor(10_000_000, mesh=_row_mesh())
+    try:
+        lg = tp.new_live_graph()
+        with lg.write() as g:
+            out = build(g)
+        mesh_px = render_u8(lg, out)
+        assert calls, "mesh path did not trace the shard_map'd warp"
+    finally:
+        tp.shutdown_now()
+    assert np.array_equal(plain, mesh_px)
+
+    # the per-node (auto_update) dispatch rides the same kernel
+    calls.clear()
+    tp = TextureProcessor(10_000_000, mesh=_row_mesh())
+    try:
+        lg = tp.new_live_graph()
+        with lg.write() as g:
+            g.auto_update = True
+            g.fuse_subgraphs = False
+            out = build(g)
+        pernode_px = render_u8(lg, out)
+        assert calls, "per-node mesh path did not trace the shard_map'd warp"
+    finally:
+        tp.shutdown_now()
+    assert np.array_equal(plain, pernode_px)

@@ -46,7 +46,10 @@ def _np_oracle(plane, strength, payload):
     h, w = plane.shape
     b = warp_bindings(NodeType.Warp(*payload).payload)
     kx, ky = b["k"]
-    d = np.asarray(strength, np.float32) - f(0.5)
+    m = np.asarray(strength, np.float32)
+    ms = np.clip(m, f(0.0), f(1.0))  # unit-interval contract; NaN ⇒ identity
+    ms = np.where(np.isnan(m), f(0.5), ms)
+    d = ms - f(0.5)
     u = np.arange(w, dtype=np.int32).astype(np.float32)[None, :] + kx * d
     v = np.arange(h, dtype=np.int32).astype(np.float32)[:, None] + ky * d
     uf = np.clip(np.floor(u), f(-1e9), f(1e9))
@@ -132,10 +135,24 @@ def test_warp_serde_round_trip():
     assert clone.node(wp).node_type.payload == g.node(wp).node_type.payload
 
 
-def test_warp_params_are_arguments_not_structure():
-    assert graph_fingerprint(_build()[0]) == graph_fingerprint(
-        _build((310.0, 2.5))[0]
+def test_warp_params_are_arguments_at_bucket_granularity():
+    """Angle is always an argument; intensity is an argument WITHIN its
+    halo bucket (the bucket is structure — tiled row sets and the mesh
+    shard_map bake it, `ops/warp.py::warp_halo`)."""
+    from kanter_core_tpu.ops.warp import warp_halo
+
+    # same bucket (halo 16 covers intensities up to 28): shared program
+    assert warp_halo(18.0) == warp_halo(25.0) == 16
+    assert graph_fingerprint(_build((57.0, 18.0))[0]) == graph_fingerprint(
+        _build((310.0, 25.0))[0]
     )
+    # crossing a bucket boundary retraces: 2.5 buckets to halo 4
+    assert warp_halo(2.5) == 4
+    assert graph_fingerprint(_build((57.0, 18.0))[0]) != graph_fingerprint(
+        _build((57.0, 2.5))[0]
+    )
+    # non-finite intensity: unbounded sentinel, its own class
+    assert warp_halo(float("nan")) is None
     from kanter_core_tpu.recipe_cache import node_recipe
 
     r1 = node_recipe(Node(NodeType.Warp(10, 5), NodeId(1)), ["x"], None)
@@ -238,3 +255,72 @@ def test_warp_rgba_and_drag_and_bad_target():
             lg.set_warp(out, 0, 0)  # not a Warp node
     finally:
         tp.shutdown_now()
+
+
+def test_warp_tiled_halo_bound_adversarial():
+    """Worst-case displacement under tiny bands: strength plateaus at
+    exactly 0.0 and 1.0 (the clamp's fixed points), intensity at the top
+    edge of its halo bucket (28 → ceil(14)+2 = 16), pure-vertical angles
+    both ways — the ±16-of-64-rows hoist stays bit-identical to the dense
+    program, proving `warp_halo`'s bound covers the extreme samples."""
+    from kanter_core_tpu.compiler import CompiledGraph
+    from kanter_core_tpu.tiled import TiledEvaluator
+
+    rng = np.random.default_rng(5)
+    h, w = 64, 32
+    img_plane = rng.random((h, w), dtype=np.float32)
+    m = np.zeros((h, w), np.float32)
+    m[::3] = 1.0
+    m[1::3] = rng.random((len(range(1, h, 3)), w), np.float32) * 4.0 - 1.5
+
+    for angle in (90.0, 270.0, 33.0):
+        g = NodeGraph()
+        gi = g.add_node(Node(NodeType.InputGray("img")))
+        gm = g.add_node(Node(NodeType.InputGray("m")))
+        wp = g.add_node(Node(NodeType.Warp(angle, 28.0)))
+        out = g.add_node(Node(NodeType.OutputGray("out")))
+        g.connect(gi, wp, SlotId(0), SlotId(0))
+        g.connect(gm, wp, SlotId(0), SlotId(1))
+        g.connect(wp, out, SlotId(0), SlotId(0))
+        bindings = {
+            f"input_{int(gi)}": (img_plane,),
+            f"input_{int(gm)}": (m,),
+        }
+        prog = CompiledGraph(g.clone(), targets=[(out, SlotId(0))])
+        expect = np.asarray(prog(**bindings)[(out, SlotId(0))][0])
+        for band_rows in (1, 8):
+            ev = TiledEvaluator(
+                g, [(out, SlotId(0))], bindings, band_rows=band_rows
+            )
+            got = np.asarray(ev.run()[(out, SlotId(0))][0])
+            assert np.array_equal(got, expect), (angle, band_rows)
+
+
+def test_warp_intensity_edit_across_bucket_boundary_tiled():
+    """`set_warp` from intensity 18 (halo bucket 16) to 70 (bucket 64 ⇒
+    full-height fallback at h=56) on the TILED engine path: the cached
+    evaluator baked bucket-16 row sets, so the fingerprint must key it
+    out — both renders match the dense path bit-for-bit."""
+    def renders(tile_bytes):
+        g, wp, out = _build(payload=(90.0, 18.0))
+        tp = TextureProcessor(10_000_000, tile_bytes=tile_bytes)
+        try:
+            lg = tp.new_live_graph()
+            with lg.write() as gg:
+                gg.set_node_graph(g)
+            first = render_u8(lg, out)
+            with lg.write() as gg:
+                gg.set_warp(wp, 90.0, 70.0)
+            second = render_u8(lg, out)
+            if tile_bytes is not None:
+                assert len(tp.engine._tiled_programs) >= 2, (
+                    "bucket crossing must mint a new tiled evaluator"
+                )
+            return first, second
+        finally:
+            tp.shutdown_now()
+
+    dense = renders(None)
+    tiled = renders(1)
+    assert np.array_equal(dense[0], tiled[0])
+    assert np.array_equal(dense[1], tiled[1])
