@@ -347,8 +347,65 @@ def _determinism_kernels():
         return out
 
     # directional displacement through the shared bilinear wrap sampler:
-    # same nc_mul/barrier construction as Transform → 0 diffs
+    # same nc_mul/barrier construction as Transform → 0 diffs (strength is
+    # clamped to [0,1] by contract — the 0.9-scaled source stays in range,
+    # so the clamp is exercised as a pass-through here and as an active
+    # bound in the banded row below)
     cases.append(("warp_directional", _warp_row, 0))
+
+    def _warp_mesh_row():
+        from jax.sharding import Mesh
+
+        from kanter_core_tpu.ops.warp import (
+            warp_bindings, warp_halo, warp_planes_mesh,
+        )
+
+        b = warp_bindings((57.0, 18.5))
+        h, w = src.shape
+        strength = np.asarray(src) * np.float32(0.9)
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("rows",))
+        halo = warp_halo(18.5)
+        out, = jax.jit(
+            lambda ps, st, k: warp_planes_mesh(
+                ps, st, k, mesh, "rows", halo, h, w
+            )
+        )((src,), strength, b["k"])
+        return out
+
+    # the shard_map'd warp (ppermute halo exchange + global→local row
+    # remap) on a 1-device mesh — re-runs the battery for the NEW
+    # formulation per CLAUDE.md's rule, like blur_pallas_sharded
+    cases.append(("warp_mesh_sharded", _warp_mesh_row, 0))
+
+    def _warp_banded_row():
+        from kanter_core_tpu.ops.warp import (
+            warp_bindings, warp_halo, warp_planes,
+        )
+
+        b = warp_bindings((301.0, 27.5))  # negative-k quadrant, bucket 16
+        h, w = src.shape
+        halo = warp_halo(27.5)
+        # strength spans the clamp's active range (plateaus beyond [0,1])
+        strength = np.asarray(src) * np.float32(1.6) - np.float32(0.3)
+        rows = np.arange(40, 48, dtype=np.int32)  # one interior 8-row band
+        offs = np.arange(-halo, halo + 1)
+        need = np.unique((rows[:, None] + offs[None, :]).ravel() % h)
+        lut = np.zeros(h, np.int32)
+        lut[need] = np.arange(len(need), dtype=np.int32)
+        sub = np.ascontiguousarray(np.asarray(src)[need])
+
+        def f(subp, st, lut_):
+            return warp_planes(
+                (subp,), st, rows, np.arange(w, dtype=np.int32),
+                b["k"], h, w, row_local=lambda y: lut_[y],
+            )[0]
+
+        return jax.jit(f)(sub, strength[rows], lut)
+
+    # the tiled band's halo-hoisted formulation (row subset + LUT remap,
+    # clamp actively bounding out-of-range strength) — same texels through
+    # the same lerp, new data movement → its own chip row
+    cases.append(("warp_banded_lut", _warp_banded_row, 0))
 
     def _blend_row():
         import jax.numpy as jnp

@@ -324,3 +324,39 @@ def test_warp_intensity_edit_across_bucket_boundary_tiled():
     tiled = renders(1)
     assert np.array_equal(dense[0], tiled[0])
     assert np.array_equal(dense[1], tiled[1])
+
+
+def test_warp_tiled_hoists_only_halo_rows():
+    """The capacity point of the unit-interval contract: an interior 8-row
+    band of a 1024-row warp needs exactly 8 + 2·halo input rows (was: the
+    full 1024 — ancestor-dense bands), and the banded output still matches
+    dense bit-for-bit."""
+    from kanter_core_tpu.compiler import CompiledGraph
+    from kanter_core_tpu.ops.warp import warp_halo
+    from kanter_core_tpu.tiled import TiledEvaluator
+
+    rng = np.random.default_rng(9)
+    h, w = 1024, 64
+    img = rng.random((h, w), dtype=np.float32)
+    m = rng.random((h, w), dtype=np.float32)
+    g = NodeGraph()
+    gi = g.add_node(Node(NodeType.InputGray("img")))
+    gm = g.add_node(Node(NodeType.InputGray("m")))
+    wp = g.add_node(Node(NodeType.Warp(213.0, 25.0)))  # halo bucket 16
+    out = g.add_node(Node(NodeType.OutputGray("out")))
+    g.connect(gi, wp, SlotId(0), SlotId(0))
+    g.connect(gm, wp, SlotId(0), SlotId(1))
+    g.connect(wp, out, SlotId(0), SlotId(0))
+    bindings = {f"input_{int(gi)}": (img,), f"input_{int(gm)}": (m,)}
+
+    halo = warp_halo(25.0)
+    assert halo == 16
+    ev = TiledEvaluator(g, [(out, SlotId(0))], bindings, band_rows=8)
+    R = ev._band_rows_needed([(out, SlotId(0))], 512, 520)  # interior band
+    assert len(R[gi]) == 8 + 2 * halo, len(R[gi])
+    assert len(R[gm]) == 8 + 2 * halo, len(R[gm])
+
+    prog = CompiledGraph(g.clone(), targets=[(out, SlotId(0))])
+    expect = np.asarray(prog(**bindings)[(out, SlotId(0))][0])
+    got = np.asarray(ev.run()[(out, SlotId(0))][0])
+    assert np.array_equal(got, expect)
