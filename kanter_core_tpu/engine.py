@@ -80,7 +80,12 @@ def _shard_overrides(overrides: dict, mesh) -> dict:
     bit-identically to single-device execution (tests/test_mesh_engine.py).
 
     Planes smaller than one row per device (1×1 Values, tiny defaults) stay
-    replicated; sharding them would only add collective overhead."""
+    replicated; sharding them would only add collective overhead. Planes
+    whose row count does not divide the mesh axis also stay replicated:
+    `device_put` requires divisible chunks, and GSPMD still partitions the
+    program's compute from its own propagation — bit-identically (pinned by
+    `test_fuzz_equivalence.py::test_fuzz_mesh_fused_matches_compiler`,
+    whose random 110-row canvases crashed the dispatch here before)."""
     import jax
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -90,7 +95,11 @@ def _shard_overrides(overrides: dict, mesh) -> dict:
     sharding = NamedSharding(mesh, P(axis, None))
 
     def place(leaf):
-        if getattr(leaf, "ndim", None) == 2 and leaf.shape[0] >= n:
+        if (
+            getattr(leaf, "ndim", None) == 2
+            and leaf.shape[0] >= n
+            and leaf.shape[0] % n == 0
+        ):
             return jax.device_put(leaf, sharding)
         return leaf
 

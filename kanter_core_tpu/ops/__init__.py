@@ -126,7 +126,13 @@ def _shard_inputs(slot_datas, mesh):
         changed = False
         for plane in slot_data.image.planes:
             data = plane.data()
-            if getattr(data, "ndim", 0) == 2 and data.shape[0] >= n:
+            # non-divisible row counts stay unsharded (device_put needs
+            # divisible chunks — engine._shard_overrides has the full note)
+            if (
+                getattr(data, "ndim", 0) == 2
+                and data.shape[0] >= n
+                and data.shape[0] % n == 0
+            ):
                 placed = jax.device_put(data, sharding)
                 if placed is not data:
                     plane = plane_from_device(placed)

@@ -295,6 +295,41 @@ def test_fused_pernode_compiler_equivalence(seed):
             )
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 7, 11])
+def test_fuzz_mesh_fused_matches_compiler(seed):
+    """Random graphs through the MESH engine (8-virtual-device row
+    sharding: shard_map'd blur/warp kernels where their viability gates
+    admit the geometry, GSPMD partitioning elsewhere) must be bit-identical
+    to the standalone dense compiler — shard-kernel gate decisions must be
+    unobservable in the pixels."""
+    import jax
+    from jax.sharding import Mesh
+
+    graph, targets = _build_random_graph(seed)
+    if not targets:
+        pytest.skip("degenerate graph")
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
+    results = {}
+    tp = TextureProcessor(10_000_000, mesh=mesh)
+    try:
+        lg = tp.new_live_graph()
+        with lg.write() as g:
+            g.set_node_graph(graph.clone())
+        for target in targets:
+            results[target] = render_u8(lg, target)
+    finally:
+        tp.shutdown_now()
+    prog = CompiledGraph(
+        graph.clone(), targets=[(t, SlotId(0)) for t in targets], include_u8=True
+    )
+    compiled = prog()
+    for target in targets:
+        comp_px = np.asarray(compiled[(target, SlotId(0))]).reshape(-1)
+        assert np.array_equal(results[target], comp_px), (
+            f"mesh != compiler (seed {seed})"
+        )
+
+
 def test_resize_tie_break_parity(tex_pro):
     """MostPixels pixel-count ties resolve by edge INSERTION order (the
     reference gathers inputs before sorting edges, `node_type.rs:229-236`);
