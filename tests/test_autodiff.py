@@ -122,3 +122,37 @@ def test_grad_fn_tracks_binding_edits():
     prog.set_value(v2, 0.8)
     _, g2 = grad_fn({int(v1): jnp.float32(0.5)})
     assert np.isclose(float(g2[int(v1)]), 0.8), "grad fn served stale bindings"
+
+
+def test_grad_through_warp_gather():
+    """Gradients flow THROUGH a Warp node's bilinear gather and the
+    unit-interval strength clamp: fitting an upstream Value used as the
+    (interior-range) strength map gets a finite-difference-matching
+    gradient — the gather's vjp (scatter-add) and the clip's pass-through
+    region compose."""
+    g = NodeGraph()
+    inp = g.add_node(Node(NodeType.InputGray("in")))
+    s = g.add_node(Node(NodeType.Value(0.4)))
+    wp = g.add_node(Node(NodeType.Warp(33.0, 6.3)))
+    out = g.add_node(Node(NodeType.OutputGray("out")))
+    g.connect(inp, wp, SlotId(0), SlotId(0))
+    g.connect(s, wp, SlotId(0), SlotId(1))
+    g.connect(wp, out, SlotId(0), SlotId(0))
+    prog = CompiledGraph(g, targets=[(out, SlotId(0))])
+    rng = np.random.default_rng(3)
+    plane = rng.random((24, 24), dtype=np.float32)
+    prog.bind_input(inp, [plane])
+
+    def loss(outs):
+        return jnp.mean(outs[(out, SlotId(0))][0] ** 2)
+
+    f = value_grad_fn(prog, loss, wrt=[s])
+    v = 0.4
+    loss0, grads = f({int(s): jnp.float32(v)})
+    grad = float(grads[int(s)])
+    eps = 1e-3
+    lp, _ = f({int(s): jnp.float32(v + eps)})
+    lm, _ = f({int(s): jnp.float32(v - eps)})
+    fd = (float(lp) - float(lm)) / (2 * eps)
+    assert np.isfinite(grad) and grad != 0.0
+    assert abs(grad - fd) < 5e-2 * max(1.0, abs(fd)), (grad, fd)
