@@ -497,13 +497,15 @@ class GraphCompiler:
                 return [(SlotId(0), inp)]
             b = args[f"{prefix}warp_{nid}"]
             h, w = inp.planes[0].shape
+            from .ops.warp import warp_halo
+
+            halo = warp_halo(node.node_type.payload[1])
             if self.mesh is not None:
                 # bounded displacement keeps the gather shard-local: ring
                 # halo exchange instead of GSPMD all-gathering every plane
-                from .ops.warp import fits_mesh, warp_halo, warp_planes_mesh
+                from .ops.warp import fits_mesh, warp_planes_mesh
 
                 axis = self.mesh_axis or self.mesh.axis_names[0]
-                halo = warp_halo(node.node_type.payload[1])
                 if fits_mesh(h, int(self.mesh.shape[axis]), halo):
                     outs = warp_planes_mesh(
                         inp.planes, strength.planes[0], b["k"],
@@ -514,6 +516,8 @@ class GraphCompiler:
                 inp.planes, strength.planes[0],
                 _np.arange(h, dtype=_np.int32), _np.arange(w, dtype=_np.int32),
                 b["k"], h, w,
+                table=(b["pairs"], b["npairs"]) if "pairs" in b else None,
+                halo=halo, pallas_ok=self.pallas_ok,
             )
             return [(SlotId(0), ImgVal(list(outs)))]
 

@@ -66,7 +66,15 @@ def warp_bindings(payload) -> dict:
     """The canonical `warp_<id>` program argument: `k = intensity·(cos θ,
     sin θ)` as one f32[2], host-computed in f64 with a single rounding
     (quarter-turn angles hit the exact table so axis-aligned warps move by
-    exactly `intensity·(m−0.5)` pixels)."""
+    exactly `intensity·(m−0.5)` pixels).
+
+    For a bounded intensity the bindings also carry the Pallas kernel's
+    staircase pair table (`pallas_warp.warp_pairs`) as runtime arguments —
+    `pairs` is padded to the halo BUCKET's static cap, so angle/intensity
+    drags within a bucket re-run one cached executable with a fresh table.
+    `warp_pairs` cannot overflow the cap for an in-bucket intensity (the
+    cap math in `pairs_cap` bounds the dilated staircase), so the argument
+    STRUCTURE is a pure function of the fingerprint's halo bucket."""
     deg, intensity = (float(v) for v in payload)
     d = deg % 360.0
     if d in _QUARTER:
@@ -75,11 +83,24 @@ def warp_bindings(payload) -> dict:
         r = np.deg2rad(np.float64(d))
         cos, sin = float(np.cos(r)), float(np.sin(r))
     k = np.float64(intensity) * np.asarray([cos, sin], np.float64)
-    return {"k": k.astype(np.float32)}
+    out = {"k": k.astype(np.float32)}
+    halo = warp_halo(intensity)
+    if halo is not None:
+        from .pallas_warp import warp_pairs
+
+        pr = warp_pairs(out["k"], halo)
+        if pr is not None:
+            out["pairs"], out["npairs"] = pr
+    return out
+
+
+#: test hook: force the Pallas lowering (interpret mode) off-TPU so the
+#: CPU suite exercises the kernel path the chip runs (`blur` convention)
+FORCE_PALLAS_INTERPRET = False
 
 
 def warp_planes(planes, strength, rows, cols, k, wrap_h, wrap_w,
-                row_local=None):
+                row_local=None, table=None, halo=None, pallas_ok=True):
     """Traceable directional warp of `planes` (each `[Hp, Wp]`, logical
     extent `(wrap_h, wrap_w)`) at output pixels `rows × cols` (GLOBAL i32
     index vectors). `strength` is the gray map ALIGNED to the output grid
@@ -87,9 +108,47 @@ def warp_planes(planes, strength, rows, cols, k, wrap_h, wrap_w,
     f32[2] displacement vector from `warp_bindings`; `wrap_h`/`wrap_w` are
     trace-time ints OR runtime i32 scalars (bucketed). `row_local` remaps
     global row indices into `planes` when they hold a row subset (see
-    `bilinear_wrap_gather`)."""
+    `bilinear_wrap_gather`).
+
+    `table` (the `(pairs, npairs)` runtime arguments from `warp_bindings`)
+    plus `halo` dispatch the full-canvas dense geometry to the Pallas
+    staircase kernel on TPU — XLA lowers the 4 per-pixel gathers at
+    element-gather speed, 580 ms vs the kernel's few ms at 4096² (the
+    numbers and the bit-exactness argument live in `ops/pallas_warp.py`).
+    Banded/bucketed/sharded callers pass no table and keep the gather."""
+    import jax
     import jax.numpy as jnp
     from jax import lax
+
+    if (
+        table is not None
+        and halo is not None
+        and pallas_ok
+        and row_local is None
+        and isinstance(wrap_h, int)
+        and isinstance(wrap_w, int)
+        and isinstance(rows, np.ndarray)
+        and isinstance(cols, np.ndarray)
+        and len(rows) == wrap_h
+        and len(cols) == wrap_w
+        and all(p.shape == (wrap_h, wrap_w) for p in planes)
+    ):
+        on_tpu = jax.default_backend() == "tpu" or FORCE_PALLAS_INTERPRET
+        from .pallas_warp import _warp_pallas_wrapped, fits_kernel
+
+        if on_tpu and fits_kernel(wrap_h, wrap_w, halo):
+            pairs, npairs = table
+            fn = _warp_pallas_wrapped(int(halo), int(pairs.shape[0]))
+            m = strength
+            if m.dtype != jnp.float32:
+                m = m.astype(jnp.float32)  # bf16 pipeline: f32 in flight
+            outs = []
+            for p in planes:
+                if p.dtype != jnp.float32:
+                    p = p.astype(jnp.float32)
+                outs.append(fn(p, m, jnp.asarray(k), jnp.asarray(pairs),
+                               jnp.asarray(npairs)))
+            return tuple(outs)
 
     f32 = jnp.float32
     # barrier the wrap extents — same constant-folder hazard as Transform
@@ -190,10 +249,22 @@ def warp_planes_mesh(planes, strength, k, mesh, axis, halo, h, w):
 
 
 @functools.lru_cache(maxsize=8)
-def _kernel():
+def _kernel(halo=None):
     import jax
 
-    return jax.jit(warp_planes, static_argnums=(5, 6))
+    if halo is None:
+        return jax.jit(warp_planes, static_argnums=(5, 6))
+
+    def f(planes, strength, rows, cols, k, wrap_h, wrap_w, pairs, npairs):
+        # rebuild the index vectors CONCRETE from the static extents — as
+        # jit arguments they trace, and the dense-geometry gate (and the
+        # gather fallback's host-side arange) wants host arrays
+        rows = np.arange(wrap_h, dtype=np.int32)
+        cols = np.arange(wrap_w, dtype=np.int32)
+        return warp_planes(planes, strength, rows, cols, k, wrap_h, wrap_w,
+                           table=(pairs, npairs), halo=halo)
+
+    return jax.jit(f, static_argnums=(5, 6))
 
 
 @functools.lru_cache(maxsize=16)
@@ -233,11 +304,14 @@ def process(slot_datas, node, mesh=None):
             )
             image = SlotImage([plane_from_device(o) for o in outs])
             return [SlotData(node.node_id, SlotId(0), image)]
-    outs = _kernel()(
+    halo_b = warp_halo(node.node_type.payload[1])
+    table = (b["pairs"], b["npairs"]) if "pairs" in b else None
+    outs = _kernel(halo_b if table is not None else None)(
         tuple(planes),
         strength.image.planes[0].data(),
         np.arange(h, dtype=np.int32), np.arange(w, dtype=np.int32),
         b["k"], h, w,
+        *((b["pairs"], b["npairs"]) if table is not None else ()),
     )
     image = SlotImage([plane_from_device(o) for o in outs])
     return [SlotData(node.node_id, SlotId(0), image)]

@@ -407,6 +407,35 @@ def _determinism_kernels():
     # the same lerp, new data movement → its own chip row
     cases.append(("warp_banded_lut", _warp_banded_row, 0))
 
+    def _warp_pallas_row():
+        import numpy as _np
+
+        from kanter_core_tpu.ops.warp import (
+            warp_bindings, warp_halo, warp_planes,
+        )
+
+        # lane-aligned width so the TPU side takes the Mosaic staircase
+        # kernel (ops/pallas_warp.py); the CPU ref side gates to the jnp
+        # gather — the kernel-vs-gather cross-backend proof, like
+        # blur_pallas_aligned. Strength spans the clamp's active range.
+        b = warp_bindings((57.0, 18.5))
+        halo = warp_halo(18.5)
+        h, w = 160, 256
+        rng_ = _np.random.default_rng(9)
+        plane = rng_.integers(0, 256, (h, w)).astype(_np.float32) / _np.float32(255)
+        strength = rng_.random((h, w), dtype=_np.float32) * _np.float32(1.4) - _np.float32(0.2)
+
+        def f(p, s, k, pairs, npairs):
+            return warp_planes(
+                (p,), s,
+                _np.arange(h, dtype=_np.int32), _np.arange(w, dtype=_np.int32),
+                k, h, w, table=(pairs, npairs), halo=halo,
+            )[0]
+
+        return jax.jit(f)(plane, strength, b["k"], b["pairs"], b["npairs"])
+
+    cases.append(("warp_pallas_staircase", _warp_pallas_row, 0))
+
     def _blend_row():
         import jax.numpy as jnp
 
