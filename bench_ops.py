@@ -197,6 +197,54 @@ def stages(canvas: int):
         8, 32, 0.25,
     )
 
+    # --- the Pallas staircase-warp kernel (dense + shard_map'd), same
+    #     traffic model — the production replacement for the row above on
+    #     kernel-viable geometries (ops/pallas_warp.py) ---
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from kanter_core_tpu.ops.warp import warp_halo
+    from kanter_core_tpu.ops.pallas_warp import (
+        _warp_pallas_sharded, fits_kernel, fits_sharded, warp_pallas,
+    )
+
+    whalo = warp_halo(24.0)
+    if fits_kernel(canvas, canvas, whalo) and "pairs" in wb:
+        def warp_pallas_body(c, ps):
+            return (warp_pallas(ps[0], (ps[1] + c) % 1.0, ps[2], ps[3],
+                                wb["npairs"], whalo),)
+
+        yield (
+            "warp_pallas",
+            warp_pallas_body,
+            (p1, p2, wb["k"], _jnp.asarray(wb["pairs"])),
+            3 * plane_bytes,
+            canvas * canvas,
+            8, 32, 0.25,
+        )
+
+    if fits_sharded(canvas, canvas, whalo, 1) and "pairs" in wb:
+        from jax.sharding import Mesh as _Mesh
+
+        _wmesh = _Mesh(np.asarray(_jax.devices()[:1]), ("rows",))
+        _wsfn = _warp_pallas_sharded(
+            whalo, int(wb["pairs"].shape[0]), _wmesh,
+            _jax.default_backend() != "tpu",
+        )
+
+        def warp_sharded_body(c, ps):
+            return (_wsfn(ps[0], (ps[1] + c) % 1.0, ps[2], ps[3],
+                          _jnp.asarray(wb["npairs"])),)
+
+        yield (
+            "warp_pallas_sharded",
+            warp_sharded_body,
+            (p1, p2, wb["k"], _jnp.asarray(wb["pairs"])),
+            3 * plane_bytes,
+            canvas * canvas,
+            8, 32, 0.25,
+        )
+
     # --- resample up ×2 and down ×2, Triangle + Lanczos3
     #     (traffic: in read + tmp[outH,inW] write+read + out write) ---
     for filt, fname in ((ResizeFilter.TRIANGLE, "tri"), (ResizeFilter.LANCZOS3, "lcz")):

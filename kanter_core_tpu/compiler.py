@@ -510,6 +510,8 @@ class GraphCompiler:
                     outs = warp_planes_mesh(
                         inp.planes, strength.planes[0], b["k"],
                         self.mesh, axis, halo, h, w,
+                        table=(b["pairs"], b["npairs"]) if "pairs" in b else None,
+                        pallas_ok=self.pallas_ok,
                     )
                     return [(SlotId(0), ImgVal(list(outs)))]
             outs = warp_planes(

@@ -337,6 +337,100 @@ def warp_pallas(plane, strength, k, pairs, npairs, halo: int,
                        interpret=interpret)
 
 
+def fits_sharded(height: int, width: int, halo, n_shards: int) -> bool:
+    """Viability of the shard_map'd kernel: a bounded halo, rows dividing
+    the mesh axis, each shard's block covering the ±`rp` exchanged strip in
+    ONE ring hop, and the per-shard kernel itself viable on its block."""
+    if halo is None:
+        return False
+    rp = _ceil_div(halo, 8) * 8
+    return (
+        height % n_shards == 0
+        and height // n_shards >= rp
+        and fits_kernel(height // n_shards, width, halo)
+    )
+
+
+@functools.lru_cache(maxsize=32)  # param edits mint new programs; bound them
+def _warp_pallas_sharded(halo: int, cap: int, mesh, interpret: bool, axis=None):
+    """shard_map'd staircase kernel: each device runs the Mosaic kernel on
+    its row block after a ring `ppermute` exchange of the ±`rp` boundary
+    strips (ring neighbors ARE the toroidal continuation — the wrap
+    sampling of `height_to_normal.rs:55-56` at mesh scale, exactly as
+    `pallas_blur._blur_pallas_sharded`). GSPMD cannot partition a Mosaic
+    custom call, so without this every `TextureProcessor(mesh=…)` Warp
+    fell back to the element-gather lowering (580 ms vs a few ms at 4096²);
+    with it the kernel stays per-shard and only `2·rp·W` f32 rows ride the
+    ICI per device. `row_origin` hands each shard its global first row so
+    the in-kernel `v` coordinate sees global geometry — bits match the
+    dense kernel and the jnp gather exactly (selects pass texels through;
+    the coordinate/lerp ops are the same sequence).
+
+    Wrapped in custom_vjp (backward re-traces the jnp gather formulation,
+    which GSPMD differentiates and partitions on its own)."""
+    import jax
+    import numpy as np
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = axis or mesh.axis_names[0]
+    n = int(mesh.shape[axis])
+    rp = _ceil_div(halo, 8) * 8
+
+    def body(block, m_blk, k, pairs, npairs):
+        import jax.numpy as jnp
+
+        h_blk = block.shape[0]
+        start = (jax.lax.axis_index(axis) * h_blk).astype(jnp.int32)
+        if n == 1:
+            top = block[-rp:]
+            bot = block[:rp]
+        else:
+            fwd = [(i, (i + 1) % n) for i in range(n)]
+            bwd = [(i, (i - 1) % n) for i in range(n)]
+            # device j receives shard j-1's bottom strip (its preceding rows)
+            top = jax.lax.ppermute(block[-rp:], axis, fwd)
+            # … and shard j+1's top strip (its following rows)
+            bot = jax.lax.ppermute(block[:rp], axis, bwd)
+        return _warp_block(block, m_blk, k, pairs, npairs, top, bot, start,
+                           interpret=interpret)
+
+    # check_vma=False: pallas_call can't declare its output's varying-axes
+    # set (the body is honestly varying over `axis` and nothing else)
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(), P(), P()),
+        out_specs=P(axis, None), check_vma=False,
+    )
+
+    @jax.custom_vjp
+    def warp_fn(p, s, k, pairs, npairs):
+        return sharded(p, s, k, pairs, npairs)
+
+    def fwd_rule(p, s, k, pairs, npairs):
+        return sharded(p, s, k, pairs, npairs), (p, s, k)
+
+    def bwd_rule(res, cot):
+        p, s, k = res
+        from .warp import warp_planes
+
+        h, w = p.shape
+        rows = np.arange(h, dtype=np.int32)
+        cols = np.arange(w, dtype=np.int32)
+
+        def jnp_warp(pi, si, ki):
+            return warp_planes((pi,), si, rows, cols, ki, h, w)[0]
+
+        _, vjp = jax.vjp(jnp_warp, p, s, k)
+        gp, gs, gk = vjp(cot)
+        return (gp, gs, gk,
+                np.zeros((cap, 2), dtype=jax.dtypes.float0),
+                np.zeros((), dtype=jax.dtypes.float0))
+
+    warp_fn.defvjp(fwd_rule, bwd_rule)
+    return warp_fn
+
+
 @functools.cache
 def _warp_pallas_wrapped(halo: int, cap: int):
     """vmap- and grad-composable dense wrapper (the `pallas_blur` pattern):

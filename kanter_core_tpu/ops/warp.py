@@ -201,7 +201,8 @@ def fits_mesh(h: int, n: int, halo) -> bool:
     )
 
 
-def warp_planes_mesh(planes, strength, k, mesh, axis, halo, h, w):
+def warp_planes_mesh(planes, strength, k, mesh, axis, halo, h, w,
+                     table=None, pallas_ok=True):
     """shard_map'd warp: planes and strength row-sharded over `axis`; each
     device ring-`ppermute`s the ±`halo` boundary rows of its block (the
     ring neighbors ARE the toroidal continuation, exactly as the sharded
@@ -210,10 +211,38 @@ def warp_planes_mesh(planes, strength, k, mesh, axis, halo, h, w):
     GSPMD all-gathers every input plane of every Warp in a mesh program —
     the displacement bound makes `2·halo·W` f32 rows per device the true
     ICI cost. Gathered texels and lerp bits are identical to the dense
-    lowering (`test_mesh_engine` pins sharded == dense bit-for-bit)."""
+    lowering (`test_mesh_engine` pins sharded == dense bit-for-bit).
+
+    With `table` (the staircase pair table from `warp_bindings`) and a
+    kernel-viable geometry, each shard runs the Mosaic staircase kernel
+    on its block instead of the gather (`pallas_warp._warp_pallas_sharded`)
+    — same exchange, same bits, element-gather speed replaced by the
+    kernel's streaming pass."""
+    import jax
     import jax.numpy as jnp
     from jax import lax, shard_map
     from jax.sharding import PartitionSpec as P
+
+    if table is not None and pallas_ok:
+        on_tpu = jax.default_backend() == "tpu" or FORCE_PALLAS_INTERPRET
+        from .pallas_warp import _warp_pallas_sharded, fits_sharded
+
+        n_ = int(mesh.shape[axis or mesh.axis_names[0]])
+        if on_tpu and fits_sharded(h, w, halo, n_):
+            pairs, npairs = table
+            interp = jax.default_backend() != "tpu"
+            fn = _warp_pallas_sharded(int(halo), int(pairs.shape[0]),
+                                      mesh, interp, axis)
+            m = strength
+            if m.dtype != jnp.float32:
+                m = m.astype(jnp.float32)  # bf16 pipeline: f32 in flight
+            outs = []
+            for p in planes:
+                if p.dtype != jnp.float32:
+                    p = p.astype(jnp.float32)
+                outs.append(fn(p, m, jnp.asarray(k), jnp.asarray(pairs),
+                               jnp.asarray(npairs)))
+            return tuple(outs)
 
     n = int(mesh.shape[axis])
     block = h // n
@@ -268,8 +297,15 @@ def _kernel(halo=None):
 
 
 @functools.lru_cache(maxsize=16)
-def _mesh_kernel(mesh, axis, halo, h, w):
+def _mesh_kernel(mesh, axis, halo, h, w, with_table=False):
     import jax
+
+    if with_table:
+        def f(planes, strength, k, pairs, npairs):
+            return warp_planes_mesh(planes, strength, k, mesh, axis, halo,
+                                    h, w, table=(pairs, npairs))
+
+        return jax.jit(f)
 
     def f(planes, strength, k):
         return warp_planes_mesh(planes, strength, k, mesh, axis, halo, h, w)
@@ -299,9 +335,15 @@ def process(slot_datas, node, mesh=None):
         axis = mesh.axis_names[0]
         halo = warp_halo(node.node_type.payload[1])
         if fits_mesh(h, int(mesh.shape[axis]), halo):
-            outs = _mesh_kernel(mesh, axis, halo, h, w)(
-                tuple(planes), strength.image.planes[0].data(), b["k"]
-            )
+            if "pairs" in b:
+                outs = _mesh_kernel(mesh, axis, halo, h, w, with_table=True)(
+                    tuple(planes), strength.image.planes[0].data(), b["k"],
+                    b["pairs"], b["npairs"],
+                )
+            else:
+                outs = _mesh_kernel(mesh, axis, halo, h, w)(
+                    tuple(planes), strength.image.planes[0].data(), b["k"]
+                )
             image = SlotImage([plane_from_device(o) for o in outs])
             return [SlotData(node.node_id, SlotId(0), image)]
     halo_b = warp_halo(node.node_type.payload[1])

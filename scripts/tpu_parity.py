@@ -436,6 +436,32 @@ def _determinism_kernels():
 
     cases.append(("warp_pallas_staircase", _warp_pallas_row, 0))
 
+    def _warp_pallas_sharded_row():
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        from kanter_core_tpu.ops.pallas_warp import _warp_pallas_sharded
+        from kanter_core_tpu.ops.warp import warp_bindings, warp_halo
+
+        # the shard_map'd staircase kernel on a 1-device mesh (real Mosaic
+        # on chip; the CPU ref side runs it interpret — both against the
+        # same exchange + global-row-origin formulation), re-running the
+        # battery for the NEW formulation per CLAUDE.md's rule
+        b = warp_bindings((57.0, 18.5))
+        halo = warp_halo(18.5)
+        h, w = 160, 256
+        rng_ = _np.random.default_rng(9)
+        plane = rng_.integers(0, 256, (h, w)).astype(_np.float32) / _np.float32(255)
+        strength = rng_.random((h, w), dtype=_np.float32) * _np.float32(1.4) - _np.float32(0.2)
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("rows",))
+        fn = _warp_pallas_sharded(
+            halo, int(b["pairs"].shape[0]), mesh,
+            jax.default_backend() != "tpu",
+        )
+        return jax.jit(fn)(plane, strength, b["k"], b["pairs"], b["npairs"])
+
+    cases.append(("warp_pallas_sharded", _warp_pallas_sharded_row, 0))
+
     def _blend_row():
         import jax.numpy as jnp
 

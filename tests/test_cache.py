@@ -20,7 +20,7 @@ from kanter_core_tpu import (
 )
 
 
-def _wait_until(predicate, timeout=10.0):
+def _wait_until(predicate, timeout=30.0):
     deadline = time.time() + timeout
     while time.time() < deadline:
         if predicate():
@@ -98,7 +98,7 @@ def test_drive_cache():
                 }
             return (
                 f"states={states} mem={q.bytes_memory()} host={q.bytes_host()} "
-                f"queue={[(b.tier.value, b.bytes(), b._touch_pending) for b in q.queue]}"
+                f"queue={[(b.tier.value, b.bytes()) for b in q.queue]}"
             )
 
         assert _wait_until(faulted_in), f"fault-in did not settle: {queue_dump()}"

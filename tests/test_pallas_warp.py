@@ -164,6 +164,113 @@ def test_warp_pallas_wrapper_vmaps_and_grads(monkeypatch):
     assert np.allclose(np.asarray(gs), np.asarray(rs_), rtol=1e-4, atol=1e-4)
 
 
+def _mesh(n):
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(jax.devices()[:n]), ("rows",))
+
+
+@pytest.mark.parametrize("n,h,w,angle,intensity", [
+    (8, 256, 128, 57.0, 6.0),
+    (8, 64, 256, 213.0, 2.0),   # block_h 8 == rp: minimum viable block
+    (4, 96, 128, 33.0, 14.0),
+    (1, 96, 128, 57.0, 6.0),    # single-device mesh (the real-chip battery case)
+])
+def test_warp_pallas_sharded_matches_gather(n, h, w, angle, intensity):
+    """The shard_map'd staircase kernel (ring ppermute of the ±rp strips +
+    per-shard Mosaic kernel with a global row origin) is bit-identical to
+    the dense jnp gather — the mesh analog of the wrap sampling, exactly
+    as the sharded blur."""
+    from kanter_core_tpu.ops.pallas_warp import (
+        _warp_pallas_sharded,
+        fits_sharded,
+    )
+
+    b = warp_bindings((angle, intensity))
+    halo = warp_halo(intensity)
+    assert fits_sharded(h, w, halo, n)
+    pairs, npairs = warp_pairs(b["k"], halo)
+    rng = np.random.default_rng(hash((n, h, w)) % 2**32)
+    p = rng.random((h, w), dtype=np.float32)
+    s = rng.random((h, w), dtype=np.float32) * np.float32(1.4) - np.float32(0.2)
+    ref = np.asarray(_ref(jnp.asarray(p), jnp.asarray(s), b["k"], h, w))
+    fn = _warp_pallas_sharded(halo, int(pairs.shape[0]), _mesh(n), True)
+    got = np.asarray(jax.jit(fn)(p, s, jnp.asarray(b["k"]),
+                                 jnp.asarray(pairs), jnp.asarray(npairs)))
+    assert np.array_equal(ref.view(np.uint32), got.view(np.uint32))
+
+
+def test_warp_pallas_sharded_gates():
+    from kanter_core_tpu.ops.pallas_warp import fits_sharded
+
+    assert not fits_sharded(100, 128, 8, 8)   # 100 % 8 != 0
+    assert not fits_sharded(64, 128, 16, 8)   # block 8 < rp 16
+    assert not fits_sharded(256, 100, 8, 8)   # width not lane-aligned
+    assert not fits_sharded(256, 128, None, 8)  # unbounded intensity
+    assert fits_sharded(256, 128, 8, 8)
+
+
+def test_warp_planes_mesh_dispatches_to_sharded_kernel(monkeypatch):
+    """warp_planes_mesh(table=…) + FORCE_PALLAS_INTERPRET routes through
+    the shard_map'd kernel (asserted via a trace hook), stays bit-equal to
+    the gather mesh path AND the dense path, and its custom_vjp backward
+    agrees with differentiating the gather."""
+    from kanter_core_tpu.ops import pallas_warp as pw
+    from kanter_core_tpu.ops.warp import warp_planes_mesh
+
+    monkeypatch.setattr(warp_mod, "FORCE_PALLAS_INTERPRET", True)
+    calls = []
+    real = pw._warp_block
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pw, "_warp_block", counting)
+    pw._warp_pallas_sharded.cache_clear()
+    try:
+        mesh = _mesh(8)
+        h, w = 64, 128
+        rng = np.random.default_rng(17)
+        p = rng.random((h, w), dtype=np.float32)
+        s = rng.random((h, w), dtype=np.float32)
+        b = warp_bindings((57.0, 6.0))
+        halo = warp_halo(6.0)
+        got, = jax.jit(lambda pp, ss, kk: warp_planes_mesh(
+            (pp,), ss, kk, mesh, "rows", halo, h, w,
+            table=(b["pairs"], b["npairs"]),
+        ))(p, s, b["k"])
+        assert calls, "sharded Pallas path was not traced"
+        ref = _ref(jnp.asarray(p), jnp.asarray(s), b["k"], h, w)
+        gather_mesh, = jax.jit(lambda pp, ss, kk: warp_planes_mesh(
+            (pp,), ss, kk, mesh, "rows", halo, h, w,
+        ))(p, s, b["k"])
+        assert np.array_equal(np.asarray(ref), np.asarray(got))
+        assert np.array_equal(np.asarray(gather_mesh), np.asarray(got))
+
+        k = jnp.asarray(b["k"])
+
+        def loss_pal(pp, ss):
+            return jnp.sum(warp_planes_mesh(
+                (pp,), ss, k, mesh, "rows", halo, h, w,
+                table=(b["pairs"], b["npairs"]),
+            )[0] ** 2)
+
+        def loss_ref(pp, ss):
+            return jnp.sum(_ref(pp, ss, k, h, w) ** 2)
+
+        gp, gs = jax.grad(loss_pal, argnums=(0, 1))(jnp.asarray(p), jnp.asarray(s))
+        rp_, rs_ = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(p), jnp.asarray(s))
+        # allclose, not bit-equal: the sharded cotangent changes how GSPMD
+        # partitions the gather-backward's scatter-adds, reordering the f32
+        # accumulation at pixels whose taps collide (grads are not part of
+        # the bit contract — same tolerance as the dense grad test above)
+        assert np.allclose(np.asarray(rp_), np.asarray(gp), rtol=1e-5, atol=1e-5)
+        assert np.allclose(np.asarray(rs_), np.asarray(gs), rtol=1e-4, atol=1e-4)
+    finally:
+        pw._warp_pallas_sharded.cache_clear()
+
+
 def test_fits_kernel_gates():
     assert fits_kernel(4096, 4096, 16)
     assert not fits_kernel(4096, 4096, None)  # unbounded intensity
