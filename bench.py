@@ -236,6 +236,67 @@ def main() -> None:
         6 * CANVAS * CANVAS * 2 / chain16_s / 1e9, 1
     )
 
+    # --- Warp displacement: XLA:TPU's worst case vs the staircase kernel.
+    # The data-dependent gather is the one op class where XLA's lowering
+    # collapses to element-gather speed (~0.3 GB/s effective at 4k); the
+    # Pallas staircase kernel (ops/pallas_warp.py, bit-identical — chip
+    # battery rows warp_pallas_*) replaces it on kernel-viable geometries.
+    # Both sides run the same scan protocol ((strength+c) % 1.0 varies the
+    # displacement field per iteration); intensity 24 = halo bucket 32,
+    # the WORST pair-table class. TPU-only: the comparison is about this
+    # chip's gather lowering, and each gather iteration costs ~0.6 s. ---
+    if backend == "tpu":
+        from kanter_core_tpu.ops.pallas_warp import (
+            fits_kernel as _w_fits,
+            warp_pallas as _warp_pallas,
+        )
+        from kanter_core_tpu.ops.warp import (
+            warp_bindings as _warp_bindings,
+            warp_halo as _warp_halo,
+            warp_planes as _warp_planes,
+        )
+
+        wb = _warp_bindings((57.0, 24.0))
+        whalo = _warp_halo(24.0)
+        if _w_fits(CANVAS, CANVAS, whalo) and "pairs" in wb:
+            wrows = np.arange(CANVAS, dtype=np.int32)
+            wp1 = _device_random((CANVAS, CANVAS), seed=40)
+            wp2 = _device_random((CANVAS, CANVAS), seed=41)
+
+            def warp_gather_body(c, ps):
+                return _warp_planes(
+                    (ps[0],), (ps[1] + c) % 1.0, wrows, wrows, ps[2],
+                    CANVAS, CANVAS,
+                )
+
+            # gather iterations are ~0.6 s — tiny scan lengths are safe
+            # (the two-length difference sits ~20× above the RTT jitter)
+            wg = _ScanBench(
+                warp_gather_body, (wp1, wp2, wb["k"]), n1=2, n2=5, base=0.25
+            )
+            wg_s, wg_ok = wg.run(repeats=3)
+            distinct &= wg_ok
+
+            def warp_kernel_body(c, ps):
+                return (_warp_pallas(
+                    ps[0], (ps[1] + c) % 1.0, ps[2], ps[3],
+                    wb["npairs"], whalo,
+                ),)
+
+            wk = _ScanBench(
+                warp_kernel_body,
+                (wp1, wp2, wb["k"], jnp.asarray(wb["pairs"])),
+                n1=8, n2=32, base=0.25,
+            )
+            wk_s, wk_ok = wk.run(repeats=3)
+            distinct &= wk_ok
+            extras["warp_intensity"] = 24
+            extras["warp_gather_ms"] = round(wg_s * 1e3, 3)
+            extras["warp_kernel_ms"] = round(wk_s * 1e3, 3)
+            extras["warp_kernel_speedup"] = round(wg_s / wk_s, 1)
+            extras["warp_checksums_distinct"] = wg_ok and wk_ok
+            del wg, wk, wp1, wp2, warp_gather_body, warp_kernel_body
+
     # --- config 5 AT SPEC: BATCH×BATCH_CANVAS² (default 16×4096²) batched
     # re-eval. Inputs 4×16×4k² f32 = 4.3 GB + outputs 4.3 GB fit a 16 GB
     # chip; if this backend OOMs, halve the canvas and SAY SO. ---
