@@ -233,7 +233,11 @@ def _warp_padded_call(height: int, width: int, rp: int, cap: int,
                     # the same rolled data, and the +1-column taps one more
                     # STATIC roll of it (dynamic lane rolls dominate the
                     # pair loop: rolling a0/a1 separately measured ~1.4×
-                    # slower at 4096²; the selected texels are identical)
+                    # slower at 4096²; the selected texels are identical.
+                    # Hoisting the rolls to once-per-distinct-dx via VMEM
+                    # scratch measured ~1.5× SLOWER STILL — scratch stores
+                    # + a second per-pair sublane load beat the saved
+                    # rolls, and the extra buffers shrink the chunk)
                     cshift = jnp.mod(-pj, i32(width))
                     wr = pltpu.roll(win, cshift, 1)
                     wrm = pltpu.roll(wr, width - 1, 1)
