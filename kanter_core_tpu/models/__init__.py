@@ -289,6 +289,103 @@ def stone_material_graph(
     return graph
 
 
+def metal_material_graph(
+    size: int = 512,
+    seed: int = 7,
+    brush_stretch: float = 24.0,
+    brush_amp: float = 0.12,
+    scratch_gamma: float = 3.2,
+    scratch_depth: float = 0.3,
+    metallic: float = 0.92,
+) -> NodeGraph:
+    """Fully procedural brushed-metal material: NO inputs, five outputs
+    (`albedo`/`normal` RGBA, `height`/`roughness`/`metallic` gray).
+
+    The brushed-surface construction (vocabulary as wood/stone,
+    `/root/reference/src/node/` has no procedural sources):
+
+    - brushing: fine FBM noise stretched `brush_stretch×` along x by a
+      `Transform` — long anisotropic streaks (toroidal sampling keeps the
+      sheet tileable);
+    - scratches: a second, coarser noise through a high-gamma `Levels`
+      crush — sparse bright marks on a near-black field;
+    - height: near-flat plate, `0.55 + brush_amp·(streaks − ½)
+      − scratch_depth·scratches`, built from Mix ADD/SUBTRACT/MULTIPLY;
+    - albedo: cool steel `GradientMap` of the height;
+    - roughness: polished base + scratch-driven wear
+      (`0.15 + 0.6·scratches`);
+    - metallic: constant-`metallic` plane AT CANVAS SIZE via the
+      degenerate `Levels` remap `out_lo == out_hi` (a Value node would be
+      1×1 — the remap stamps the constant at the height's resolution);
+    - normal: blur → `HeightToNormal` of the height.
+
+    Every scalar rides as a PROGRAM ARGUMENT (knob drags re-run cached
+    executables); `size`/octaves/stop counts shape the trace.
+    """
+    graph = NodeGraph()
+    streaks_src = graph.add_node(Node(NodeType.Noise(size, size, 6, 5, seed)))
+    streaks = graph.add_node(
+        Node(NodeType.Transform(0.0, 0.0, 0.0, brush_stretch, 1.0))
+    )
+    graph.connect(streaks_src, streaks, SlotId(0), SlotId(0))
+
+    scratch_src = graph.add_node(Node(NodeType.Noise(size, size, 9, 3, seed + 1)))
+    scratches = graph.add_node(
+        Node(NodeType.Levels(0.55, 0.95, scratch_gamma, 0.0, 1.0))
+    )
+    graph.connect(scratch_src, scratches, SlotId(0), SlotId(0))
+
+    # height = (0.55 + brush_amp*(streaks - 0.5)) - scratch_depth*scratches
+    brush_centered = _mix(graph, MixType.SUBTRACT, streaks, _value(graph, 0.5))
+    brush_fine = _mix(
+        graph, MixType.MULTIPLY, brush_centered, _value(graph, brush_amp)
+    )
+    plate = _mix(graph, MixType.ADD, brush_fine, _value(graph, 0.55))
+    scratch_term = _mix(
+        graph, MixType.MULTIPLY, scratches, _value(graph, scratch_depth)
+    )
+    height = _mix(graph, MixType.SUBTRACT, plate, scratch_term)
+    height_out = graph.add_node(Node(NodeType.OutputGray("height")))
+    graph.connect(height, height_out, SlotId(0), SlotId(0))
+
+    albedo = graph.add_node(
+        Node(
+            NodeType.GradientMap(
+                [
+                    (0.0, 0.18, 0.19, 0.22, 1.0),   # scratch shadow
+                    (0.45, 0.46, 0.48, 0.52, 1.0),
+                    (0.62, 0.62, 0.64, 0.68, 1.0),  # plate body
+                    (1.0, 0.82, 0.84, 0.88, 1.0),   # specular-ish sheen
+                ]
+            )
+        )
+    )
+    graph.connect(height, albedo, SlotId(0), SlotId(0))
+    albedo_out = graph.add_node(Node(NodeType.OutputRgba("albedo")))
+    graph.connect(albedo, albedo_out, SlotId(0), SlotId(0))
+
+    rough = _mix(
+        graph, MixType.ADD,
+        _mix(graph, MixType.MULTIPLY, scratches, _value(graph, 0.6)),
+        _value(graph, 0.15),
+    )
+    rough_out = graph.add_node(Node(NodeType.OutputGray("roughness")))
+    graph.connect(rough, rough_out, SlotId(0), SlotId(0))
+
+    metal = graph.add_node(Node(NodeType.Levels(0.0, 1.0, 1.0, metallic, metallic)))
+    graph.connect(height, metal, SlotId(0), SlotId(0))
+    metal_out = graph.add_node(Node(NodeType.OutputGray("metallic")))
+    graph.connect(metal, metal_out, SlotId(0), SlotId(0))
+
+    pre = graph.add_node(Node(NodeType.Blur(0.6)))
+    graph.connect(height, pre, SlotId(0), SlotId(0))
+    h2n = graph.add_node(Node(NodeType.HeightToNormal()))
+    graph.connect(pre, h2n, SlotId(0), SlotId(0))
+    normal_out = graph.add_node(Node(NodeType.OutputRgba("normal")))
+    graph.connect(h2n, normal_out, SlotId(0), SlotId(0))
+    return graph
+
+
 def emboss_graph(strength: float = 0.6) -> NodeGraph:
     """Gray in → emboss-style relief: `0.5 + k·(h − blur₁(h))` sharpens
     local detail around mid-gray (an unsharp mask re-centered at 0.5)."""
@@ -317,6 +414,7 @@ from ..graphs import (
 __all__ = [
     "ambient_occlusion_graph",
     "emboss_graph",
+    "metal_material_graph",
     "pbr_material_graph",
     "stone_material_graph",
     "wood_material_graph",

@@ -226,10 +226,36 @@ def test_stone_material_outputs():
     assert max(means) - min(means) < 12.0
 
 
-def test_procedural_materials_fused_matches_pernode():
-    from kanter_core_tpu.models import stone_material_graph, wood_material_graph
+def test_metal_material_outputs():
+    from kanter_core_tpu.models import metal_material_graph
 
-    for factory in (wood_material_graph, stone_material_graph):
+    outs = _evaluate_procedural(metal_material_graph(size=64))
+    assert set(outs) == {"albedo", "height", "normal", "roughness", "metallic"}
+    h = outs["height"].reshape(64, 64, 4)[..., 0]
+    assert len(np.unique(h)) > 20, "height must carry brushing detail"
+    # near-flat plate: height concentrates in a narrow band around 0.55
+    assert 0.30 * 255 < np.median(h) < 0.75 * 255
+    # cool steel: blue channel >= red essentially everywhere on the ramp
+    albedo = outs["albedo"].reshape(64, 64, 4)
+    assert (albedo[..., 2].astype(int) >= albedo[..., 0].astype(int)).mean() > 0.99
+    # metallic is a CONSTANT plane at canvas size (degenerate Levels remap)
+    metal = outs["metallic"].reshape(64, 64, 4)[..., 0]
+    assert len(np.unique(metal)) == 1 and abs(int(metal[0, 0]) - round(0.92 * 255)) <= 1
+    # polished base with scratch-driven wear: rough floor near 0.15
+    rough = outs["roughness"].reshape(64, 64, 4)[..., 0]
+    assert 0.10 * 255 <= rough.min() <= 0.25 * 255 and rough.max() > rough.min()
+    normal = outs["normal"].reshape(64, 64, 4)
+    assert normal[..., 2].mean() > 140, "normal z biases toward viewer"
+
+
+def test_procedural_materials_fused_matches_pernode():
+    from kanter_core_tpu.models import (
+        metal_material_graph,
+        stone_material_graph,
+        wood_material_graph,
+    )
+
+    for factory in (wood_material_graph, stone_material_graph, metal_material_graph):
         fused = _evaluate_procedural(factory(size=48), fused=True)
         pernode = _evaluate_procedural(factory(size=48), fused=False)
         for name in fused:
