@@ -172,6 +172,31 @@ def stages(canvas: int):
         8, 32, 0.25,
     )
 
+    # --- Brick pattern source (integer-hash lattice + groove ramp; traffic
+    #     model = the two output writes, mask + cells). The scan value
+    #     drives MORTAR (a runtime argument) so every iteration's checksum
+    #     is distinct. ---
+    from kanter_core_tpu.ops.pattern import pattern_bindings, pattern_planes
+
+    pb = pattern_bindings((canvas, canvas, "Brick", 7, 13, 0.15, 0.05, 4242))
+
+    def pattern_body(c, ps):
+        rows, cols, fx, fy, px, py, seed = ps
+        return pattern_planes(
+            "Brick", rows, cols, fx, fy, px, py,
+            c % np.float32(0.3), np.float32(0.05), seed,
+        )
+
+    yield (
+        "pattern_brick",
+        pattern_body,
+        (pb["rows"], pb["cols"], pb["fx"], pb["fy"], pb["px"], pb["py"],
+         pb["seed"]),
+        2 * plane_bytes,
+        canvas * canvas,
+        8, 32, 0.25,
+    )
+
     # --- directional warp (strength read + 4-neighbor gathered input read
     #     + out write; traffic model counts the input once, so the GB/s is
     #     a LOWER bound — judge against gather_rows_calib, not the copy

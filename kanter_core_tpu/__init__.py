@@ -50,6 +50,7 @@ from .node import (
     AtomicFlag,
     MixType,
     Node,
+    PatternKind,
     NodeType,
     NodeTypeKind,
     ResizeFilter,
@@ -88,6 +89,7 @@ __all__ = [
     "NodeState",
     "NodeType",
     "NodeTypeKind",
+    "PatternKind",
     "PlaneBuffer",
     "PlaneBufferQueue",
     "Priority",

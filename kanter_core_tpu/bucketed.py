@@ -55,7 +55,7 @@ BUCKETABLE_KINDS = frozenset(
     {
         K.VALUE, K.IMAGE, K.INPUT_GRAY, K.INPUT_RGBA, K.EMBED,
         K.OUTPUT_GRAY, K.OUTPUT_RGBA, K.MIX, K.HEIGHT_TO_NORMAL, K.BLUR,
-        K.LEVELS, K.NOISE, K.GRADIENT_MAP, K.TRANSFORM, K.WARP,
+        K.LEVELS, K.NOISE, K.PATTERN, K.GRADIENT_MAP, K.TRANSFORM, K.WARP,
         K.SEPARATE_RGBA, K.COMBINE_RGBA,
     }
 )
@@ -113,6 +113,9 @@ def size_normalized_fingerprint(graph, extra: str = "") -> str:
                 # a Noise node's intrinsic size rides in (padded) arguments
                 # here, exactly like a dragged SpecificSize
                 node = dict(node, node_type={"Noise": dict(nt["Noise"], width=0, height=0)})
+            if isinstance(nt, dict) and "Pattern" in nt:
+                # same: the size rides in padded index-vector arguments
+                node = dict(node, node_type={"Pattern": dict(nt["Pattern"], width=0, height=0)})
             out["nodes"].append(node)
         return out
 
@@ -425,6 +428,16 @@ class BucketedGraph:
                 args[f"nzfy_{nid}"] = nb["fy"]
                 args[f"nzpd_{nid}"] = nb["periods"]
                 continue
+            if kind == K.PATTERN:
+                from .ops.pattern import pattern_bindings
+
+                pb = pattern_bindings(node.node_type.payload)
+                th, tw = info.out_size.height, info.out_size.width
+                args[f"ptr_{nid}"] = _pad1(pb["rows"], bucket_of(th, B))
+                args[f"ptc_{nid}"] = _pad1(pb["cols"], bucket_of(tw, B))
+                for field in ("fx", "fy", "px", "py", "mortar", "bevel", "seed"):
+                    args[f"pt{field}_{nid}"] = pb[field]
+                continue
             if kind in _LEAF_KINDS:
                 if kind == K.IMAGE:
                     key = f"image_{nid}"
@@ -623,6 +636,20 @@ class BucketedGraph:
                     args[f"nzpd_{nid}"],
                 )
                 env[(node_id, SlotId(0))] = ImgVal(shard([plane]))
+                continue
+            if kind == K.PATTERN:
+                from .ops.pattern import pattern_planes
+
+                mask, cells = pattern_planes(
+                    node.node_type.payload[2],
+                    args[f"ptr_{nid}"], args[f"ptc_{nid}"],
+                    args[f"ptfx_{nid}"], args[f"ptfy_{nid}"],
+                    args[f"ptpx_{nid}"], args[f"ptpy_{nid}"],
+                    args[f"ptmortar_{nid}"], args[f"ptbevel_{nid}"],
+                    args[f"ptseed_{nid}"],
+                )
+                env[(node_id, SlotId(0))] = ImgVal(shard([mask]))
+                env[(node_id, SlotId(1))] = ImgVal(shard([cells]))
                 continue
             if kind in _LEAF_KINDS:
                 count = self._counts[node_id][SlotId(0)]

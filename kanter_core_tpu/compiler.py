@@ -450,6 +450,20 @@ class GraphCompiler:
                 )]),
             )]
 
+        if kind == K.PATTERN:
+            from .ops.pattern import pattern_planes
+
+            b = args[f"{prefix}pattern_{nid}"]
+            mask, cells = pattern_planes(
+                node.node_type.payload[2],  # kind is static: shapes the trace
+                b["rows"], b["cols"], b["fx"], b["fy"], b["px"], b["py"],
+                b["mortar"], b["bevel"], b["seed"],
+            )
+            return [
+                (SlotId(0), ImgVal([mask])),
+                (SlotId(1), ImgVal([cells])),
+            ]
+
         if kind == K.GRADIENT_MAP:
             from .ops.gradient import gradient_planes
 
@@ -760,6 +774,12 @@ class CompiledGraph:
                 bindings[f"{prefix}noise_{nid}"] = noise_bindings(
                     node.node_type.payload
                 )
+            elif kind == K.PATTERN:
+                from .ops.pattern import pattern_bindings
+
+                bindings[f"{prefix}pattern_{nid}"] = pattern_bindings(
+                    node.node_type.payload
+                )
             elif kind == K.GRADIENT_MAP:
                 from .ops.gradient import gradient_bindings
 
@@ -867,6 +887,13 @@ def _normalize_values(graph_json):
                 node = dict(node, node_type={"Noise": dict(
                     node_type["Noise"], cells=0, seed=0, persistence=0.0,
                 )})
+            elif "Pattern" in node_type:
+                # cells/mortar/bevel/seed are arguments; width/height/pattern
+                # shape the trace and stay
+                node = dict(node, node_type={"Pattern": dict(
+                    node_type["Pattern"], cells_x=0, cells_y=0,
+                    mortar=0.0, bevel=0.0, seed=0,
+                )})
             elif "GradientMap" in node_type:
                 # stop VALUES are arguments; the COUNT shapes the trace
                 node = dict(node, node_type={"GradientMap": {
@@ -957,6 +984,12 @@ def collect_value_bindings(node_graph: NodeGraph, prefix: str = "") -> dict:
             from .ops.noise import noise_bindings
 
             bindings[f"{prefix}noise_{int(node.node_id)}"] = noise_bindings(
+                node.node_type.payload
+            )
+        elif kind == NodeTypeKind.PATTERN:
+            from .ops.pattern import pattern_bindings
+
+            bindings[f"{prefix}pattern_{int(node.node_id)}"] = pattern_bindings(
                 node.node_type.payload
             )
         elif kind == NodeTypeKind.GRADIENT_MAP:

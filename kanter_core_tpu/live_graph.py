@@ -583,6 +583,20 @@ class LiveGraph:
             self.node(node_id).cancel.store(True)
 
     @_journaled()
+    def set_pattern(self, node_id: NodeId, width, height, pattern="Checker",
+                    cells_x=8, cells_y=8, mortar=0.0, bevel=0.0,
+                    seed=0) -> None:
+        """Change a Pattern node's parameters and dirty it (extension node;
+        cells/mortar/bevel/seed edits re-run a cached program)."""
+        with self._lock:
+            self.node_graph.set_pattern(
+                node_id, width, height, pattern, cells_x, cells_y,
+                mortar, bevel, seed
+            )
+            self.set_state(node_id, NodeState.DIRTY)
+            self.node(node_id).cancel.store(True)
+
+    @_journaled()
     def set_transform(self, node_id: NodeId, offset_x, offset_y, rotation,
                       scale_x, scale_y) -> None:
         """Change a Transform node's placement and dirty it (extension

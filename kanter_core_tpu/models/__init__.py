@@ -386,6 +386,127 @@ def metal_material_graph(
     return graph
 
 
+def brick_material_graph(
+    size: int = 512,
+    seed: int = 5,
+    bricks_x: int = 6,
+    bricks_y: int = 12,
+    mortar: float = 0.12,
+    bevel: float = 0.05,
+    brick_relief: float = 0.55,
+    tint_spread: float = 0.5,
+) -> NodeGraph:
+    """Fully procedural brick-wall material: NO inputs, five outputs
+    (`albedo`/`normal` RGBA, `height`/`roughness`/`ao` gray).
+
+    The `Pattern` node's showcase (vocabulary as wood/stone/metal —
+    `/root/reference/src/node/` has no procedural sources): its Brick
+    lattice emits BOTH outputs at once — `mask` (slot 0, the beveled
+    running-bond groove field) and `cells` (slot 1, a per-brick random ID)
+    — and every consumer below uses each exactly once:
+
+    - height: `0.2 + relief·mask + 0.1·cells·mask + 0.05·(noise − ½)` —
+      mortar recessed, bricks raised with per-brick height jitter and a
+      fine FBM surface grain;
+    - field → albedo: one gray scalar `mask·(0.35 + spread·cells)
+      + 0.15·(1 − mask)` collapses "which material, which brick" into a
+      GradientMap coordinate: mortar lands on the gray stop at 0.15,
+      bricks spread across the red-tone ramp above 0.35 (per-brick tint
+      variation from ONE ramp — no per-channel plumbing);
+    - roughness: `0.95 − 0.45·mask + 0.2·cells·mask` — mortar roughest,
+      bricks vary per brick;
+    - ao: the shared `1 − k·(blur(h) − h)` cavity construction (grooves
+      self-shadow);
+    - normal: blur → `HeightToNormal` of the height (the bevel ramp
+      becomes the brick edge chamfer).
+
+    Every scalar (mortar, bevel, relief, spread, cell counts, seed) rides
+    as a PROGRAM ARGUMENT — knob drags re-run cached executables; only
+    `size` and the Brick kind shape the trace.
+    """
+    graph = NodeGraph()
+    pat = graph.add_node(Node(NodeType.Pattern(
+        size, size, "Brick", cells_x=bricks_x, cells_y=bricks_y,
+        mortar=mortar, bevel=bevel, seed=seed,
+    )))
+    MASK, CELLS = SlotId(0), SlotId(1)
+
+    # height = 0.2 + relief*mask + 0.1*cells*mask + 0.05*(noise - 0.5)
+    raised = _mix(graph, MixType.MULTIPLY, pat, _value(graph, brick_relief),
+                  left_slot=MASK)
+    jitter_field = _mix(graph, MixType.MULTIPLY, pat, pat,
+                        left_slot=CELLS, right_slot=MASK)
+    jitter = _mix(graph, MixType.MULTIPLY, jitter_field, _value(graph, 0.1))
+    grain_src = graph.add_node(Node(NodeType.Noise(size, size, 7, 3, seed + 1)))
+    grain_centered = _mix(graph, MixType.SUBTRACT, grain_src, _value(graph, 0.5))
+    grain = _mix(graph, MixType.MULTIPLY, grain_centered, _value(graph, 0.05))
+    plateau = _mix(graph, MixType.ADD, raised, _value(graph, 0.2))
+    bumpy = _mix(graph, MixType.ADD, plateau, jitter)
+    height = _mix(graph, MixType.ADD, bumpy, grain)
+    height_out = graph.add_node(Node(NodeType.OutputGray("height")))
+    graph.connect(height, height_out, SlotId(0), SlotId(0))
+
+    # albedo coordinate: mask*(0.35 + spread*cells) + 0.15*(1 - mask)
+    brick_val = _mix(
+        graph, MixType.ADD,
+        _mix(graph, MixType.MULTIPLY, pat, _value(graph, tint_spread),
+             left_slot=CELLS),
+        _value(graph, 0.35),
+    )
+    brick_part = _mix(graph, MixType.MULTIPLY, brick_val, pat,
+                      right_slot=MASK)
+    inv_mask = _mix(graph, MixType.SUBTRACT, _value(graph, 1.0), pat,
+                    right_slot=MASK)
+    mortar_part = _mix(graph, MixType.MULTIPLY, inv_mask, _value(graph, 0.15))
+    field = _mix(graph, MixType.ADD, brick_part, mortar_part)
+    albedo = graph.add_node(
+        Node(
+            NodeType.GradientMap(
+                [
+                    (0.0, 0.10, 0.08, 0.08, 1.0),   # groove shadow
+                    (0.15, 0.58, 0.56, 0.54, 1.0),  # mortar gray
+                    (0.35, 0.48, 0.20, 0.14, 1.0),  # dark brick
+                    (0.70, 0.70, 0.33, 0.22, 1.0),  # mid brick
+                    (1.0, 0.82, 0.48, 0.34, 1.0),   # light brick
+                ]
+            )
+        )
+    )
+    graph.connect(field, albedo, SlotId(0), SlotId(0))
+    albedo_out = graph.add_node(Node(NodeType.OutputRgba("albedo")))
+    graph.connect(albedo, albedo_out, SlotId(0), SlotId(0))
+
+    # roughness = 0.95 - 0.45*mask + 0.2*cells*mask
+    rough = _mix(
+        graph, MixType.ADD,
+        _mix(
+            graph, MixType.SUBTRACT, _value(graph, 0.95),
+            _mix(graph, MixType.MULTIPLY, pat, _value(graph, 0.45),
+                 left_slot=MASK),
+        ),
+        _mix(graph, MixType.MULTIPLY, jitter_field, _value(graph, 0.2)),
+    )
+    rough_out = graph.add_node(Node(NodeType.OutputGray("roughness")))
+    graph.connect(rough, rough_out, SlotId(0), SlotId(0))
+
+    # ao = 1 - 0.8*(blur(h) - h): grooves self-shadow
+    ao_blur = graph.add_node(Node(NodeType.Blur(3.0)))
+    graph.connect(height, ao_blur, SlotId(0), SlotId(0))
+    cavity = _mix(graph, MixType.SUBTRACT, ao_blur, height)
+    scaled = _mix(graph, MixType.MULTIPLY, cavity, _value(graph, 0.8))
+    ao = _mix(graph, MixType.SUBTRACT, _value(graph, 1.0), scaled)
+    ao_out = graph.add_node(Node(NodeType.OutputGray("ao")))
+    graph.connect(ao, ao_out, SlotId(0), SlotId(0))
+
+    pre = graph.add_node(Node(NodeType.Blur(0.7)))
+    graph.connect(height, pre, SlotId(0), SlotId(0))
+    h2n = graph.add_node(Node(NodeType.HeightToNormal()))
+    graph.connect(pre, h2n, SlotId(0), SlotId(0))
+    normal_out = graph.add_node(Node(NodeType.OutputRgba("normal")))
+    graph.connect(h2n, normal_out, SlotId(0), SlotId(0))
+    return graph
+
+
 def emboss_graph(strength: float = 0.6) -> NodeGraph:
     """Gray in → emboss-style relief: `0.5 + k·(h − blur₁(h))` sharpens
     local detail around mid-gray (an unsharp mask re-centered at 0.5)."""
@@ -413,6 +534,7 @@ from ..graphs import (
 
 __all__ = [
     "ambient_occlusion_graph",
+    "brick_material_graph",
     "emboss_graph",
     "metal_material_graph",
     "pbr_material_graph",

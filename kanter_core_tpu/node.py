@@ -107,6 +107,21 @@ class MixType(enum.Enum):
                 MixType.DIVIDE, MixType.POW)
 
 
+class PatternKind(enum.Enum):
+    """Pattern node lattice kinds (extension — see ops/pattern.py). The
+    kind picks one of three traced formulas, so it SHAPES the trace like
+    Noise's octave count; every other Pattern parameter is a program
+    argument."""
+
+    CHECKER = "Checker"
+    BRICK = "Brick"
+    STRIPE = "Stripe"
+
+    @staticmethod
+    def default() -> "PatternKind":
+        return PatternKind.CHECKER
+
+
 class ResizeFilter(enum.Enum):
     NEAREST = "Nearest"
     TRIANGLE = "Triangle"
@@ -204,6 +219,7 @@ class NodeTypeKind(enum.Enum):
     GRADIENT_MAP = "GradientMap"  # TPU-native extension: no reference counterpart
     TRANSFORM = "Transform"  # TPU-native extension: no reference counterpart
     WARP = "Warp"  # TPU-native extension: no reference counterpart
+    PATTERN = "Pattern"  # TPU-native extension: no reference counterpart
 
 
 class NodeType:
@@ -302,6 +318,34 @@ class NodeType:
         return NodeType(
             NodeTypeKind.NOISE,
             (width, height, cells, octaves, int(seed), float(persistence)),
+        )
+
+    @staticmethod
+    def Pattern(width: int, height: int, pattern="Checker", cells_x: int = 8,
+                cells_y: int = 8, mortar: float = 0.0, bevel: float = 0.0,
+                seed: int = 0) -> "NodeType":
+        """Procedural tiling-mask source (extension node; see
+        ops/pattern.py). Two Gray outputs: `mask` (slot 0 — checker/brick/
+        stripe field with a mortar/bevel groove ramp) and `cells` (slot 1 —
+        a per-cell random ID in [0,1) for per-tile variation).
+        `cells_x`/`cells_y`/`mortar`/`bevel`/`seed` are PROGRAM ARGUMENTS
+        in every traced consumer (cell-count and groove drags re-run cached
+        executables); the size and the `pattern` kind shape the trace."""
+        pattern = PatternKind(pattern).value  # accept enum or serde string
+        width, height = int(width), int(height)
+        cells_x, cells_y = int(cells_x), int(cells_y)
+        if width < 1 or height < 1 or cells_x < 1 or cells_y < 1:
+            raise TexProError(
+                ErrorKind.GENERIC, "Pattern needs size/cells >= 1"
+            )
+        if not (float(mortar) >= 0.0 and float(bevel) >= 0.0):
+            raise TexProError(
+                ErrorKind.GENERIC, "Pattern needs mortar/bevel >= 0"
+            )
+        return NodeType(
+            NodeTypeKind.PATTERN,
+            (width, height, pattern, cells_x, cells_y,
+             float(mortar), float(bevel), int(seed)),
         )
 
     @staticmethod
@@ -430,6 +474,11 @@ class NodeType:
             return {"Noise": {"width": p[0], "height": p[1], "cells": p[2],
                               "octaves": p[3], "seed": p[4],
                               "persistence": p[5]}}
+        if k == NodeTypeKind.PATTERN:
+            p = self.payload
+            return {"Pattern": {"width": p[0], "height": p[1], "pattern": p[2],
+                                "cells_x": p[3], "cells_y": p[4],
+                                "mortar": p[5], "bevel": p[6], "seed": p[7]}}
         if k == NodeTypeKind.GRADIENT_MAP:
             return {"GradientMap": {"stops": [list(s) for s in self.payload]}}
         if k == NodeTypeKind.TRANSFORM:
@@ -470,6 +519,12 @@ class NodeType:
             return NodeType.Noise(
                 payload["width"], payload["height"], payload["cells"],
                 payload["octaves"], payload["seed"], payload["persistence"],
+            )
+        if kind == NodeTypeKind.PATTERN:
+            return NodeType.Pattern(
+                payload["width"], payload["height"], payload["pattern"],
+                payload["cells_x"], payload["cells_y"], payload["mortar"],
+                payload["bevel"], payload["seed"],
             )
         if kind == NodeTypeKind.GRADIENT_MAP:
             return NodeType.GradientMap(payload["stops"])
@@ -550,7 +605,8 @@ class Node:
     def input_slots(self) -> list[Slot]:
         k = self.node_type.kind
         K = NodeTypeKind
-        if k in (K.INPUT_GRAY, K.INPUT_RGBA, K.IMAGE, K.EMBED, K.VALUE, K.NOISE):
+        if k in (K.INPUT_GRAY, K.INPUT_RGBA, K.IMAGE, K.EMBED, K.VALUE,
+                 K.NOISE, K.PATTERN):
             return []
         if k == K.OUTPUT_GRAY:
             return [Slot("input", SlotId(0), SlotType.GRAY)]
@@ -605,6 +661,11 @@ class Node:
             return []  # sink node; see input_slots note
         if k in (K.VALUE, K.NOISE):
             return [Slot("output", SlotId(0), SlotType.GRAY)]
+        if k == K.PATTERN:
+            return [
+                Slot("mask", SlotId(0), SlotType.GRAY),
+                Slot("cells", SlotId(1), SlotType.GRAY),
+            ]
         if k == K.MIX:
             return [Slot("output", SlotId(0), SlotType.GRAY_OR_RGBA)]
         if k in (K.HEIGHT_TO_NORMAL, K.GRADIENT_MAP):

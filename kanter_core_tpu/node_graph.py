@@ -97,6 +97,15 @@ class NodeGraph:
             raise TexProError(ErrorKind.INVALID_NODE_ID)
         node.node_type = NodeType.Noise(width, height, cells, octaves, seed, persistence)
 
+    def set_pattern(self, node_id: NodeId, width, height, pattern, cells_x,
+                    cells_y, mortar, bevel, seed) -> None:
+        node = self._node_with_id_mut(node_id)
+        if node is None or node.node_type.kind != NodeTypeKind.PATTERN:
+            raise TexProError(ErrorKind.INVALID_NODE_ID)
+        node.node_type = NodeType.Pattern(
+            width, height, pattern, cells_x, cells_y, mortar, bevel, seed
+        )
+
     def set_transform(self, node_id: NodeId, offset_x, offset_y, rotation,
                       scale_x, scale_y) -> None:
         node = self._node_with_id_mut(node_id)

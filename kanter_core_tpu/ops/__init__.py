@@ -26,6 +26,7 @@ from . import (
     levels,
     mix,
     noise,
+    pattern,
     separate_combine,
     transform,
     warp,
@@ -78,6 +79,8 @@ def process_node_internal(node, slot_datas, embedded_slot_datas, input_slot_data
         output = levels.process(slot_datas, node)
     elif kind == K.NOISE:
         output = noise.process(node)
+    elif kind == K.PATTERN:
+        output = pattern.process(node)
     elif kind == K.GRADIENT_MAP:
         output = gradient.process(slot_datas, node)
     elif kind == K.TRANSFORM:

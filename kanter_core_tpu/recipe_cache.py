@@ -236,6 +236,16 @@ def node_recipe(node, input_recipes: list, live_graph) -> Optional[str]:
             struct.pack("<f", pers),
             input_recipes,
         )
+    if kind == K.PATTERN:
+        import struct
+
+        w, h, pat, cx, cy, mortar, bevel, seed = node.node_type.payload
+        return _h(
+            base,
+            (int(w), int(h), str(pat), int(cx), int(cy), int(seed)),
+            struct.pack("<2f", mortar, bevel),
+            input_recipes,
+        )
     if kind == K.GRADIENT_MAP:
         import struct
 

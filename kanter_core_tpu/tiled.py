@@ -70,6 +70,7 @@ TILEABLE_KINDS = frozenset(
         K.BLUR,
         K.LEVELS,
         K.NOISE,
+        K.PATTERN,
         K.GRADIENT_MAP,
         K.TRANSFORM,
         K.WARP,
@@ -261,6 +262,13 @@ def flatten_graph_nodes(graph, bindings, preset=None):
                 extra_bindings[f"noise_{int(clone.node_id)}"] = noise_bindings(
                     n.node_type.payload
                 )
+            elif kind == K.PATTERN:
+                # cells/mortar/bevel/seed edits keep the fingerprint too
+                from .ops.pattern import pattern_bindings
+
+                extra_bindings[f"pattern_{int(clone.node_id)}"] = pattern_bindings(
+                    n.node_type.payload
+                )
             elif kind == K.GRADIENT_MAP:
                 # stop-value edits keep the fingerprint too — bindings win
                 from .ops.gradient import gradient_bindings
@@ -448,6 +456,11 @@ def infer_sizes(graph, bindings, preset=None) -> dict:
         elif kind == K.NOISE:
             w, h = node.node_type.payload[0], node.node_type.payload[1]
             info.out_planes[SlotId(0)] = 1
+            info.out_size = Size(int(w), int(h))
+        elif kind == K.PATTERN:
+            w, h = node.node_type.payload[0], node.node_type.payload[1]
+            info.out_planes[SlotId(0)] = 1
+            info.out_planes[SlotId(1)] = 1
             info.out_size = Size(int(w), int(h))
         elif kind in (K.IMAGE, K.EMBED):
             key = (
@@ -784,6 +797,19 @@ class TiledEvaluator:
                 args[f"nzfy_{nid}"] = nb["fy"]
                 args[f"nzpd_{nid}"] = nb["periods"]
                 continue
+            if kind == K.PATTERN:
+                pb = self.bindings.get(f"pattern_{nid}")
+                if pb is None:
+                    from .ops.pattern import pattern_bindings
+
+                    pb = pattern_bindings(node.node_type.payload)
+                # band's GLOBAL rows substitute the full row vector — the
+                # kernel is elementwise in (row, col) like Noise
+                args[f"ptr_{nid}"] = rows.astype(np.int32)
+                args[f"ptc_{nid}"] = np.asarray(pb["cols"], np.int32)
+                for field in ("fx", "fy", "px", "py", "mortar", "bevel", "seed"):
+                    args[f"pt{field}_{nid}"] = pb[field]
+                continue
             leaf_key = None
             if kind == K.IMAGE:
                 leaf_key = f"image_{nid}"
@@ -947,6 +973,20 @@ class TiledEvaluator:
                     args[f"nzfx_{nid}"], args[f"nzfy_{nid}"],
                     args[f"nzpd_{nid}"],
                 )])
+                continue
+            if kind == K.PATTERN:
+                from .ops.pattern import pattern_planes
+
+                mask, cells = pattern_planes(
+                    node.node_type.payload[2],
+                    args[f"ptr_{nid}"], args[f"ptc_{nid}"],
+                    args[f"ptfx_{nid}"], args[f"ptfy_{nid}"],
+                    args[f"ptpx_{nid}"], args[f"ptpy_{nid}"],
+                    args[f"ptmortar_{nid}"], args[f"ptbevel_{nid}"],
+                    args[f"ptseed_{nid}"],
+                )
+                env[(node_id, SlotId(0))] = ImgVal([mask])
+                env[(node_id, SlotId(1))] = ImgVal([cells])
                 continue
             if kind in (K.IMAGE, K.EMBED, K.INPUT_GRAY, K.INPUT_RGBA):
                 count = info.out_planes[SlotId(0)]

@@ -294,6 +294,30 @@ def _determinism_kernels():
     # interp path uses nc_mul + the gated div, so 0 diffs expected
     cases.append(("noise_fbm", _noise_row, 0))
 
+    def _pattern_row():
+        import jax.numpy as _jnp
+
+        from kanter_core_tpu.ops.pattern import (
+            pattern_bindings,
+            pattern_planes,
+        )
+
+        outs = []
+        for kind in ("Checker", "Brick", "Stripe"):
+            # non-dyadic frequencies + a runtime bevel divisor: the
+            # groove-ramp div is the row's real subject
+            b = pattern_bindings((211, 173, kind, 5, 7, 0.18, 0.07, 4242))
+            mask, cells = jax.jit(pattern_planes, static_argnums=0)(
+                kind, b["rows"], b["cols"], b["fx"], b["fy"],
+                b["px"], b["py"], b["mortar"], b["bevel"], b["seed"],
+            )
+            outs.append(_jnp.concatenate([mask, cells], axis=0))
+        return _jnp.concatenate(outs, axis=0)
+
+    # integer-hash lattice exact; products via nc_mul; the one division
+    # (groove ramp) has a RUNTIME divisor → corrected_div off-CPU → 0 diffs
+    cases.append(("pattern_kinds", _pattern_row, 0))
+
     def _gradient_row():
         from kanter_core_tpu.ops.gradient import gradient_bindings, gradient_planes
 

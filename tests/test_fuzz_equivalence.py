@@ -238,6 +238,32 @@ def _build_random_graph(seed: int, allow_graph_nodes: bool = True) -> tuple[Node
         if msrc is not None and wrng.random() < 0.75:
             graph.connect(msrc[0], wp_id, msrc[1], SlotId(1))
 
+    # Pattern coverage (separate rng, appended): a structured tiling-mask
+    # source over all three kinds; BOTH outputs (mask + per-cell id) enter
+    # the gray pool, and one random output mixes into the existing chain
+    prng = np.random.default_rng(seed * 67867967 + 17)
+    bevel = float(prng.uniform(0.02, 0.25))
+    if prng.random() < 0.3:
+        bevel = 0.0  # the exact-hard-step branch must stay fuzzed
+    pat = Node(
+        NodeType.Pattern(
+            int(prng.integers(20, 70)), int(prng.integers(20, 70)),
+            pattern=("Checker", "Brick", "Stripe")[int(prng.integers(3))],
+            cells_x=int(prng.integers(1, 9)), cells_y=int(prng.integers(1, 9)),
+            mortar=float(prng.uniform(0.0, 0.4)), bevel=bevel,
+            seed=int(prng.integers(0, 2**31)),
+        )
+    )
+    pat_id = add(pat, [(SlotId(0), SlotType.GRAY), (SlotId(1), SlotType.GRAY)])
+    psrc = pick(SlotType.GRAY_OR_RGBA, r=prng)
+    if psrc is not None and psrc[0] != pat_id:
+        pmix = Node(NodeType.Mix(list(MixType)[prng.integers(5)]))
+        pmix.resize_policy = ResizePolicy.MostPixels()
+        pmix.resize_filter = list(ResizeFilter)[prng.integers(len(ResizeFilter))]
+        pmix_id = add(pmix, [(SlotId(0), SlotType.GRAY_OR_RGBA)])
+        graph.connect(pat_id, pmix_id, SlotId(int(prng.integers(2))), SlotId(0))
+        graph.connect(psrc[0], pmix_id, psrc[1], SlotId(1))
+
     # terminal outputs: one per leaf-ish producer kind
     targets = []
     gray = pick(SlotType.GRAY)

@@ -248,14 +248,44 @@ def test_metal_material_outputs():
     assert normal[..., 2].mean() > 140, "normal z biases toward viewer"
 
 
+def test_brick_material_outputs():
+    from kanter_core_tpu.models import brick_material_graph
+
+    outs = _evaluate_procedural(brick_material_graph(size=64, bricks_x=4,
+                                                     bricks_y=8))
+    assert set(outs) == {"albedo", "height", "normal", "roughness", "ao"}
+    h = outs["height"].reshape(64, 64, 4)[..., 0].astype(np.float64) / 255.0
+    # bimodal plateau: recessed mortar near 0.2, raised bricks near 0.75+
+    assert (h < 0.45).mean() > 0.05, "mortar grooves must be present"
+    assert (h > 0.6).mean() > 0.5, "bricks must dominate the sheet"
+    albedo = outs["albedo"].reshape(64, 64, 4)
+    # brick tones: red dominates blue on brick pixels (most of the sheet)
+    assert (albedo[..., 0].astype(int) > albedo[..., 2].astype(int)).mean() > 0.5
+    # mortar pixels are near-neutral gray: some pixels have |r-b| small
+    assert (np.abs(albedo[..., 0].astype(int) - albedo[..., 2].astype(int)) < 12).mean() > 0.05
+    # per-brick tint variation: bricks are NOT one flat color — the red
+    # channel on raised pixels spans a real range
+    brick_red = albedo[..., 0][h > 0.6]
+    assert brick_red.max() - brick_red.min() > 20
+    rough = outs["roughness"].reshape(64, 64, 4)[..., 0]
+    # mortar (low height) is rougher than brick faces
+    assert rough[h < 0.45].mean() > rough[h > 0.6].mean() + 20
+    ao = outs["ao"].reshape(64, 64, 4)[..., 0]
+    assert ao.mean() > 180 and ao.min() < 250, "mostly lit with groove shadows"
+    normal = outs["normal"].reshape(64, 64, 4)
+    assert normal[..., 2].mean() > 140, "normal z biases toward viewer"
+
+
 def test_procedural_materials_fused_matches_pernode():
     from kanter_core_tpu.models import (
+        brick_material_graph,
         metal_material_graph,
         stone_material_graph,
         wood_material_graph,
     )
 
-    for factory in (wood_material_graph, stone_material_graph, metal_material_graph):
+    for factory in (wood_material_graph, stone_material_graph,
+                    metal_material_graph, brick_material_graph):
         fused = _evaluate_procedural(factory(size=48), fused=True)
         pernode = _evaluate_procedural(factory(size=48), fused=False)
         for name in fused:
