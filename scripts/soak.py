@@ -89,12 +89,24 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
         combines.append(comb)
         blur = g.add_node(Node(NodeType.Blur(1.0)))
         warp = g.add_node(Node(NodeType.Warp(30.0, 4.0)))
+        # structured source: BOTH Pattern outputs feed mixes so the
+        # two-output source soaks under churn (NOTE: adding this node
+        # REMAPPED every seed's sequence — pre-Pattern soak evidence is
+        # historical, VALIDATION.md)
+        pattern = g.add_node(Node(NodeType.Pattern(
+            16, 16, "Brick", cells_x=3, cells_y=5, mortar=0.15, bevel=0.06,
+            seed=1,
+        )))
         out = g.add_node(Node(NodeType.OutputRgba("out")))
         # initial wiring (blur → warp between combine and output; the warp
         # strength comes from a gray Value so the gather stage soaks too)
         g.connect(values[0], mixes[0], SlotId(0), SlotId(0))
         g.connect(values[1], mixes[0], SlotId(0), SlotId(1))
+        g.connect(pattern, mixes[1], SlotId(0), SlotId(0))  # groove mask
+        g.connect(pattern, mixes[2], SlotId(1), SlotId(1))  # per-cell IDs
         g.connect(mixes[0], comb, SlotId(0), SlotId(0))
+        g.connect(mixes[1], comb, SlotId(0), SlotId(1))
+        g.connect(mixes[2], comb, SlotId(0), SlotId(2))
         g.connect(comb, blur, SlotId(0), SlotId(0))
         g.connect(blur, warp, SlotId(0), SlotId(0))
         g.connect(values[2], warp, SlotId(0), SlotId(1))
@@ -107,7 +119,8 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
         n_edits = int(rng.integers(1, 4))
         with lg.write() as g:
             for _ in range(n_edits):
-                action = rng.integers(9)
+                # NOTE: widening 9 → 10 (Pattern drags) remapped seeds too
+                action = rng.integers(10)
                 if action == 0:
                     node = values[rng.integers(len(values))]
                     g.node_mut(node).node_type = NodeType.Value(float(rng.random()))
@@ -141,6 +154,17 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
                     # warp drag (displacement gather on the output path)
                     g.set_warp(warp, float(rng.uniform(0, 360)),
                                float(rng.uniform(0.0, 8.0)))
+                elif action == 9:
+                    # pattern drag: cells/mortar/bevel/seed are program
+                    # arguments; the KIND draw sometimes reshapes the trace
+                    g.set_pattern(
+                        pattern, 16, 16,
+                        ("Checker", "Brick", "Stripe")[rng.integers(3)],
+                        int(rng.integers(1, 6)), int(rng.integers(1, 6)),
+                        float(rng.uniform(0.0, 0.4)),
+                        float(rng.choice([0.0, 0.08])),
+                        int(rng.integers(0, 100)),
+                    )
                 elif action == 7:
                     # structural churn: add a fresh Value wired into a mix,
                     # or remove one added earlier (dirties its children)
