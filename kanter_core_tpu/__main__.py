@@ -80,6 +80,10 @@ def _cmd_render(args) -> int:
                     return 2
                 lg.set_warp(NodeId(int(node_id)), *parts)
 
+            for spec in args.curvature or []:
+                node_id, _, value = spec.partition("=")
+                lg.set_curvature(NodeId(int(node_id)), float(value))
+
             for spec in args.transform or []:
                 node_id, _, csv = spec.partition("=")
                 parts = [float(x) for x in csv.split(",")]
@@ -155,6 +159,10 @@ def main(argv=None) -> int:
     p_render.add_argument(
         "--warp", action="append", metavar="NODE_ID=angle,intensity",
         help="override a Warp node's parameters",
+    )
+    p_render.add_argument(
+        "--curvature", action="append", metavar="NODE_ID=strength",
+        help="override a Curvature node's strength",
     )
     p_render.add_argument(
         "--transform", action="append",

@@ -54,7 +54,8 @@ K = NodeTypeKind
 BUCKETABLE_KINDS = frozenset(
     {
         K.VALUE, K.IMAGE, K.INPUT_GRAY, K.INPUT_RGBA, K.EMBED,
-        K.OUTPUT_GRAY, K.OUTPUT_RGBA, K.MIX, K.HEIGHT_TO_NORMAL, K.BLUR,
+        K.OUTPUT_GRAY, K.OUTPUT_RGBA, K.MIX, K.HEIGHT_TO_NORMAL, K.CURVATURE,
+        K.BLUR,
         K.LEVELS, K.NOISE, K.PATTERN, K.GRADIENT_MAP, K.TRANSFORM, K.WARP,
         K.SEPARATE_RGBA, K.COMBINE_RGBA,
     }
@@ -501,6 +502,15 @@ class BucketedGraph:
                 args[f"hl_{nid}"] = _pad1((np.arange(tw) - 1) % tw, pw_)
                 args[f"pdx_{nid}"] = np.float32(1.0) / np.float32(tw)
                 args[f"pdy_{nid}"] = np.float32(1.0) / np.float32(th)
+            elif kind == K.CURVATURE:
+                # pre-gathered wrap neighbors (a roll on a padded plane
+                # would wrap into the pad); pad entries repeat the last
+                # true coordinate — computed redundantly, cropped at commit
+                args[f"cvu_{nid}"] = _pad1((np.arange(th) - 1) % th, ph_)
+                args[f"cvd_{nid}"] = _pad1((np.arange(th) + 1) % th, ph_)
+                args[f"cvl_{nid}"] = _pad1((np.arange(tw) - 1) % tw, pw_)
+                args[f"cvr_{nid}"] = _pad1((np.arange(tw) + 1) % tw, pw_)
+                args[f"cv_{nid}"] = np.float32(node.node_type.payload)
             elif kind == K.BLUR:
                 from .ops.blur import gaussian_taps
 
@@ -732,6 +742,18 @@ class BucketedGraph:
                     left=left, pdx=args[f"pdx_{nid}"], pdy=args[f"pdy_{nid}"],
                 )
                 env[(node_id, SlotId(0))] = ImgVal(shard(outs))
+                continue
+
+            if kind == K.CURVATURE:
+                from .ops.curvature import curvature_plane
+
+                h = by_slot[SlotId(0)].planes[0]
+                out = curvature_plane(
+                    h, args[f"cv_{nid}"],
+                    up=h[args[f"cvu_{nid}"]], down=h[args[f"cvd_{nid}"]],
+                    left=h[:, args[f"cvl_{nid}"]], right=h[:, args[f"cvr_{nid}"]],
+                )
+                env[(node_id, SlotId(0))] = ImgVal(shard([out]))
                 continue
 
             if kind == K.BLUR:

@@ -406,6 +406,17 @@ class GraphCompiler:
             outs = h2n_traceable(inp.planes[0])
             return [(SlotId(0), ImgVal(list(outs)))]
 
+        if kind == K.CURVATURE:
+            from .ops.curvature import curvature_plane
+
+            inp = by_slot.get(SlotId(0))
+            if inp is None or inp.is_rgba:
+                raise TexProError(
+                    ErrorKind.INVALID_BUFFER_COUNT, "Curvature needs a Gray input"
+                )
+            strength = args[f"{prefix}curv_{nid}"]
+            return [(SlotId(0), ImgVal([curvature_plane(inp.planes[0], strength)]))]
+
         if kind == K.BLUR:
             from .ops.blur import blur_plane
 
@@ -768,6 +779,8 @@ class CompiledGraph:
                 bindings[f"{prefix}levels_{nid}"] = np.asarray(
                     node.node_type.payload, np.float32
                 )
+            elif kind == K.CURVATURE:
+                bindings[f"{prefix}curv_{nid}"] = np.float32(node.node_type.payload)
             elif kind == K.NOISE:
                 from .ops.noise import noise_bindings
 
@@ -883,6 +896,8 @@ def _normalize_values(graph_json):
                 node = dict(node, node_type={"Value": 0.0})
             elif "Levels" in node_type:
                 node = dict(node, node_type={"Levels": zero_levels})
+            elif "Curvature" in node_type:
+                node = dict(node, node_type={"Curvature": 0.0})
             elif "Noise" in node_type:
                 node = dict(node, node_type={"Noise": dict(
                     node_type["Noise"], cells=0, seed=0, persistence=0.0,
@@ -979,6 +994,10 @@ def collect_value_bindings(node_graph: NodeGraph, prefix: str = "") -> dict:
         elif kind == NodeTypeKind.LEVELS:
             bindings[f"{prefix}levels_{int(node.node_id)}"] = np.asarray(
                 node.node_type.payload, np.float32
+            )
+        elif kind == NodeTypeKind.CURVATURE:
+            bindings[f"{prefix}curv_{int(node.node_id)}"] = np.float32(
+                node.node_type.payload
             )
         elif kind == NodeTypeKind.NOISE:
             from .ops.noise import noise_bindings

@@ -562,6 +562,15 @@ class LiveGraph:
             self.node(node_id).cancel.store(True)
 
     @_journaled()
+    def set_curvature(self, node_id: NodeId, strength: float) -> None:
+        """Change a Curvature node's strength and dirty it (extension node;
+        slider drags re-run a cached program)."""
+        with self._lock:
+            self.node_graph.set_curvature(node_id, strength)
+            self.set_state(node_id, NodeState.DIRTY)
+            self.node(node_id).cancel.store(True)
+
+    @_journaled()
     def set_levels(self, node_id: NodeId, in_lo, in_hi, gamma, out_lo, out_hi) -> None:
         """Change a Levels node's remap parameters and dirty it (extension
         node; slider drags re-run a cached program)."""

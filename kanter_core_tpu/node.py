@@ -220,6 +220,7 @@ class NodeTypeKind(enum.Enum):
     TRANSFORM = "Transform"  # TPU-native extension: no reference counterpart
     WARP = "Warp"  # TPU-native extension: no reference counterpart
     PATTERN = "Pattern"  # TPU-native extension: no reference counterpart
+    CURVATURE = "Curvature"  # TPU-native extension: no reference counterpart
 
 
 class NodeType:
@@ -349,6 +350,15 @@ class NodeType:
         )
 
     @staticmethod
+    def Curvature(strength: float = 4.0) -> "NodeType":
+        """Mean-curvature mask of a gray heightmap (extension node; see
+        ops/curvature.py): `clip(0.5 + strength·laplacian, 0, 1)` with
+        toroidal wrap — convex edges brighten, crevices darken. `strength`
+        is a PROGRAM ARGUMENT in every traced consumer (slider drags
+        re-run cached executables)."""
+        return NodeType(NodeTypeKind.CURVATURE, float(strength))
+
+    @staticmethod
     def GradientMap(stops) -> "NodeType":
         """Colorize ramp (extension node; see ops/gradient.py): gray →
         RGBA through ≥2 color stops `(position, r, g, b, a)`, lerped per
@@ -465,6 +475,8 @@ class NodeType:
             return {"Value": self.payload}
         if k == NodeTypeKind.BLUR:
             return {"Blur": self.payload}
+        if k == NodeTypeKind.CURVATURE:
+            return {"Curvature": self.payload}
         if k == NodeTypeKind.LEVELS:
             p = self.payload
             return {"Levels": {"in_lo": p[0], "in_hi": p[1], "gamma": p[2],
@@ -508,7 +520,7 @@ class NodeType:
             from .ops.embed import EmbeddedSlotDataId
 
             return NodeType(kind, EmbeddedSlotDataId(payload))
-        if kind in (NodeTypeKind.VALUE, NodeTypeKind.BLUR):
+        if kind in (NodeTypeKind.VALUE, NodeTypeKind.BLUR, NodeTypeKind.CURVATURE):
             return NodeType(kind, float(payload))
         if kind == NodeTypeKind.LEVELS:
             return NodeType.Levels(
@@ -624,7 +636,7 @@ class Node:
                 Slot("left", SlotId(0), SlotType.GRAY_OR_RGBA),
                 Slot("right", SlotId(1), SlotType.GRAY_OR_RGBA),
             ]
-        if k in (K.HEIGHT_TO_NORMAL, K.GRADIENT_MAP):
+        if k in (K.HEIGHT_TO_NORMAL, K.GRADIENT_MAP, K.CURVATURE):
             return [Slot("input", SlotId(0), SlotType.GRAY)]
         if k in (K.BLUR, K.LEVELS, K.TRANSFORM):
             return [Slot("input", SlotId(0), SlotType.GRAY_OR_RGBA)]
@@ -659,7 +671,7 @@ class Node:
             return [Slot("output", SlotId(0), SlotType.RGBA)]
         if k == K.WRITE:
             return []  # sink node; see input_slots note
-        if k in (K.VALUE, K.NOISE):
+        if k in (K.VALUE, K.NOISE, K.CURVATURE):
             return [Slot("output", SlotId(0), SlotType.GRAY)]
         if k == K.PATTERN:
             return [

@@ -18,6 +18,7 @@ from ..node import NodeTypeKind
 from ..slot_data import SlotData
 from . import (
     blur,
+    curvature,
     embed,
     gradient,
     graph_op,
@@ -73,6 +74,8 @@ def process_node_internal(node, slot_datas, embedded_slot_datas, input_slot_data
         output = mix.process(slot_datas, node, node.node_type.payload)
     elif kind == K.HEIGHT_TO_NORMAL:
         output = height_to_normal.process(shutdown, slot_datas, node)
+    elif kind == K.CURVATURE:
+        output = curvature.process(slot_datas, node)
     elif kind == K.BLUR:
         output = blur.process(slot_datas, node, node.node_type.payload, mesh=tex_pro.mesh)
     elif kind == K.LEVELS:

@@ -67,6 +67,7 @@ TILEABLE_KINDS = frozenset(
         K.OUTPUT_RGBA,
         K.MIX,
         K.HEIGHT_TO_NORMAL,
+        K.CURVATURE,
         K.BLUR,
         K.LEVELS,
         K.NOISE,
@@ -267,6 +268,11 @@ def flatten_graph_nodes(graph, bindings, preset=None):
                 from .ops.pattern import pattern_bindings
 
                 extra_bindings[f"pattern_{int(clone.node_id)}"] = pattern_bindings(
+                    n.node_type.payload
+                )
+            elif kind == K.CURVATURE:
+                # strength edits keep the fingerprint too — bindings win
+                extra_bindings[f"curv_{int(clone.node_id)}"] = np.float32(
                     n.node_type.payload
                 )
             elif kind == K.GRADIENT_MAP:
@@ -506,6 +512,13 @@ def infer_sizes(graph, bindings, preset=None) -> dict:
                 )
             info.out_planes[SlotId(0)] = 4
             info.out_size = info.working
+        elif kind == K.CURVATURE:
+            if not info.inputs or in_planes(0) != 1:
+                raise TexProError(
+                    ErrorKind.INVALID_BUFFER_COUNT, "Curvature needs a Gray input"
+                )
+            info.out_planes[SlotId(0)] = 1
+            info.out_size = info.working
         elif kind == K.BLUR:
             if not info.inputs:
                 raise TexProError(ErrorKind.INVALID_BUFFER_COUNT, "Blur needs an input")
@@ -588,6 +601,9 @@ def _expand_rows(info: _Info, rows: np.ndarray) -> np.ndarray:
     if kind == K.HEIGHT_TO_NORMAL:
         h = info.out_size.height
         return np.unique(np.concatenate([rows, (rows - 1) % h]))
+    if kind == K.CURVATURE:
+        h = info.out_size.height
+        return np.unique(np.concatenate([rows, (rows - 1) % h, (rows + 1) % h]))
     if kind == K.BLUR:
         taps, radius = _blur_meta(info.node)
         h = info.out_size.height
@@ -853,6 +869,14 @@ class TiledEvaluator:
                 h = info.out_size.height
                 args[f"s_{nid}"] = _positions(need, rows)
                 args[f"u_{nid}"] = _positions(need, (rows - 1) % h)
+            elif kind == K.CURVATURE:
+                h = info.out_size.height
+                args[f"cs_{nid}"] = _positions(need, rows)
+                args[f"cu_{nid}"] = _positions(need, (rows - 1) % h)
+                args[f"cd_{nid}"] = _positions(need, (rows + 1) % h)
+                args[f"cv_{nid}"] = np.float32(
+                    self.bindings.get(f"curv_{nid}", node.node_type.payload)
+                )
             elif kind == K.BLUR:
                 taps, radius = _blur_meta(node)
                 h = info.out_size.height
@@ -1048,6 +1072,20 @@ class TiledEvaluator:
                     info.out_size.width,
                 )
                 env[(node_id, SlotId(0))] = ImgVal(list(outs))
+                continue
+
+            if kind == K.CURVATURE:
+                from .ops.curvature import curvature_plane
+
+                band = by_slot[SlotId(0)].planes[0]  # covers `need` rows
+                out = curvature_plane(
+                    band[args[f"cs_{nid}"]],
+                    args[f"cv_{nid}"],
+                    up=band[args[f"cu_{nid}"]],
+                    down=band[args[f"cd_{nid}"]],
+                    # left/right wrap stays in-band: bands are full-width rows
+                )
+                env[(node_id, SlotId(0))] = ImgVal([out])
                 continue
 
             if kind == K.BLUR:

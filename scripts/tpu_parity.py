@@ -318,6 +318,16 @@ def _determinism_kernels():
     # (groove ramp) has a RUNTIME divisor → corrected_div off-CPU → 0 diffs
     cases.append(("pattern_kinds", _pattern_row, 0))
 
+    def _curvature_row():
+        from kanter_core_tpu.ops.curvature import curvature_plane
+
+        return jax.jit(curvature_plane)(src, np.float32(7.3))
+
+    # exact ops only: f32 sub/add in fixed association, one nc_mul-guarded
+    # product, clip — 0 diffs expected (173 rows / 211 cols also exercise
+    # the odd-extent wrap rolls)
+    cases.append(("curvature", _curvature_row, 0))
+
     def _gradient_row():
         from kanter_core_tpu.ops.gradient import gradient_bindings, gradient_planes
 

@@ -264,6 +264,18 @@ def _build_random_graph(seed: int, allow_graph_nodes: bool = True) -> tuple[Node
         graph.connect(pat_id, pmix_id, SlotId(int(prng.integers(2))), SlotId(0))
         graph.connect(psrc[0], pmix_id, psrc[1], SlotId(1))
 
+    # Curvature coverage (separate rng, appended): a wrap-Laplacian mask of
+    # a random GRAY producer at a random strength — its output joins the
+    # gray pool via the terminal pick below
+    crng = np.random.default_rng(seed * 86028121 + 19)
+    csrc = pick(SlotType.GRAY, r=crng)
+    if csrc is not None:
+        cv_id = add(
+            Node(NodeType.Curvature(float(crng.uniform(0.2, 20.0)))),
+            [(SlotId(0), SlotType.GRAY)],
+        )
+        graph.connect(csrc[0], cv_id, csrc[1], SlotId(0))
+
     # terminal outputs: one per leaf-ish producer kind
     targets = []
     gray = pick(SlotType.GRAY)
