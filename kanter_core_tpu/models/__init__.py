@@ -395,6 +395,7 @@ def brick_material_graph(
     bevel: float = 0.05,
     brick_relief: float = 0.55,
     tint_spread: float = 0.5,
+    wear: float = 1.0,
 ) -> NodeGraph:
     """Fully procedural brick-wall material: NO inputs, five outputs
     (`albedo`/`normal` RGBA, `height`/`roughness`/`ao` gray).
@@ -418,7 +419,12 @@ def brick_material_graph(
     - ao: the shared `1 − k·(blur(h) − h)` cavity construction (grooves
       self-shadow);
     - normal: blur → `HeightToNormal` of the height (the bevel ramp
-      becomes the brick edge chamfer).
+      becomes the brick edge chamfer);
+    - edge wear: the pre-grain height's own convexity (`Curvature` — the
+      bevel shoulders light up) through a Levels gate makes a wear mask
+      that polishes roughness down (`−0.35·wear`) and lightens the albedo
+      coordinate (`+0.25·wear`) exactly at brick edges — the canonical
+      curvature-map workflow, in-graph.
 
     Every scalar (mortar, bevel, relief, spread, cell counts, seed) rides
     as a PROGRAM ARGUMENT — knob drags re-run cached executables; only
@@ -446,7 +452,16 @@ def brick_material_graph(
     height_out = graph.add_node(Node(NodeType.OutputGray("height")))
     graph.connect(height, height_out, SlotId(0), SlotId(0))
 
+    # edge-wear mask: curvature of the PRE-grain height (so wear follows
+    # brick edges, not noise speckle), gated to the convex shoulder band
+    curv = graph.add_node(Node(NodeType.Curvature(12.0)))
+    graph.connect(bumpy, curv, SlotId(0), SlotId(0))
+    wear_gate = graph.add_node(Node(NodeType.Levels(0.55, 0.80, 1.0, 0.0, 1.0)))
+    graph.connect(curv, wear_gate, SlotId(0), SlotId(0))
+    wear_mask = _mix(graph, MixType.MULTIPLY, wear_gate, _value(graph, wear))
+
     # albedo coordinate: mask*(0.35 + spread*cells) + 0.15*(1 - mask)
+    #                    + 0.25*wear (worn edges climb toward lighter stops)
     brick_val = _mix(
         graph, MixType.ADD,
         _mix(graph, MixType.MULTIPLY, pat, _value(graph, tint_spread),
@@ -459,6 +474,10 @@ def brick_material_graph(
                     right_slot=MASK)
     mortar_part = _mix(graph, MixType.MULTIPLY, inv_mask, _value(graph, 0.15))
     field = _mix(graph, MixType.ADD, brick_part, mortar_part)
+    field = _mix(
+        graph, MixType.ADD, field,
+        _mix(graph, MixType.MULTIPLY, wear_mask, _value(graph, 0.25)),
+    )
     albedo = graph.add_node(
         Node(
             NodeType.GradientMap(
@@ -476,7 +495,8 @@ def brick_material_graph(
     albedo_out = graph.add_node(Node(NodeType.OutputRgba("albedo")))
     graph.connect(albedo, albedo_out, SlotId(0), SlotId(0))
 
-    # roughness = 0.95 - 0.45*mask + 0.2*cells*mask
+    # roughness = 0.95 - 0.45*mask + 0.2*cells*mask - 0.35*wear
+    # (worn edges polish smooth)
     rough = _mix(
         graph, MixType.ADD,
         _mix(
@@ -485,6 +505,10 @@ def brick_material_graph(
                  left_slot=MASK),
         ),
         _mix(graph, MixType.MULTIPLY, jitter_field, _value(graph, 0.2)),
+    )
+    rough = _mix(
+        graph, MixType.SUBTRACT, rough,
+        _mix(graph, MixType.MULTIPLY, wear_mask, _value(graph, 0.35)),
     )
     rough_out = graph.add_node(Node(NodeType.OutputGray("roughness")))
     graph.connect(rough, rough_out, SlotId(0), SlotId(0))

@@ -276,6 +276,29 @@ def test_brick_material_outputs():
     assert normal[..., 2].mean() > 140, "normal z biases toward viewer"
 
 
+def test_brick_edge_wear_polishes_edges():
+    """The Curvature-driven wear stage: convex brick edges (bevel
+    shoulders) lose roughness and gain albedo brightness vs the wear=0
+    variant — and ONLY there (mortar floors are concave, untouched)."""
+    from kanter_core_tpu.models import brick_material_graph
+
+    kw = dict(size=64, bricks_x=4, bricks_y=8)
+    worn = _evaluate_procedural(brick_material_graph(**kw))
+    plain = _evaluate_procedural(brick_material_graph(wear=0.0, **kw))
+    r_worn = worn["roughness"].reshape(64, 64, 4)[..., 0].astype(int)
+    r_plain = plain["roughness"].reshape(64, 64, 4)[..., 0].astype(int)
+    diff = r_plain - r_worn
+    assert diff.min() >= 0, "wear must only REDUCE roughness"
+    assert diff.max() > 30, "edge pixels must be visibly polished"
+    assert (diff > 0).mean() < 0.5, "wear must be localized to edges"
+    a_worn = worn["albedo"].reshape(64, 64, 4)[..., 0].astype(int)
+    a_plain = plain["albedo"].reshape(64, 64, 4)[..., 0].astype(int)
+    assert (a_worn - a_plain)[diff > 30].mean() > 0, "worn edges lighten"
+    # height/normal/ao are upstream of the wear stage: bit-identical
+    for name in ("height", "normal", "ao"):
+        assert np.array_equal(worn[name], plain[name]), name
+
+
 def test_procedural_materials_fused_matches_pernode():
     from kanter_core_tpu.models import (
         brick_material_graph,
