@@ -84,6 +84,15 @@ def _cmd_render(args) -> int:
                 node_id, _, value = spec.partition("=")
                 lg.set_curvature(NodeId(int(node_id)), float(value))
 
+            for spec in args.hsv or []:
+                node_id, _, csv = spec.partition("=")
+                parts = [float(x) for x in csv.split(",")]
+                if len(parts) != 3:
+                    print("error: --hsv NODE_ID=hue,saturation,value",
+                          file=sys.stderr)
+                    return 2
+                lg.set_hsv(NodeId(int(node_id)), *parts)
+
             for spec in args.transform or []:
                 node_id, _, csv = spec.partition("=")
                 parts = [float(x) for x in csv.split(",")]
@@ -163,6 +172,10 @@ def main(argv=None) -> int:
     p_render.add_argument(
         "--curvature", action="append", metavar="NODE_ID=strength",
         help="override a Curvature node's strength",
+    )
+    p_render.add_argument(
+        "--hsv", action="append", metavar="NODE_ID=hue,saturation,value",
+        help="override an Hsv node's adjust parameters (hue in degrees)",
     )
     p_render.add_argument(
         "--transform", action="append",

@@ -56,7 +56,8 @@ BUCKETABLE_KINDS = frozenset(
         K.VALUE, K.IMAGE, K.INPUT_GRAY, K.INPUT_RGBA, K.EMBED,
         K.OUTPUT_GRAY, K.OUTPUT_RGBA, K.MIX, K.HEIGHT_TO_NORMAL, K.CURVATURE,
         K.BLUR,
-        K.LEVELS, K.NOISE, K.PATTERN, K.GRADIENT_MAP, K.TRANSFORM, K.WARP,
+        K.LEVELS, K.HSV, K.NOISE, K.PATTERN, K.GRADIENT_MAP, K.TRANSFORM,
+        K.WARP,
         K.SEPARATE_RGBA, K.COMBINE_RGBA,
     }
 )
@@ -524,6 +525,10 @@ class BucketedGraph:
                 )
             elif kind == K.LEVELS:
                 args[f"lv_{nid}"] = np.asarray(node.node_type.payload, np.float32)
+            elif kind == K.HSV:
+                from .ops.hsv import hsv_bindings
+
+                args[f"hsv_{nid}"] = hsv_bindings(node.node_type.payload)
             elif kind == K.GRADIENT_MAP:
                 from .ops.gradient import gradient_bindings
 
@@ -780,6 +785,14 @@ class BucketedGraph:
                 params = args[f"lv_{nid}"]
                 env[(node_id, SlotId(0))] = ImgVal(
                     shard([levels_plane(p, params) for p in by_slot[SlotId(0)].planes])
+                )
+                continue
+
+            if kind == K.HSV:
+                from .ops.hsv import hsv_planes
+
+                env[(node_id, SlotId(0))] = ImgVal(
+                    shard(hsv_planes(by_slot[SlotId(0)].planes, args[f"hsv_{nid}"]))
                 )
                 continue
 

@@ -406,6 +406,17 @@ class GraphCompiler:
             outs = h2n_traceable(inp.planes[0])
             return [(SlotId(0), ImgVal(list(outs)))]
 
+        if kind == K.HSV:
+            from .ops.hsv import hsv_planes
+
+            inp = by_slot.get(SlotId(0))
+            if inp is None:
+                raise TexProError(
+                    ErrorKind.INVALID_BUFFER_COUNT, "Hsv needs an input"
+                )
+            params = args[f"{prefix}hsv_{nid}"]
+            return [(SlotId(0), ImgVal(hsv_planes(inp.planes, params)))]
+
         if kind == K.CURVATURE:
             from .ops.curvature import curvature_plane
 
@@ -781,6 +792,10 @@ class CompiledGraph:
                 )
             elif kind == K.CURVATURE:
                 bindings[f"{prefix}curv_{nid}"] = np.float32(node.node_type.payload)
+            elif kind == K.HSV:
+                from .ops.hsv import hsv_bindings
+
+                bindings[f"{prefix}hsv_{nid}"] = hsv_bindings(node.node_type.payload)
             elif kind == K.NOISE:
                 from .ops.noise import noise_bindings
 
@@ -898,6 +913,10 @@ def _normalize_values(graph_json):
                 node = dict(node, node_type={"Levels": zero_levels})
             elif "Curvature" in node_type:
                 node = dict(node, node_type={"Curvature": 0.0})
+            elif "Hsv" in node_type:
+                node = dict(node, node_type={"Hsv": {
+                    "hue": 0.0, "saturation": 0.0, "value": 0.0,
+                }})
             elif "Noise" in node_type:
                 node = dict(node, node_type={"Noise": dict(
                     node_type["Noise"], cells=0, seed=0, persistence=0.0,
@@ -997,6 +1016,12 @@ def collect_value_bindings(node_graph: NodeGraph, prefix: str = "") -> dict:
             )
         elif kind == NodeTypeKind.CURVATURE:
             bindings[f"{prefix}curv_{int(node.node_id)}"] = np.float32(
+                node.node_type.payload
+            )
+        elif kind == NodeTypeKind.HSV:
+            from .ops.hsv import hsv_bindings
+
+            bindings[f"{prefix}hsv_{int(node.node_id)}"] = hsv_bindings(
                 node.node_type.payload
             )
         elif kind == NodeTypeKind.NOISE:

@@ -562,6 +562,15 @@ class LiveGraph:
             self.node(node_id).cancel.store(True)
 
     @_journaled()
+    def set_hsv(self, node_id: NodeId, hue, saturation, value) -> None:
+        """Change an Hsv node's adjust parameters and dirty it (extension
+        node; slider drags re-run a cached program)."""
+        with self._lock:
+            self.node_graph.set_hsv(node_id, hue, saturation, value)
+            self.set_state(node_id, NodeState.DIRTY)
+            self.node(node_id).cancel.store(True)
+
+    @_journaled()
     def set_curvature(self, node_id: NodeId, strength: float) -> None:
         """Change a Curvature node's strength and dirty it (extension node;
         slider drags re-run a cached program)."""

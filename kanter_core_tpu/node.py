@@ -221,6 +221,7 @@ class NodeTypeKind(enum.Enum):
     WARP = "Warp"  # TPU-native extension: no reference counterpart
     PATTERN = "Pattern"  # TPU-native extension: no reference counterpart
     CURVATURE = "Curvature"  # TPU-native extension: no reference counterpart
+    HSV = "Hsv"  # TPU-native extension: no reference counterpart
 
 
 class NodeType:
@@ -359,6 +360,19 @@ class NodeType:
         return NodeType(NodeTypeKind.CURVATURE, float(strength))
 
     @staticmethod
+    def Hsv(hue: float = 0.0, saturation: float = 1.0,
+            value: float = 1.0) -> "NodeType":
+        """Hue-rotate / saturation-scale / value-scale color adjust
+        (extension node; see ops/hsv.py): `hue` in degrees (any value,
+        wrapped), `saturation`/`value` multiplicative with clip to [0,1].
+        Gray inputs get the value scale only. All three parameters are one
+        PROGRAM ARGUMENT in every traced consumer (slider drags re-run
+        cached executables)."""
+        return NodeType(
+            NodeTypeKind.HSV, (float(hue), float(saturation), float(value))
+        )
+
+    @staticmethod
     def GradientMap(stops) -> "NodeType":
         """Colorize ramp (extension node; see ops/gradient.py): gray →
         RGBA through ≥2 color stops `(position, r, g, b, a)`, lerped per
@@ -477,6 +491,9 @@ class NodeType:
             return {"Blur": self.payload}
         if k == NodeTypeKind.CURVATURE:
             return {"Curvature": self.payload}
+        if k == NodeTypeKind.HSV:
+            p = self.payload
+            return {"Hsv": {"hue": p[0], "saturation": p[1], "value": p[2]}}
         if k == NodeTypeKind.LEVELS:
             p = self.payload
             return {"Levels": {"in_lo": p[0], "in_hi": p[1], "gamma": p[2],
@@ -547,6 +564,10 @@ class NodeType:
             )
         if kind == NodeTypeKind.WARP:
             return NodeType.Warp(payload["angle"], payload["intensity"])
+        if kind == NodeTypeKind.HSV:
+            return NodeType.Hsv(
+                payload["hue"], payload["saturation"], payload["value"]
+            )
         return NodeType(kind, payload)
 
 
@@ -638,7 +659,7 @@ class Node:
             ]
         if k in (K.HEIGHT_TO_NORMAL, K.GRADIENT_MAP, K.CURVATURE):
             return [Slot("input", SlotId(0), SlotType.GRAY)]
-        if k in (K.BLUR, K.LEVELS, K.TRANSFORM):
+        if k in (K.BLUR, K.LEVELS, K.TRANSFORM, K.HSV):
             return [Slot("input", SlotId(0), SlotType.GRAY_OR_RGBA)]
         if k == K.WARP:
             return [
@@ -682,7 +703,7 @@ class Node:
             return [Slot("output", SlotId(0), SlotType.GRAY_OR_RGBA)]
         if k in (K.HEIGHT_TO_NORMAL, K.GRADIENT_MAP):
             return [Slot("output", SlotId(0), SlotType.RGBA)]
-        if k in (K.BLUR, K.LEVELS, K.TRANSFORM, K.WARP):
+        if k in (K.BLUR, K.LEVELS, K.TRANSFORM, K.WARP, K.HSV):
             return [Slot("output", SlotId(0), SlotType.GRAY_OR_RGBA)]
         if k == K.SEPARATE_RGBA:
             return [

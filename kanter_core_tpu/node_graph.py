@@ -84,6 +84,12 @@ class NodeGraph:
             raise TexProError(ErrorKind.INVALID_NODE_ID)
         node.node_type = NodeType.Blur(sigma)
 
+    def set_hsv(self, node_id: NodeId, hue, saturation, value) -> None:
+        node = self._node_with_id_mut(node_id)
+        if node is None or node.node_type.kind != NodeTypeKind.HSV:
+            raise TexProError(ErrorKind.INVALID_NODE_ID)
+        node.node_type = NodeType.Hsv(hue, saturation, value)
+
     def set_curvature(self, node_id: NodeId, strength: float) -> None:
         node = self._node_with_id_mut(node_id)
         if node is None or node.node_type.kind != NodeTypeKind.CURVATURE:

@@ -23,6 +23,7 @@ from . import (
     gradient,
     graph_op,
     height_to_normal,
+    hsv,
     inout,
     levels,
     mix,
@@ -76,6 +77,8 @@ def process_node_internal(node, slot_datas, embedded_slot_datas, input_slot_data
         output = height_to_normal.process(shutdown, slot_datas, node)
     elif kind == K.CURVATURE:
         output = curvature.process(slot_datas, node)
+    elif kind == K.HSV:
+        output = hsv.process(slot_datas, node)
     elif kind == K.BLUR:
         output = blur.process(slot_datas, node, node.node_type.payload, mesh=tex_pro.mesh)
     elif kind == K.LEVELS:

@@ -230,6 +230,10 @@ def node_recipe(node, input_recipes: list, live_graph) -> Optional[str]:
         import struct
 
         return _h(base, struct.pack("<f", node.node_type.payload), input_recipes)
+    if kind == K.HSV:
+        import struct
+
+        return _h(base, struct.pack("<3f", *node.node_type.payload), input_recipes)
     if kind == K.NOISE:
         import struct
 

@@ -70,6 +70,7 @@ TILEABLE_KINDS = frozenset(
         K.CURVATURE,
         K.BLUR,
         K.LEVELS,
+        K.HSV,
         K.NOISE,
         K.PATTERN,
         K.GRADIENT_MAP,
@@ -273,6 +274,12 @@ def flatten_graph_nodes(graph, bindings, preset=None):
             elif kind == K.CURVATURE:
                 # strength edits keep the fingerprint too — bindings win
                 extra_bindings[f"curv_{int(clone.node_id)}"] = np.float32(
+                    n.node_type.payload
+                )
+            elif kind == K.HSV:
+                from .ops.hsv import hsv_bindings
+
+                extra_bindings[f"hsv_{int(clone.node_id)}"] = hsv_bindings(
                     n.node_type.payload
                 )
             elif kind == K.GRADIENT_MAP:
@@ -527,6 +534,11 @@ def infer_sizes(graph, bindings, preset=None) -> dict:
         elif kind == K.LEVELS:
             if not info.inputs:
                 raise TexProError(ErrorKind.INVALID_BUFFER_COUNT, "Levels needs an input")
+            info.out_planes[SlotId(0)] = in_planes(0)
+            info.out_size = info.working
+        elif kind == K.HSV:
+            if not info.inputs:
+                raise TexProError(ErrorKind.INVALID_BUFFER_COUNT, "Hsv needs an input")
             info.out_planes[SlotId(0)] = in_planes(0)
             info.out_size = info.working
         elif kind == K.GRADIENT_MAP:
@@ -891,6 +903,13 @@ class TiledEvaluator:
                     self.bindings.get(f"levels_{nid}", node.node_type.payload),
                     np.float32,
                 )
+            elif kind == K.HSV:
+                hb = self.bindings.get(f"hsv_{nid}")
+                if hb is None:
+                    from .ops.hsv import hsv_bindings
+
+                    hb = hsv_bindings(node.node_type.payload)
+                args[f"hsv_{nid}"] = hb
             elif kind == K.GRADIENT_MAP:
                 gb = self.bindings.get(f"grad_{nid}")
                 if gb is None:
@@ -1109,6 +1128,14 @@ class TiledEvaluator:
                 params = args[f"lv_{nid}"]
                 env[(node_id, SlotId(0))] = ImgVal(
                     [levels_plane(p, params) for p in by_slot[SlotId(0)].planes]
+                )
+                continue
+
+            if kind == K.HSV:
+                from .ops.hsv import hsv_planes
+
+                env[(node_id, SlotId(0))] = ImgVal(
+                    hsv_planes(by_slot[SlotId(0)].planes, args[f"hsv_{nid}"])
                 )
                 continue
 

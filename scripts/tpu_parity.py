@@ -318,6 +318,26 @@ def _determinism_kernels():
     # (groove ramp) has a RUNTIME divisor → corrected_div off-CPU → 0 diffs
     cases.append(("pattern_kinds", _pattern_row, 0))
 
+    def _hsv_row():
+        import jax.numpy as _jnp
+
+        from kanter_core_tpu.ops.hsv import hsv_bindings, hsv_planes
+
+        r = src
+        g = np.roll(src, 37, axis=0)
+        b = np.roll(src, 91, axis=1)
+        outs = []
+        for params in ((123.4, 0.6, 1.2), (-450.0, 2.0, 0.8)):
+            outs.extend(jax.jit(
+                lambda pr, a, c, d: hsv_planes([a, c, d], pr)
+            )(hsv_bindings(params), r, g, b))
+        return _jnp.concatenate(outs, axis=0)
+
+    # hexcone adjust: sector-unit hue (no constant divisors), runtime-
+    # divisor divisions via corrected_div off-CPU, exact selects/floor —
+    # 0 diffs expected
+    cases.append(("hsv_adjust", _hsv_row, 0))
+
     def _curvature_row():
         from kanter_core_tpu.ops.curvature import curvature_plane
 

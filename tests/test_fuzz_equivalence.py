@@ -264,6 +264,22 @@ def _build_random_graph(seed: int, allow_graph_nodes: bool = True) -> tuple[Node
         graph.connect(pat_id, pmix_id, SlotId(int(prng.integers(2))), SlotId(0))
         graph.connect(psrc[0], pmix_id, psrc[1], SlotId(1))
 
+    # Hsv coverage (separate rng, appended): a hue/sat/value adjust of a
+    # random producer — gray draws the value-scale path, rgba the full
+    # hexcone transform with the aliased alpha
+    hrng = np.random.default_rng(seed * 94906249 + 23)
+    hsrc = pick(SlotType.GRAY_OR_RGBA, r=hrng)
+    if hsrc is not None:
+        hs_id = add(
+            Node(NodeType.Hsv(
+                float(hrng.uniform(-400.0, 400.0)),
+                float(hrng.uniform(0.0, 2.2)),
+                float(hrng.uniform(0.3, 1.6)),
+            )),
+            [(SlotId(0), SlotType.GRAY_OR_RGBA)],
+        )
+        graph.connect(hsrc[0], hs_id, hsrc[1], SlotId(0))
+
     # Curvature coverage (separate rng, appended): a wrap-Laplacian mask of
     # a random GRAY producer at a random strength — its output joins the
     # gray pool via the terminal pick below
