@@ -3,8 +3,9 @@ gradient-map albedo, plus height-to-normal and blurred-AO maps, all from
 one seamlessly-tiling FBM noise source, in one fused dirty-tracked graph.
 
 Demonstrates the parameter-as-argument design end to end: cycling the
-noise seed, dragging the contrast (Levels), and recoloring the ramp
-(GradientMap) each re-render through a cached program — the program
+noise seed, dragging the contrast (Levels), recoloring the ramp
+(GradientMap), and grading the result (Hsv) each re-render through a
+cached program — the program
 fingerprint normalizes every edited field out. Note the granularity:
 the FIRST edit of a given dirty-shape compiles that partition once
 (a clean upstream node becomes a partition INPUT instead of being
@@ -85,8 +86,12 @@ def main():
         warp = g.add_node(Node(NodeType.Warp(120.0, max(2.0, SIZE / 64.0))))
         g.connect(albedo, warp, SlotId(0), SlotId(0))
         g.connect(detail, warp, SlotId(0), SlotId(1))
+        # final grade: an Hsv adjust over the warped albedo (hue/sat/value
+        # are one program argument — grading drags reuse the executable)
+        grade = g.add_node(Node(NodeType.Hsv(0.0, 1.0, 1.0)))
+        g.connect(warp, grade, SlotId(0), SlotId(0))
         outs = {}
-        for name, src in (("albedo", warp), ("normal", normal), ("ao", ao)):
+        for name, src in (("albedo", grade), ("normal", normal), ("ao", ao)):
             out = g.add_node(Node(NodeType.OutputRgba(name)))
             g.connect(src, out, SlotId(0), SlotId(0))
             outs[name] = out
@@ -113,6 +118,9 @@ def main():
         ("warp drag",
          lambda g: g.set_warp(warp, 120.0, 3.0),
          lambda g: g.set_warp(warp, 135.0, 5.5)),
+        ("hsv grade",
+         lambda g: g.set_hsv(grade, 25.0, 1.15, 1.0),
+         lambda g: g.set_hsv(grade, 40.0, 1.3, 0.95)),
     ]
     for label, warm, drag in edits:
         with lg.write() as g:

@@ -97,6 +97,9 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
             16, 16, "Brick", cells_x=3, cells_y=5, mortar=0.15, bevel=0.06,
             seed=1,
         )))
+        # final grade stage (NOTE: adding this node remapped every seed's
+        # sequence again — see VALIDATION.md's HSV REMAP entry)
+        hsv = g.add_node(Node(NodeType.Hsv(10.0, 1.1, 1.0)))
         out = g.add_node(Node(NodeType.OutputRgba("out")))
         # initial wiring (blur → warp between combine and output; the warp
         # strength comes from a gray Value so the gather stage soaks too)
@@ -110,7 +113,8 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
         g.connect(comb, blur, SlotId(0), SlotId(0))
         g.connect(blur, warp, SlotId(0), SlotId(0))
         g.connect(values[2], warp, SlotId(0), SlotId(1))
-        g.connect(warp, out, SlotId(0), SlotId(0))
+        g.connect(warp, hsv, SlotId(0), SlotId(0))
+        g.connect(hsv, out, SlotId(0), SlotId(0))
 
     sources = values + mixes  # gray-or-rgba producers for mix inputs
     extras = []  # add/remove churn pool (action 7)
@@ -119,8 +123,9 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
         n_edits = int(rng.integers(1, 4))
         with lg.write() as g:
             for _ in range(n_edits):
-                # NOTE: widening 9 → 10 (Pattern drags) remapped seeds too
-                action = rng.integers(10)
+                # NOTE: widening 9 → 10 (Pattern) and 10 → 11 (Hsv drags)
+                # each remapped seeds too
+                action = rng.integers(11)
                 if action == 0:
                     node = values[rng.integers(len(values))]
                     g.node_mut(node).node_type = NodeType.Value(float(rng.random()))
@@ -154,6 +159,14 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
                     # warp drag (displacement gather on the output path)
                     g.set_warp(warp, float(rng.uniform(0, 360)),
                                float(rng.uniform(0.0, 8.0)))
+                elif action == 10:
+                    # hsv grade drag on the output path (argument-only)
+                    g.set_hsv(
+                        hsv,
+                        float(rng.uniform(-360.0, 720.0)),
+                        float(rng.uniform(0.0, 2.0)),
+                        float(rng.uniform(0.5, 1.5)),
+                    )
                 elif action == 9:
                     # pattern drag: cells/mortar/bevel/seed are program
                     # arguments; the KIND draw sometimes reshapes the trace
