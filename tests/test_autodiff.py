@@ -156,3 +156,76 @@ def test_grad_through_warp_gather():
     fd = (float(lp) - float(lm)) / (2 * eps)
     assert np.isfinite(grad) and grad != 0.0
     assert abs(grad - fd) < 5e-2 * max(1.0, abs(fd)), (grad, fd)
+
+
+def test_grad_through_curvature_stencil():
+    """Gradients flow THROUGH a Curvature node's wrap-Laplacian: fitting an
+    upstream gain Value gets a finite-difference-matching gradient (the
+    rolls' vjp is a roll the other way; the clip passes interior values)."""
+    g = NodeGraph()
+    inp = g.add_node(Node(NodeType.InputGray("in")))
+    gain = g.add_node(Node(NodeType.Value(0.6)))
+    mix = g.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+    cv = g.add_node(Node(NodeType.Curvature(0.7)))
+    out = g.add_node(Node(NodeType.OutputGray("out")))
+    g.connect(inp, mix, SlotId(0), SlotId(0))
+    g.connect(gain, mix, SlotId(0), SlotId(1))
+    g.connect(mix, cv, SlotId(0), SlotId(0))
+    g.connect(cv, out, SlotId(0), SlotId(0))
+    prog = CompiledGraph(g, targets=[(out, SlotId(0))])
+    rng = np.random.default_rng(5)
+    prog.bind_input(inp, [rng.random((24, 24), dtype=np.float32)])
+
+    def loss(outs):
+        return jnp.mean((outs[(out, SlotId(0))][0] - 0.4) ** 2)
+
+    f = value_grad_fn(prog, loss, wrt=[gain])
+    v = 0.6
+    _, grads = f({int(gain): jnp.float32(v)})
+    grad = float(grads[int(gain)])
+    eps = 1e-3
+    lp, _ = f({int(gain): jnp.float32(v + eps)})
+    lm, _ = f({int(gain): jnp.float32(v - eps)})
+    fd = (float(lp) - float(lm)) / (2 * eps)
+    assert np.isfinite(grad) and grad != 0.0
+    assert abs(grad - fd) < 5e-2 * max(1.0, abs(fd)), (grad, fd)
+
+
+def test_grad_through_hsv_hexcone():
+    """Gradients flow THROUGH an Hsv node's select-tree transform: fitting
+    an upstream gain on the red channel gets a finite-difference-matching
+    gradient (selects are piecewise; the fit point sits off the sector
+    boundaries)."""
+    g = NodeGraph()
+    chans = [g.add_node(Node(NodeType.InputGray(n))) for n in ("r", "g", "b")]
+    gain = g.add_node(Node(NodeType.Value(0.55)))
+    rmix = g.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+    comb = g.add_node(Node(NodeType.CombineRgba()))
+    hs = g.add_node(Node(NodeType.Hsv(77.0, 0.8, 1.1)))
+    out = g.add_node(Node(NodeType.OutputRgba("out")))
+    g.connect(chans[0], rmix, SlotId(0), SlotId(0))
+    g.connect(gain, rmix, SlotId(0), SlotId(1))
+    g.connect(rmix, comb, SlotId(0), SlotId(0))
+    g.connect(chans[1], comb, SlotId(0), SlotId(1))
+    g.connect(chans[2], comb, SlotId(0), SlotId(2))
+    g.connect(hs, out, SlotId(0), SlotId(0))
+    g.connect(comb, hs, SlotId(0), SlotId(0))
+    prog = CompiledGraph(g, targets=[(out, SlotId(0))])
+    rng = np.random.default_rng(9)
+    for node in chans:
+        prog.bind_input(node, [rng.random((16, 16), dtype=np.float32)])
+
+    def loss(outs):
+        planes = outs[(out, SlotId(0))]
+        return jnp.mean(planes[0] ** 2) + jnp.mean(planes[1] ** 2)
+
+    f = value_grad_fn(prog, loss, wrt=[gain])
+    v = 0.55
+    _, grads = f({int(gain): jnp.float32(v)})
+    grad = float(grads[int(gain)])
+    eps = 1e-3
+    lp, _ = f({int(gain): jnp.float32(v + eps)})
+    lm, _ = f({int(gain): jnp.float32(v - eps)})
+    fd = (float(lp) - float(lm)) / (2 * eps)
+    assert np.isfinite(grad) and grad != 0.0
+    assert abs(grad - fd) < 5e-2 * max(1.0, abs(fd)), (grad, fd)
