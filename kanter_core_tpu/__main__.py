@@ -84,6 +84,19 @@ def _cmd_render(args) -> int:
                 node_id, _, value = spec.partition("=")
                 lg.set_curvature(NodeId(int(node_id)), float(value))
 
+            for spec in args.distance or []:
+                node_id, _, value = spec.partition("=")
+                lg.set_distance(NodeId(int(node_id)), float(value))
+
+            for spec in args.ambient_occlusion or []:
+                node_id, _, csv = spec.partition("=")
+                parts = [float(x) for x in csv.split(",")]
+                if len(parts) != 2:
+                    print("error: --ambient-occlusion NODE_ID=strength,radius",
+                          file=sys.stderr)
+                    return 2
+                lg.set_ambient_occlusion(NodeId(int(node_id)), *parts)
+
             for spec in args.hsv or []:
                 node_id, _, csv = spec.partition("=")
                 parts = [float(x) for x in csv.split(",")]
@@ -176,6 +189,15 @@ def main(argv=None) -> int:
     p_render.add_argument(
         "--hsv", action="append", metavar="NODE_ID=hue,saturation,value",
         help="override an Hsv node's adjust parameters (hue in degrees)",
+    )
+    p_render.add_argument(
+        "--ambient-occlusion", action="append", dest="ambient_occlusion",
+        metavar="NODE_ID=strength,radius",
+        help="override an AmbientOcclusion node's parameters",
+    )
+    p_render.add_argument(
+        "--distance", action="append", metavar="NODE_ID=max_dist",
+        help="override a Distance node's spread (pixels)",
     )
     p_render.add_argument(
         "--transform", action="append",

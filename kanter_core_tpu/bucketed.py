@@ -55,7 +55,7 @@ BUCKETABLE_KINDS = frozenset(
     {
         K.VALUE, K.IMAGE, K.INPUT_GRAY, K.INPUT_RGBA, K.EMBED,
         K.OUTPUT_GRAY, K.OUTPUT_RGBA, K.MIX, K.HEIGHT_TO_NORMAL, K.CURVATURE,
-        K.BLUR,
+        K.AMBIENT_OCCLUSION, K.BLUR,
         K.LEVELS, K.HSV, K.NOISE, K.PATTERN, K.GRADIENT_MAP, K.TRANSFORM,
         K.WARP,
         K.SEPARATE_RGBA, K.COMBINE_RGBA,
@@ -63,6 +63,27 @@ BUCKETABLE_KINDS = frozenset(
 )
 
 _LEAF_KINDS = frozenset({K.IMAGE, K.EMBED, K.INPUT_GRAY, K.INPUT_RGBA})
+
+
+def graph_is_bucketable(graph, preset_nodes=frozenset(),
+                        allow_graph: bool = False) -> bool:
+    """True if every (non-preset) node kind has a padded-trace twin —
+    the engine's `_try_bucketed` gate (mirrors `tiled.graph_is_tileable`).
+    Distance is the canonical exclusion: an iterative wrap propagation
+    cannot roll on a padded plane, so partitions containing it fall back
+    to the dense fused path."""
+
+    def ok(node, top: bool) -> bool:
+        kind = node.node_type.kind
+        if top and node.node_id in preset_nodes:
+            return True
+        if allow_graph and kind == K.GRAPH:
+            return all(ok(m, False) for m in node.node_type.payload.nodes)
+        if not top and kind == K.EMBED:
+            return False
+        return kind in BUCKETABLE_KINDS
+
+    return all(ok(n, True) for n in graph.nodes)
 
 
 def bucket_of(n: int, bucket: int) -> int:
@@ -384,6 +405,14 @@ class BucketedGraph:
                 parts.append(
                     (int(n.node_id), "blur", round(float(n.node_type.payload), 6))
                 )
+            elif k == K.AMBIENT_OCCLUSION:
+                # radius bakes the per-scale tap WEIGHTS (trace constants);
+                # same-shape index args could otherwise reuse a stale
+                # executable after a radius edit within one tap-count class
+                parts.append(
+                    (int(n.node_id), "ao",
+                     round(float(n.node_type.payload[1]), 6))
+                )
         return tuple(parts)
 
     def _marshal(self, infos) -> dict:
@@ -523,6 +552,20 @@ class BucketedGraph:
                 args[f"bh_{nid}"] = np.stack(
                     [_pad1((np.arange(tw) + t - r) % tw, pw_) for t in range(len(taps))]
                 )
+            elif kind == K.AMBIENT_OCCLUSION:
+                from .ops.ambient_occlusion import ao_taps
+
+                for i, taps in enumerate(ao_taps(node.node_type.payload[1])):
+                    r = (len(taps) - 1) // 2
+                    args[f"aobv{i}_{nid}"] = np.stack(
+                        [_pad1((np.arange(th) + t - r) % th, ph_)
+                         for t in range(len(taps))]
+                    )
+                    args[f"aobh{i}_{nid}"] = np.stack(
+                        [_pad1((np.arange(tw) + t - r) % tw, pw_)
+                         for t in range(len(taps))]
+                    )
+                args[f"ao_{nid}"] = np.float32(node.node_type.payload[0])
             elif kind == K.LEVELS:
                 args[f"lv_{nid}"] = np.asarray(node.node_type.payload, np.float32)
             elif kind == K.HSV:
@@ -777,6 +820,29 @@ class BucketedGraph:
                         out = out + nc_mul(acc[:, bh[t]], jnp.float32(w))
                     planes.append(out)
                 env[(node_id, SlotId(0))] = ImgVal(shard(planes))
+                continue
+
+            if kind == K.AMBIENT_OCCLUSION:
+                from .ops.ambient_occlusion import ao_combine, ao_taps
+                from .ops.exact_math import nc_mul
+
+                p = by_slot[SlotId(0)].planes[0]
+                blurred = []
+                # per scale: Blur's pre-gathered wrap formulation (pad
+                # entries repeat the last true coordinate — pad region is
+                # computed redundantly and cropped at commit)
+                for i, taps in enumerate(ao_taps(node.node_type.payload[1])):
+                    bv = args[f"aobv{i}_{nid}"]
+                    bh = args[f"aobh{i}_{nid}"]
+                    acc = jnp.zeros_like(p)
+                    for t, w in enumerate(taps):
+                        acc = acc + nc_mul(p[bv[t]], jnp.float32(w))
+                    out = jnp.zeros_like(acc)
+                    for t, w in enumerate(taps):
+                        out = out + nc_mul(acc[:, bh[t]], jnp.float32(w))
+                    blurred.append(out)
+                out = ao_combine(p, blurred, args[f"ao_{nid}"])
+                env[(node_id, SlotId(0))] = ImgVal(shard([out]))
                 continue
 
             if kind == K.LEVELS:

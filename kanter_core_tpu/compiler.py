@@ -428,6 +428,41 @@ class GraphCompiler:
             strength = args[f"{prefix}curv_{nid}"]
             return [(SlotId(0), ImgVal([curvature_plane(inp.planes[0], strength)]))]
 
+        if kind == K.DISTANCE:
+            from .ops.distance import distance_plane
+
+            inp = by_slot.get(SlotId(0))
+            if inp is None or inp.is_rgba:
+                raise TexProError(
+                    ErrorKind.INVALID_BUFFER_COUNT,
+                    "Distance needs a Gray input",
+                )
+            max_dist = args[f"{prefix}dist_{nid}"]
+            return [(
+                SlotId(0),
+                ImgVal([distance_plane(inp.planes[0], max_dist)]),
+            )]
+
+        if kind == K.AMBIENT_OCCLUSION:
+            from .ops.ambient_occlusion import ao_plane
+
+            inp = by_slot.get(SlotId(0))
+            if inp is None or inp.is_rgba:
+                raise TexProError(
+                    ErrorKind.INVALID_BUFFER_COUNT,
+                    "AmbientOcclusion needs a Gray input",
+                )
+            strength = args[f"{prefix}ao_{nid}"]
+            radius = node.node_type.payload[1]
+            return [(
+                SlotId(0),
+                ImgVal([ao_plane(
+                    inp.planes[0], strength, radius,
+                    pallas_ok=self.pallas_ok, mesh=self.mesh,
+                    mesh_axis=self.mesh_axis,
+                )]),
+            )]
+
         if kind == K.BLUR:
             from .ops.blur import blur_plane
 
@@ -792,6 +827,10 @@ class CompiledGraph:
                 )
             elif kind == K.CURVATURE:
                 bindings[f"{prefix}curv_{nid}"] = np.float32(node.node_type.payload)
+            elif kind == K.AMBIENT_OCCLUSION:
+                bindings[f"{prefix}ao_{nid}"] = np.float32(node.node_type.payload[0])
+            elif kind == K.DISTANCE:
+                bindings[f"{prefix}dist_{nid}"] = np.float32(node.node_type.payload)
             elif kind == K.HSV:
                 from .ops.hsv import hsv_bindings
 
@@ -913,6 +952,13 @@ def _normalize_values(graph_json):
                 node = dict(node, node_type={"Levels": zero_levels})
             elif "Curvature" in node_type:
                 node = dict(node, node_type={"Curvature": 0.0})
+            elif "AmbientOcclusion" in node_type:
+                # strength is an argument; radius bakes the taps and stays
+                node = dict(node, node_type={"AmbientOcclusion": dict(
+                    node_type["AmbientOcclusion"], strength=0.0,
+                )})
+            elif "Distance" in node_type:
+                node = dict(node, node_type={"Distance": 0.0})
             elif "Hsv" in node_type:
                 node = dict(node, node_type={"Hsv": {
                     "hue": 0.0, "saturation": 0.0, "value": 0.0,
@@ -1016,6 +1062,14 @@ def collect_value_bindings(node_graph: NodeGraph, prefix: str = "") -> dict:
             )
         elif kind == NodeTypeKind.CURVATURE:
             bindings[f"{prefix}curv_{int(node.node_id)}"] = np.float32(
+                node.node_type.payload
+            )
+        elif kind == NodeTypeKind.AMBIENT_OCCLUSION:
+            bindings[f"{prefix}ao_{int(node.node_id)}"] = np.float32(
+                node.node_type.payload[0]
+            )
+        elif kind == NodeTypeKind.DISTANCE:
+            bindings[f"{prefix}dist_{int(node.node_id)}"] = np.float32(
                 node.node_type.payload
             )
         elif kind == NodeTypeKind.HSV:

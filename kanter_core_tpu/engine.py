@@ -1173,6 +1173,10 @@ class Engine:
         preset_nodes = {nid for nid, _ in preset}
         if not tiled.graph_is_tileable(snapshot, preset_nodes, allow_graph=True):
             return False
+        if not bucketed.graph_is_bucketable(
+            snapshot, preset_nodes, allow_graph=True
+        ):
+            return False  # e.g. Distance: dense path owns the partition
         try:
             prep = self._flat_dispatch_inputs(
                 snapshot, boundary, embedded, input_datas, preset, device=True

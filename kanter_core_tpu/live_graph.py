@@ -571,6 +571,26 @@ class LiveGraph:
             self.node(node_id).cancel.store(True)
 
     @_journaled()
+    def set_distance(self, node_id: NodeId, max_dist: float) -> None:
+        """Change a Distance node's spread and dirty it (extension node;
+        spread drags re-run a cached program)."""
+        with self._lock:
+            self.node_graph.set_distance(node_id, max_dist)
+            self.set_state(node_id, NodeState.DIRTY)
+            self.node(node_id).cancel.store(True)
+
+    @_journaled()
+    def set_ambient_occlusion(self, node_id: NodeId, strength: float,
+                              radius: float) -> None:
+        """Change an AmbientOcclusion node's parameters and dirty it
+        (extension node; strength drags re-run a cached program, a radius
+        edit re-bakes the Gaussian taps)."""
+        with self._lock:
+            self.node_graph.set_ambient_occlusion(node_id, strength, radius)
+            self.set_state(node_id, NodeState.DIRTY)
+            self.node(node_id).cancel.store(True)
+
+    @_journaled()
     def set_curvature(self, node_id: NodeId, strength: float) -> None:
         """Change a Curvature node's strength and dirty it (extension node;
         slider drags re-run a cached program)."""

@@ -229,10 +229,11 @@ def stone_material_graph(
     by ITS OWN low-frequency field through `Warp`, which folds smooth
     blobs into crack-like creases; a high-gamma `Levels` deepens the
     creases into fissures. Albedo is a cool gray-stone `GradientMap`, AO
-    is the `1 − k·(blur(h) − h)` cavity construction shared with
-    `ambient_occlusion_graph`, and roughness ADDs cavity dirt on top of a
-    base via Mix (cavities are rougher). All scalars are program
-    arguments; `size`/octaves/stop count shape the trace.
+    is the multi-scale `AmbientOcclusion` node (octave sigmas at
+    `ao_sigma`·(1,2,4)/4), and roughness ADDs the occlusion (1 − ao) on
+    top of a base via Mix (cavities are rougher). All scalars except the
+    AO radius are program arguments; `size`/octaves/stop count/AO taps
+    shape the trace.
     """
     graph = NodeGraph()
     base = graph.add_node(Node(NodeType.Noise(size, size, 6, 5, seed)))
@@ -271,17 +272,19 @@ def stone_material_graph(
     normal_out = graph.add_node(Node(NodeType.OutputRgba("normal")))
     graph.connect(h2n, normal_out, SlotId(0), SlotId(0))
 
-    # ao = 1 - 0.8*(blur(h) - h); roughness = 0.55 + 0.5*(1 - ao)
-    ao_blur = graph.add_node(Node(NodeType.Blur(ao_sigma)))
-    graph.connect(height, ao_blur, SlotId(0), SlotId(0))
-    cavity = _mix(graph, MixType.SUBTRACT, ao_blur, height)
-    scaled = _mix(graph, MixType.MULTIPLY, cavity, _value(graph, 0.8))
-    ao = _mix(graph, MixType.SUBTRACT, _value(graph, 1.0), scaled)
+    # multi-scale AO node (sigmas radius·(1,2,4); radius = ao_sigma/4 puts
+    # the largest scale at the template's historical single-scale sigma);
+    # roughness = 0.55 + 0.5*(1 - ao) — cavities are rougher
+    ao = graph.add_node(
+        Node(NodeType.AmbientOcclusion(2.4, ao_sigma / 4.0))
+    )
+    graph.connect(height, ao, SlotId(0), SlotId(0))
     ao_out = graph.add_node(Node(NodeType.OutputGray("ao")))
     graph.connect(ao, ao_out, SlotId(0), SlotId(0))
+    occ = _mix(graph, MixType.SUBTRACT, _value(graph, 1.0), ao)
     rough = _mix(
         graph, MixType.ADD,
-        _mix(graph, MixType.MULTIPLY, scaled, _value(graph, 0.5)),
+        _mix(graph, MixType.MULTIPLY, occ, _value(graph, 0.5)),
         _value(graph, 0.55),
     )
     rough_out = graph.add_node(Node(NodeType.OutputGray("roughness")))
@@ -396,6 +399,8 @@ def brick_material_graph(
     brick_relief: float = 0.55,
     tint_spread: float = 0.5,
     wear: float = 1.0,
+    damp: float = 0.30,
+    damp_spread: float | None = None,
 ) -> NodeGraph:
     """Fully procedural brick-wall material: NO inputs, five outputs
     (`albedo`/`normal` RGBA, `height`/`roughness`/`ao` gray).
@@ -424,7 +429,16 @@ def brick_material_graph(
       bevel shoulders light up) through a Levels gate makes a wear mask
       that polishes roughness down (`−0.35·wear`) and lightens the albedo
       coordinate (`+0.25·wear`) exactly at brick edges — the canonical
-      curvature-map workflow, in-graph.
+      curvature-map workflow, in-graph;
+    - damp apron: the `Distance` node's showcase — mortar moisture creeps
+      into the bricks. Seeds are the mortar field (`1 − mask > 0.5`), the
+      jump-flooded fade `apron` is masked to brick faces and MULTIPLIES
+      the final albedo by `1 − damp·apron·mask` (post-GradientMap, so it
+      can only darken — the brick gradient is not luminance-monotone, a
+      coordinate shift could brighten; Mix re-forces alpha to 1): a damp
+      ring hugging every mortar line, spread `damp_spread` px (default
+      `max(4, size/24)` — a drag-able program argument, like every other
+      knob).
 
     Every scalar (mortar, bevel, relief, spread, cell counts, seed) rides
     as a PROGRAM ARGUMENT — knob drags re-run cached executables; only
@@ -478,6 +492,17 @@ def brick_material_graph(
         graph, MixType.ADD, field,
         _mix(graph, MixType.MULTIPLY, wear_mask, _value(graph, 0.25)),
     )
+    # damp apron (Distance showcase): mortar seeds → jump-flooded fade →
+    # masked to brick faces → multiplicative darkening factor for albedo
+    if damp_spread is None:
+        damp_spread = max(4.0, size / 24.0)
+    apron = graph.add_node(Node(NodeType.Distance(damp_spread)))
+    graph.connect(inv_mask, apron, SlotId(0), SlotId(0))
+    damp_ring = _mix(graph, MixType.MULTIPLY, apron, pat, right_slot=MASK)
+    damp_factor = _mix(
+        graph, MixType.SUBTRACT, _value(graph, 1.0),
+        _mix(graph, MixType.MULTIPLY, damp_ring, _value(graph, damp)),
+    )
     albedo = graph.add_node(
         Node(
             NodeType.GradientMap(
@@ -492,8 +517,10 @@ def brick_material_graph(
         )
     )
     graph.connect(field, albedo, SlotId(0), SlotId(0))
+    # rgba LEFT so the gray factor coerces rgba-wards; alpha re-forced to 1
+    damp_albedo = _mix(graph, MixType.MULTIPLY, albedo, damp_factor)
     albedo_out = graph.add_node(Node(NodeType.OutputRgba("albedo")))
-    graph.connect(albedo, albedo_out, SlotId(0), SlotId(0))
+    graph.connect(damp_albedo, albedo_out, SlotId(0), SlotId(0))
 
     # roughness = 0.95 - 0.45*mask + 0.2*cells*mask - 0.35*wear
     # (worn edges polish smooth)

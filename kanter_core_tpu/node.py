@@ -222,6 +222,8 @@ class NodeTypeKind(enum.Enum):
     PATTERN = "Pattern"  # TPU-native extension: no reference counterpart
     CURVATURE = "Curvature"  # TPU-native extension: no reference counterpart
     HSV = "Hsv"  # TPU-native extension: no reference counterpart
+    AMBIENT_OCCLUSION = "AmbientOcclusion"  # TPU-native extension: no reference counterpart
+    DISTANCE = "Distance"  # TPU-native extension: no reference counterpart
 
 
 class NodeType:
@@ -360,6 +362,37 @@ class NodeType:
         return NodeType(NodeTypeKind.CURVATURE, float(strength))
 
     @staticmethod
+    def Distance(max_dist: float = 16.0) -> "NodeType":
+        """Normalized toroidal distance fade from a gray seed mask
+        (extension node; see ops/distance.py): pixels where `mask > 0.5`
+        seed a jump-flooded distance field, output is
+        `clip(1 − d/max_dist, 0, 1)`. `max_dist` (pixels) is a PROGRAM
+        ARGUMENT in every traced consumer (spread drags re-run cached
+        executables)."""
+        if not (float(max_dist) > 0.0):
+            raise TexProError(
+                ErrorKind.GENERIC, "Distance needs max_dist > 0"
+            )
+        return NodeType(NodeTypeKind.DISTANCE, float(max_dist))
+
+    @staticmethod
+    def AmbientOcclusion(strength: float = 2.0,
+                         radius: float = 2.0) -> "NodeType":
+        """Multi-scale heightmap AO mask (extension node; see
+        ops/ambient_occlusion.py): pits and crevices darken via blurred
+        height at sigmas radius·(1,2,4) with toroidal wrap. `strength` is
+        a PROGRAM ARGUMENT in every traced consumer (slider drags re-run
+        cached executables); `radius` bakes the Gaussian taps into the
+        trace like Blur's sigma (a radius edit refingerprints)."""
+        if not (float(radius) > 0.0):
+            raise TexProError(
+                ErrorKind.GENERIC, "AmbientOcclusion needs radius > 0"
+            )
+        return NodeType(
+            NodeTypeKind.AMBIENT_OCCLUSION, (float(strength), float(radius))
+        )
+
+    @staticmethod
     def Hsv(hue: float = 0.0, saturation: float = 1.0,
             value: float = 1.0) -> "NodeType":
         """Hue-rotate / saturation-scale / value-scale color adjust
@@ -491,9 +524,14 @@ class NodeType:
             return {"Blur": self.payload}
         if k == NodeTypeKind.CURVATURE:
             return {"Curvature": self.payload}
+        if k == NodeTypeKind.DISTANCE:
+            return {"Distance": self.payload}
         if k == NodeTypeKind.HSV:
             p = self.payload
             return {"Hsv": {"hue": p[0], "saturation": p[1], "value": p[2]}}
+        if k == NodeTypeKind.AMBIENT_OCCLUSION:
+            p = self.payload
+            return {"AmbientOcclusion": {"strength": p[0], "radius": p[1]}}
         if k == NodeTypeKind.LEVELS:
             p = self.payload
             return {"Levels": {"in_lo": p[0], "in_hi": p[1], "gamma": p[2],
@@ -537,7 +575,8 @@ class NodeType:
             from .ops.embed import EmbeddedSlotDataId
 
             return NodeType(kind, EmbeddedSlotDataId(payload))
-        if kind in (NodeTypeKind.VALUE, NodeTypeKind.BLUR, NodeTypeKind.CURVATURE):
+        if kind in (NodeTypeKind.VALUE, NodeTypeKind.BLUR, NodeTypeKind.CURVATURE,
+                    NodeTypeKind.DISTANCE):
             return NodeType(kind, float(payload))
         if kind == NodeTypeKind.LEVELS:
             return NodeType.Levels(
@@ -567,6 +606,10 @@ class NodeType:
         if kind == NodeTypeKind.HSV:
             return NodeType.Hsv(
                 payload["hue"], payload["saturation"], payload["value"]
+            )
+        if kind == NodeTypeKind.AMBIENT_OCCLUSION:
+            return NodeType.AmbientOcclusion(
+                payload["strength"], payload["radius"]
             )
         return NodeType(kind, payload)
 
@@ -657,7 +700,8 @@ class Node:
                 Slot("left", SlotId(0), SlotType.GRAY_OR_RGBA),
                 Slot("right", SlotId(1), SlotType.GRAY_OR_RGBA),
             ]
-        if k in (K.HEIGHT_TO_NORMAL, K.GRADIENT_MAP, K.CURVATURE):
+        if k in (K.HEIGHT_TO_NORMAL, K.GRADIENT_MAP, K.CURVATURE,
+                 K.AMBIENT_OCCLUSION, K.DISTANCE):
             return [Slot("input", SlotId(0), SlotType.GRAY)]
         if k in (K.BLUR, K.LEVELS, K.TRANSFORM, K.HSV):
             return [Slot("input", SlotId(0), SlotType.GRAY_OR_RGBA)]
@@ -692,7 +736,8 @@ class Node:
             return [Slot("output", SlotId(0), SlotType.RGBA)]
         if k == K.WRITE:
             return []  # sink node; see input_slots note
-        if k in (K.VALUE, K.NOISE, K.CURVATURE):
+        if k in (K.VALUE, K.NOISE, K.CURVATURE, K.AMBIENT_OCCLUSION,
+                 K.DISTANCE):
             return [Slot("output", SlotId(0), SlotType.GRAY)]
         if k == K.PATTERN:
             return [

@@ -90,6 +90,19 @@ class NodeGraph:
             raise TexProError(ErrorKind.INVALID_NODE_ID)
         node.node_type = NodeType.Hsv(hue, saturation, value)
 
+    def set_distance(self, node_id: NodeId, max_dist: float) -> None:
+        node = self._node_with_id_mut(node_id)
+        if node is None or node.node_type.kind != NodeTypeKind.DISTANCE:
+            raise TexProError(ErrorKind.INVALID_NODE_ID)
+        node.node_type = NodeType.Distance(max_dist)
+
+    def set_ambient_occlusion(self, node_id: NodeId, strength: float,
+                              radius: float) -> None:
+        node = self._node_with_id_mut(node_id)
+        if node is None or node.node_type.kind != NodeTypeKind.AMBIENT_OCCLUSION:
+            raise TexProError(ErrorKind.INVALID_NODE_ID)
+        node.node_type = NodeType.AmbientOcclusion(strength, radius)
+
     def set_curvature(self, node_id: NodeId, strength: float) -> None:
         node = self._node_with_id_mut(node_id)
         if node is None or node.node_type.kind != NodeTypeKind.CURVATURE:

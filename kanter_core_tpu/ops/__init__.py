@@ -17,8 +17,10 @@ from ..errors import ErrorKind, TexProError
 from ..node import NodeTypeKind
 from ..slot_data import SlotData
 from . import (
+    ambient_occlusion,
     blur,
     curvature,
+    distance,
     embed,
     gradient,
     graph_op,
@@ -77,6 +79,10 @@ def process_node_internal(node, slot_datas, embedded_slot_datas, input_slot_data
         output = height_to_normal.process(shutdown, slot_datas, node)
     elif kind == K.CURVATURE:
         output = curvature.process(slot_datas, node)
+    elif kind == K.AMBIENT_OCCLUSION:
+        output = ambient_occlusion.process(slot_datas, node, mesh=tex_pro.mesh)
+    elif kind == K.DISTANCE:
+        output = distance.process(slot_datas, node)
     elif kind == K.HSV:
         output = hsv.process(slot_datas, node)
     elif kind == K.BLUR:

@@ -1,0 +1,168 @@
+"""Distance node: gray seed mask → gray normalized distance fade
+(extension node — the reference's 13 node types have no distance field;
+it is the classic mask-spread op of texture authoring: mortar spread,
+rust creep from cracks, gradient aprons around pattern cells).
+
+Semantics: pixels where `mask > 0.5` are SEEDS. Every pixel gets the
+TOROIDAL distance `d` to its nearest seed (wrap addressing like
+HeightToNormal's `(x-1, y-1)` sampling, `height_to_normal.rs:55-56`, so
+tileable masks yield tileable fields), and the output is the fade
+
+    out = clip(1 − d / max_dist, 0, 1)
+
+— 1.0 on seeds, falling linearly to 0 at `max_dist` pixels. A seedless
+mask produces all-zero output (the sentinel distance saturates the fade).
+
+Algorithm — Jump Flooding (JFA), the GPU-classic O(N log N) nearest-seed
+propagation and the TPU-natural choice: ceil(log2(max(H, W))) passes,
+each a NINE-offset gather/compare over two i32 coordinate planes. Every
+pass is data-independent elementwise compare+select over rolled copies —
+XLA fuses each pass into a streaming sweep, there is no data-dependent
+control flow, and the pass count is static in the trace (Python loop:
+shapes are static per program, matching the engine's size-keyed
+fingerprints).
+
+Determinism design (CLAUDE.md discipline):
+
+- the ENTIRE propagation is INTEGER: seed coordinates ride as i32 planes,
+  toroidal deltas and squared distances are i32 adds/mults — exact on
+  every backend by construction; ties resolve by strict `<` compare in a
+  fixed offset order (first-seen wins), which is deterministic because
+  the candidate order is static;
+- JFA is an approximation in adversarial layouts (a pixel can miss its
+  true nearest seed when closer seeds "shadow" it mid-pass) but a
+  DETERMINISTIC one: the same mask gives the same field on every backend,
+  which is the engine contract; the approximation error is bounded and
+  rare (<0.3% of pixels off by a small factor in the literature), and the
+  fuzz/battery rows assert bit parity, not Euclidean optimality;
+- the only f32 ops are the final `sqrt` (corrected_sqrt off-CPU — TPU's
+  rsqrt-based sqrt is ~1 ulp loose), the division by the runtime
+  `max_dist` argument (corrected_div off-CPU; never a constant divisor —
+  XLA:CPU rewrites those, CLAUDE.md), the subtract, and the clip — all
+  single correctly rounded ops given identical inputs;
+- i32→f32 conversion of the squared distance is correctly rounded on
+  every backend (values ≤ (W/2)²+(H/2)² stay well inside i32).
+
+`max_dist` is a TRACED ARGUMENT (`dist_<id>`) — a spread drag re-runs one
+cached executable; the threshold is fixed at 0.5 (mask authorship owns
+the cut, like Pattern's bevel owns its ramp).
+
+Consumers: the op is GLOBAL (any pixel may be nearest to any seed), so
+the tiled twin hoists the full input height per band like Transform
+(documented band-dense cost) and the bucketed gate excludes it (a padded
+plane cannot wrap-roll; partitions containing Distance fall back to the
+dense fused path, asserted by tests).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+from ..ids import SlotId
+from ..slot_data import SlotData
+from ..slot_image import SlotImage
+from ..transient_buffer import plane_from_device
+from .common import slot_data_with_name
+
+#: squared-distance sentinel for "no seed found yet" — larger than any
+#: toroidal d² (W,H ≤ 30k ⇒ d² ≤ 2·15000² < 2³⁰) and addition-safe
+_FAR = np.int32(2**30)
+
+
+def _jfa_steps(h: int, w: int) -> list:
+    """Power-of-two step ladder: max(H,W)/2 … 1 (classic JFA), plus a
+    final 1-step "JFA+1" refinement pass that removes most of the
+    vanilla algorithm's rare misses at one extra sweep's cost."""
+    n = max(h, w)
+    if n <= 1:
+        return [1]
+    steps = [2 ** p for p in range(int(math.ceil(math.log2(n))) - 1, -1, -1)]
+    return steps + [1]
+
+
+def distance_plane(mask, max_dist):
+    """Traceable normalized-distance fade of one `[H, W]` gray plane;
+    `max_dist` is a traced f32 scalar (pixels). See module docstring."""
+    import jax.numpy as jnp
+
+    from .exact_math import corrected_div, corrected_sqrt
+
+    from jax import lax
+
+    h, w = mask.shape
+    if mask.dtype != jnp.float32:
+        # bf16 pipeline (DESIGN.md §9): compute in f32, fresh per consumer
+        mask = mask.astype(jnp.float32)
+    # barrier the operand: the first JFA pass rolls the seed planes eight
+    # ways, and XLA:CPU's simplifier duplicates producers into every
+    # rolled tap of a composed chain (the blur's measured >100 s compile
+    # class — ops/blur.py). Runtime bits are unchanged.
+    mask = lax.optimization_barrier(mask)
+
+    rows = jnp.arange(h, dtype=jnp.int32)[:, None] * jnp.ones((1, w), jnp.int32)
+    cols = jnp.ones((h, 1), jnp.int32) * jnp.arange(w, dtype=jnp.int32)[None, :]
+    seed = mask > jnp.float32(0.5)
+    # nearest-seed coordinate planes; non-seeds start at the sentinel
+    far = jnp.int32(_FAR)
+    best_y = jnp.where(seed, rows, far)
+    best_x = jnp.where(seed, cols, far)
+
+    half_h, half_w = jnp.int32(h // 2), jnp.int32(w // 2)
+    hh, ww = jnp.int32(h), jnp.int32(w)
+
+    def d2_of(cand_y, cand_x):
+        # toroidal |Δ| per axis (i32-exact); sentinel coords saturate
+        dy = jnp.abs(rows - cand_y)
+        dy = jnp.where(dy > half_h, hh - dy, dy)
+        dx = jnp.abs(cols - cand_x)
+        dx = jnp.where(dx > half_w, ww - dx, dx)
+        valid = cand_y < far
+        dy = jnp.where(valid, dy, jnp.int32(0))
+        dx = jnp.where(valid, dx, jnp.int32(0))
+        return jnp.where(valid, dy * dy + dx * dx, far)
+
+    best_d2 = d2_of(best_y, best_x)
+    for k in _jfa_steps(h, w):
+        for oy in (-k, 0, k):
+            for ox in (-k, 0, k):
+                if oy == 0 and ox == 0:
+                    continue
+                # toroidal roll; degenerate/oversized axes wrap to self
+                cy, cx = best_y, best_x
+                if h > 1 and oy % h != 0:
+                    cy = jnp.roll(cy, oy, axis=0)
+                    cx = jnp.roll(cx, oy, axis=0)
+                if w > 1 and ox % w != 0:
+                    cy = jnp.roll(cy, ox, axis=1)
+                    cx = jnp.roll(cx, ox, axis=1)
+                d2 = d2_of(cy, cx)
+                better = d2 < best_d2  # strict: first-seen wins ties
+                best_y = jnp.where(better, cy, best_y)
+                best_x = jnp.where(better, cx, best_x)
+                best_d2 = jnp.where(better, d2, best_d2)
+
+    dist = corrected_sqrt(best_d2.astype(jnp.float32))
+    one = jnp.float32(1.0)
+    fade = one - corrected_div(dist, jnp.maximum(max_dist, jnp.float32(1e-6)))
+    return jnp.clip(fade, 0.0, 1.0)
+
+
+@functools.cache
+def _kernel():
+    import jax
+
+    return jax.jit(lambda max_dist, p: distance_plane(p, max_dist))
+
+
+def process(slot_datas, node):
+    slot_data = slot_data_with_name(slot_datas, node, "input")
+    if slot_data is None:
+        return []
+    if slot_data.image.is_rgba():
+        return []  # gray only: a distance field of an RGBA image is ill-defined
+    max_dist = np.float32(node.node_type.payload)
+    out = _kernel()(max_dist, slot_data.image.planes[0].data())
+    return [SlotData(node.node_id, SlotId(0), SlotImage([plane_from_device(out)]))]

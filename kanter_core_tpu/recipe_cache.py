@@ -230,6 +230,14 @@ def node_recipe(node, input_recipes: list, live_graph) -> Optional[str]:
         import struct
 
         return _h(base, struct.pack("<f", node.node_type.payload), input_recipes)
+    if kind == K.AMBIENT_OCCLUSION:
+        import struct
+
+        return _h(base, struct.pack("<2f", *node.node_type.payload), input_recipes)
+    if kind == K.DISTANCE:
+        import struct
+
+        return _h(base, struct.pack("<f", node.node_type.payload), input_recipes)
     if kind == K.HSV:
         import struct
 
@@ -267,7 +275,12 @@ def node_recipe(node, input_recipes: list, live_graph) -> Optional[str]:
         import struct
 
         return _h(base, struct.pack("<2f", *node.node_type.payload), input_recipes)
-    # HeightToNormal, SeparateRgba, CombineRgba, Output*
-    if kind in (K.OUTPUT_GRAY, K.OUTPUT_RGBA):
+    # the payload-LESS kinds: recipe is structure + inputs only
+    if kind in (K.OUTPUT_GRAY, K.OUTPUT_RGBA, K.HEIGHT_TO_NORMAL,
+                K.SEPARATE_RGBA, K.COMBINE_RGBA):
         return _h(base, input_recipes)
-    return _h(base, input_recipes)
+    # Unknown/new kind: its payload is NOT hashed above yet — refuse to
+    # cache rather than serve stale results after a param edit (the
+    # seed-11 soak caught AmbientOcclusion/Distance falling through a
+    # payload-dropping default here: MISMATCH at iter 2, 256 bytes).
+    return None

@@ -68,6 +68,8 @@ TILEABLE_KINDS = frozenset(
         K.MIX,
         K.HEIGHT_TO_NORMAL,
         K.CURVATURE,
+        K.AMBIENT_OCCLUSION,
+        K.DISTANCE,
         K.BLUR,
         K.LEVELS,
         K.HSV,
@@ -274,6 +276,16 @@ def flatten_graph_nodes(graph, bindings, preset=None):
             elif kind == K.CURVATURE:
                 # strength edits keep the fingerprint too — bindings win
                 extra_bindings[f"curv_{int(clone.node_id)}"] = np.float32(
+                    n.node_type.payload
+                )
+            elif kind == K.AMBIENT_OCCLUSION:
+                # strength edits keep the fingerprint (radius refingerprints)
+                extra_bindings[f"ao_{int(clone.node_id)}"] = np.float32(
+                    n.node_type.payload[0]
+                )
+            elif kind == K.DISTANCE:
+                # max_dist edits keep the fingerprint too — bindings win
+                extra_bindings[f"dist_{int(clone.node_id)}"] = np.float32(
                     n.node_type.payload
                 )
             elif kind == K.HSV:
@@ -526,6 +538,22 @@ def infer_sizes(graph, bindings, preset=None) -> dict:
                 )
             info.out_planes[SlotId(0)] = 1
             info.out_size = info.working
+        elif kind == K.AMBIENT_OCCLUSION:
+            if not info.inputs or in_planes(0) != 1:
+                raise TexProError(
+                    ErrorKind.INVALID_BUFFER_COUNT,
+                    "AmbientOcclusion needs a Gray input",
+                )
+            info.out_planes[SlotId(0)] = 1
+            info.out_size = info.working
+        elif kind == K.DISTANCE:
+            if not info.inputs or in_planes(0) != 1:
+                raise TexProError(
+                    ErrorKind.INVALID_BUFFER_COUNT,
+                    "Distance needs a Gray input",
+                )
+            info.out_planes[SlotId(0)] = 1
+            info.out_size = info.working
         elif kind == K.BLUR:
             if not info.inputs:
                 raise TexProError(ErrorKind.INVALID_BUFFER_COUNT, "Blur needs an input")
@@ -621,6 +649,18 @@ def _expand_rows(info: _Info, rows: np.ndarray) -> np.ndarray:
         h = info.out_size.height
         offs = np.arange(-radius, radius + 1)
         return np.unique((rows[:, None] + offs[None, :]).ravel() % h)
+    if kind == K.AMBIENT_OCCLUSION:
+        from .ops.ambient_occlusion import ao_max_radius
+
+        radius = ao_max_radius(info.node.node_type.payload[1])
+        h = info.out_size.height
+        offs = np.arange(-radius, radius + 1)
+        return np.unique((rows[:, None] + offs[None, :]).ravel() % h)
+    if kind == K.DISTANCE:
+        # jump flooding is global: any pixel may be nearest to any seed,
+        # so the band hoists the FULL input height (band-dense like
+        # Transform — documented in the op's module docstring).
+        return np.arange(info.working.height)
     if kind == K.TRANSFORM:
         # affine wrap sampling is global: any output row may gather any
         # input row (rotation), so the band hoists the FULL input height.
@@ -898,6 +938,29 @@ class TiledEvaluator:
                         for t in range(len(taps))
                     ]
                 )  # [taps, out_rows]
+            elif kind == K.AMBIENT_OCCLUSION:
+                from .ops.ambient_occlusion import ao_taps
+
+                h = info.out_size.height
+                for i, taps in enumerate(ao_taps(node.node_type.payload[1])):
+                    r = (len(taps) - 1) // 2
+                    args[f"aob{i}_{nid}"] = np.stack(
+                        [
+                            _positions(need, (rows + t - r) % h)
+                            for t in range(len(taps))
+                        ]
+                    )  # [taps_i, out_rows]
+                args[f"aos_{nid}"] = _positions(need, rows)
+                args[f"aov_{nid}"] = np.float32(
+                    self.bindings.get(f"ao_{nid}", node.node_type.payload[0])
+                )
+            elif kind == K.DISTANCE:
+                # input hoisted to the FULL working height (`_expand_rows`):
+                # compute the whole field, then gather the band's rows
+                args[f"dsr_{nid}"] = _positions(need, rows)
+                args[f"dsv_{nid}"] = np.float32(
+                    self.bindings.get(f"dist_{nid}", node.node_type.payload)
+                )
             elif kind == K.LEVELS:
                 args[f"lv_{nid}"] = np.asarray(
                     self.bindings.get(f"levels_{nid}", node.node_type.payload),
@@ -1120,6 +1183,39 @@ class TiledEvaluator:
                         acc = acc + nc_mul(p[bidx[t]], jnp.float32(w))
                     planes.append(_blur_axis0(acc.T, taps).T)
                 env[(node_id, SlotId(0))] = ImgVal(planes)
+                continue
+
+            if kind == K.AMBIENT_OCCLUSION:
+                from .ops.ambient_occlusion import ao_combine, ao_taps
+                from .ops.blur import _blur_axis0
+                from .ops.exact_math import nc_mul
+
+                band = by_slot[SlotId(0)].planes[0]  # covers `need` rows
+                blurred = []
+                # per scale: Blur's gather-formulated vertical pass (bit-
+                # equal to the dense rolls by the K.BLUR contract above),
+                # then the full-wrap horizontal pass — bands are full-width
+                for i, taps in enumerate(ao_taps(node.node_type.payload[1])):
+                    bidx = args[f"aob{i}_{nid}"]
+                    acc = jnp.zeros((n_rows, band.shape[1]), jnp.float32)
+                    for t, w in enumerate(taps):
+                        acc = acc + nc_mul(band[bidx[t]], jnp.float32(w))
+                    blurred.append(_blur_axis0(acc.T, taps).T)
+                out = ao_combine(band[args[f"aos_{nid}"]], blurred,
+                                 args[f"aov_{nid}"])
+                env[(node_id, SlotId(0))] = ImgVal([out])
+                continue
+
+            if kind == K.DISTANCE:
+                from .ops.distance import distance_plane
+
+                # `need` is the full height — the band input IS the whole
+                # plane; run the full propagation and slice the band rows
+                # (recomputed per band: band-dense, like Transform)
+                full = distance_plane(
+                    by_slot[SlotId(0)].planes[0], args[f"dsv_{nid}"]
+                )
+                env[(node_id, SlotId(0))] = ImgVal([full[args[f"dsr_{nid}"]]])
                 continue
 
             if kind == K.LEVELS:

@@ -100,12 +100,16 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
         # final grade stage (NOTE: adding this node remapped every seed's
         # sequence again — see VALIDATION.md's HSV REMAP entry)
         hsv = g.add_node(Node(NodeType.Hsv(10.0, 1.1, 1.0)))
+        # multi-scale occlusion of the groove mask (NOTE: adding this node
+        # remapped every seed's sequence — see VALIDATION.md's AO REMAP)
+        ao = g.add_node(Node(NodeType.AmbientOcclusion(2.0, 1.0)))
         out = g.add_node(Node(NodeType.OutputRgba("out")))
         # initial wiring (blur → warp between combine and output; the warp
         # strength comes from a gray Value so the gather stage soaks too)
         g.connect(values[0], mixes[0], SlotId(0), SlotId(0))
         g.connect(values[1], mixes[0], SlotId(0), SlotId(1))
-        g.connect(pattern, mixes[1], SlotId(0), SlotId(0))  # groove mask
+        g.connect(pattern, ao, SlotId(0), SlotId(0))  # groove mask → AO
+        g.connect(ao, mixes[1], SlotId(0), SlotId(0))
         g.connect(pattern, mixes[2], SlotId(1), SlotId(1))  # per-cell IDs
         g.connect(mixes[0], comb, SlotId(0), SlotId(0))
         g.connect(mixes[1], comb, SlotId(0), SlotId(1))
@@ -123,9 +127,9 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
         n_edits = int(rng.integers(1, 4))
         with lg.write() as g:
             for _ in range(n_edits):
-                # NOTE: widening 9 → 10 (Pattern) and 10 → 11 (Hsv drags)
-                # each remapped seeds too
-                action = rng.integers(11)
+                # NOTE: widening 9 → 10 (Pattern), 10 → 11 (Hsv drags),
+                # and 11 → 12 (AO drags) each remapped seeds too
+                action = rng.integers(12)
                 if action == 0:
                     node = values[rng.integers(len(values))]
                     g.node_mut(node).node_type = NodeType.Value(float(rng.random()))
@@ -166,6 +170,14 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
                         float(rng.uniform(-360.0, 720.0)),
                         float(rng.uniform(0.0, 2.0)),
                         float(rng.uniform(0.5, 1.5)),
+                    )
+                elif action == 11:
+                    # AO drag: strength is an argument; the occasional
+                    # radius draw re-bakes the taps (refingerprints)
+                    g.set_ambient_occlusion(
+                        ao,
+                        float(rng.uniform(0.5, 6.0)),
+                        float(rng.choice([1.0, 1.0, 1.0, 0.7, 1.6])),
                     )
                 elif action == 9:
                     # pattern drag: cells/mortar/bevel/seed are program

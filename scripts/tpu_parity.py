@@ -348,6 +348,34 @@ def _determinism_kernels():
     # the odd-extent wrap rolls)
     cases.append(("curvature", _curvature_row, 0))
 
+    def _ao_row():
+        from kanter_core_tpu.ops.ambient_occlusion import ao_plane
+
+        # pallas_ok=True on purpose: off-chip the width (211, not
+        # lane-aligned) routes to the jnp formulation; the dense chip run
+        # exercises whatever dispatch a production 211-wide canvas gets
+        return jax.jit(
+            lambda s, p: ao_plane(p, s, 1.4)
+        )(np.float32(3.1), src)
+
+    # three wrap blurs (nc_mul tap sums — Blur's proven-exact class) +
+    # exact subtract/max/clip combine with nc_mul-guarded products and
+    # constant-MULTIPLY scale weights — 0 diffs expected
+    cases.append(("ambient_occlusion", _ao_row, 0))
+
+    def _distance_row():
+        from kanter_core_tpu.ops.distance import distance_plane
+
+        mask = (src > 0.82).astype(np.float32)  # sparse seed set
+        return jax.jit(
+            lambda m, d: distance_plane(m, d)
+        )(mask, np.float32(9.0))
+
+    # jump flooding is INTEGER end to end (i32 coords/squared distances,
+    # strict-< ties in static offset order); the only f32 ops are the
+    # final corrected_sqrt / corrected_div / sub / clip — 0 diffs expected
+    cases.append(("distance_jfa", _distance_row, 0))
+
     def _gradient_row():
         from kanter_core_tpu.ops.gradient import gradient_bindings, gradient_planes
 

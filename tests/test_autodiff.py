@@ -191,6 +191,40 @@ def test_grad_through_curvature_stencil():
     assert abs(grad - fd) < 5e-2 * max(1.0, abs(fd)), (grad, fd)
 
 
+def test_grad_through_ambient_occlusion():
+    """Gradients flow THROUGH an AmbientOcclusion node's blur/max/clip
+    chain: fitting an upstream gain Value gets a finite-difference-matching
+    gradient (the blurs' vjp is the mirrored blur; max(0,·) and clip are
+    piecewise with active interior regions on a random heightfield)."""
+    g = NodeGraph()
+    inp = g.add_node(Node(NodeType.InputGray("in")))
+    gain = g.add_node(Node(NodeType.Value(0.6)))
+    mix = g.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+    ao = g.add_node(Node(NodeType.AmbientOcclusion(3.0, 1.0)))
+    out = g.add_node(Node(NodeType.OutputGray("out")))
+    g.connect(inp, mix, SlotId(0), SlotId(0))
+    g.connect(gain, mix, SlotId(0), SlotId(1))
+    g.connect(mix, ao, SlotId(0), SlotId(0))
+    g.connect(ao, out, SlotId(0), SlotId(0))
+    prog = CompiledGraph(g, targets=[(out, SlotId(0))])
+    rng = np.random.default_rng(9)
+    prog.bind_input(inp, [rng.random((24, 24), dtype=np.float32)])
+
+    def loss(outs):
+        return jnp.mean((outs[(out, SlotId(0))][0] - 0.4) ** 2)
+
+    f = value_grad_fn(prog, loss, wrt=[gain])
+    v = 0.6
+    _, grads = f({int(gain): jnp.float32(v)})
+    grad = float(grads[int(gain)])
+    eps = 1e-3
+    lp, _ = f({int(gain): jnp.float32(v + eps)})
+    lm, _ = f({int(gain): jnp.float32(v - eps)})
+    fd = (float(lp) - float(lm)) / (2 * eps)
+    assert np.isfinite(grad) and grad != 0.0
+    assert abs(grad - fd) < 5e-2 * max(1.0, abs(fd)), (grad, fd)
+
+
 def test_grad_through_hsv_hexcone():
     """Gradients flow THROUGH an Hsv node's select-tree transform: fitting
     an upstream gain on the red channel gets a finite-difference-matching

@@ -105,7 +105,7 @@ def test_bucketed_fuzz_matches_compiled(seed):
     evaluator, including after random SpecificSize edits (the lockstep
     fuzz contract extended to the fourth consumer)."""
     rng = np.random.default_rng(1000 + seed)
-    graph, _ = _build_random_graph(seed, allow_graph_nodes=False)
+    graph, _ = _build_random_graph(seed, allow_graph_nodes=False, bucketable_only=True)
 
     with_children = {e.output_id for e in graph.edges}
     targets = [
@@ -302,7 +302,7 @@ def test_bucketed_mesh_fuzz_matches_compiled(seed):
 
     mesh = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
     rng = np.random.default_rng(2000 + seed)
-    graph, _ = _build_random_graph(seed, allow_graph_nodes=False)
+    graph, _ = _build_random_graph(seed, allow_graph_nodes=False, bucketable_only=True)
 
     with_children = {e.output_id for e in graph.edges}
     targets = [

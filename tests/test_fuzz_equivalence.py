@@ -29,7 +29,8 @@ from kanter_core_tpu import (
 from kanter_core_tpu.compiler import CompiledGraph
 
 
-def _build_random_graph(seed: int, allow_graph_nodes: bool = True) -> tuple[NodeGraph, list]:
+def _build_random_graph(seed: int, allow_graph_nodes: bool = True,
+                        bucketable_only: bool = False) -> tuple[NodeGraph, list]:
     rng = np.random.default_rng(seed)
     graph = NodeGraph()
     # (node_id, output slots: list[(SlotId, SlotType)])
@@ -291,6 +292,36 @@ def _build_random_graph(seed: int, allow_graph_nodes: bool = True) -> tuple[Node
             [(SlotId(0), SlotType.GRAY)],
         )
         graph.connect(csrc[0], cv_id, csrc[1], SlotId(0))
+
+    # AmbientOcclusion coverage (separate rng, appended): a multi-scale
+    # blurred-height occlusion mask of a random GRAY producer — random
+    # strength (argument) and radius (trace-baked taps); its output joins
+    # the gray pool via the terminal pick below
+    arng = np.random.default_rng(seed * 122949829 + 29)
+    asrc = pick(SlotType.GRAY, r=arng)
+    if asrc is not None:
+        ao_id = add(
+            Node(NodeType.AmbientOcclusion(
+                float(arng.uniform(0.5, 8.0)), float(arng.uniform(0.6, 2.5))
+            )),
+            [(SlotId(0), SlotType.GRAY)],
+        )
+        graph.connect(asrc[0], ao_id, asrc[1], SlotId(0))
+
+    # Distance coverage (separate rng, appended): a jump-flooded fade of a
+    # random GRAY producer's >0.5 region. NOT bucketable (a padded plane
+    # cannot wrap-roll) — the bucketed fuzz passes `bucketable_only=True`
+    # to skip it; the engine-route fuzz keeps it and exercises the
+    # bucketed path's dense fallback
+    if not bucketable_only:
+        drng = np.random.default_rng(seed * 179424673 + 31)
+        dsrc = pick(SlotType.GRAY, r=drng)
+        if dsrc is not None:
+            ds_id = add(
+                Node(NodeType.Distance(float(drng.uniform(2.0, 24.0)))),
+                [(SlotId(0), SlotType.GRAY)],
+            )
+            graph.connect(dsrc[0], ds_id, dsrc[1], SlotId(0))
 
     # terminal outputs: one per leaf-ish producer kind
     targets = []

@@ -363,3 +363,29 @@ def test_wood_knob_drag_with_undo():
         assert np.array_equal(before, after)
     finally:
         tp.shutdown_now()
+
+
+def test_brick_damp_apron_darkens_near_mortar():
+    """The Distance-driven damp stage: a jump-flooded moisture ring hugs
+    every mortar line — brick pixels NEAR mortar lose albedo brightness vs
+    the damp=0 variant, far-from-mortar brick cores lose less, and
+    everything upstream of the albedo coordinate is bit-identical."""
+    from kanter_core_tpu.models import brick_material_graph
+
+    kw = dict(size=64, bricks_x=4, bricks_y=8, wear=0.0)
+    wet = _evaluate_procedural(brick_material_graph(damp=0.6, **kw))
+    dry = _evaluate_procedural(brick_material_graph(damp=0.0, **kw))
+    a_wet = wet["albedo"].reshape(64, 64, 4)[..., 0].astype(int)
+    a_dry = dry["albedo"].reshape(64, 64, 4)[..., 0].astype(int)
+    dark = a_dry - a_wet
+    h = dry["height"].reshape(64, 64, 4)[..., 0].astype(np.float64) / 255.0
+    brick = h > 0.6
+    assert dark[brick].max() > 10, "damp ring must visibly darken bricks"
+    assert dark.min() >= -2, "damp must only darken (ramp quantization aside)"
+    # the ring is localized: the darkest decile of brick pixels darkens
+    # far more than the brightest (brick cores away from mortar)
+    ring = np.quantile(dark[brick], 0.95)
+    core = np.quantile(dark[brick], 0.05)
+    assert ring > core + 5, (ring, core)
+    for name in ("height", "normal", "ao", "roughness"):
+        assert np.array_equal(wet[name], dry[name]), name

@@ -204,3 +204,37 @@ def test_no_stale_recipe_after_memoize_toggle(tex_pro):
         g.disconnect_slot(val, Side.OUTPUT, SlotId(0))
         g.connect(val, comb, SlotId(0), SlotId(0))
     assert render_u8(lg, comb).tolist() == [229, 0, 0, 255]
+
+
+def test_param_edits_change_every_extension_recipe():
+    """EVERY parameterized node kind's payload must enter its recipe hash —
+    the seed-11 soak caught AmbientOcclusion/Distance falling through a
+    payload-dropping default (stale memoized output after a drag). Pin the
+    whole family, and pin that an unhashed future kind refuses to cache."""
+    from kanter_core_tpu.node import Node, NodeType
+    from kanter_core_tpu.recipe_cache import node_recipe
+
+    pairs = [
+        (NodeType.AmbientOcclusion(1.0, 2.0), NodeType.AmbientOcclusion(3.0, 2.0)),
+        (NodeType.AmbientOcclusion(1.0, 2.0), NodeType.AmbientOcclusion(1.0, 4.0)),
+        (NodeType.Distance(8.0), NodeType.Distance(9.0)),
+        (NodeType.Curvature(1.0), NodeType.Curvature(2.0)),
+        (NodeType.Blur(1.0), NodeType.Blur(2.0)),
+        (NodeType.Hsv(10.0, 1.0, 1.0), NodeType.Hsv(20.0, 1.0, 1.0)),
+        (NodeType.Levels(0.0, 1.0, 1.0, 0.0, 1.0),
+         NodeType.Levels(0.0, 1.0, 2.0, 0.0, 1.0)),
+        (NodeType.Warp(10.0, 4.0), NodeType.Warp(20.0, 4.0)),
+        (NodeType.Transform(1.0, 0.0, 0.0, 1.0, 1.0),
+         NodeType.Transform(2.0, 0.0, 0.0, 1.0, 1.0)),
+        (NodeType.GradientMap([(0.0, 0, 0, 0, 1), (1.0, 1, 1, 1, 1)]),
+         NodeType.GradientMap([(0.0, 0, 0, 0.5, 1), (1.0, 1, 1, 1, 1)])),
+        (NodeType.Noise(16, 16, 4, 2, 0), NodeType.Noise(16, 16, 4, 2, 1)),
+        (NodeType.Pattern(16, 16, "Brick", 2, 2, 0.1, 0.0, 0),
+         NodeType.Pattern(16, 16, "Brick", 3, 2, 0.1, 0.0, 0)),
+    ]
+    inputs = ["deadbeef"]
+    for a, b in pairs:
+        ra = node_recipe(Node(a), inputs, live_graph=None)
+        rb = node_recipe(Node(b), inputs, live_graph=None)
+        assert ra is not None and rb is not None, a.kind
+        assert ra != rb, f"{a.kind} payload does not reach its recipe"

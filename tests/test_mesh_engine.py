@@ -336,3 +336,31 @@ def test_mesh_engine_warp_sharded_halo(monkeypatch):
     finally:
         tp.shutdown_now()
     assert np.array_equal(plain, pernode_px)
+
+
+def test_mesh_engine_ao_and_distance_match_unsharded(mesh_tex_pro):
+    """The two newest gray stencil/global ops compose with the mesh:
+    AmbientOcclusion (three shard_map'able wrap blurs + exact combine) and
+    Distance (jump flooding — i32 rolls GSPMD-halo-exchange per pass) on
+    the 8-device row mesh are bit-identical to the single-device engine."""
+    def build(g):
+        noise = g.add_node(Node(NodeType.Noise(96, 96, cells=5, octaves=3, seed=3)))
+        ao = g.add_node(Node(NodeType.AmbientOcclusion(2.5, 1.0)))
+        ds = g.add_node(Node(NodeType.Distance(12.0)))
+        mix = g.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+        out = g.add_node(Node(NodeType.OutputGray("out")))
+        g.connect(noise, ao, SlotId(0), SlotId(0))
+        g.connect(noise, ds, SlotId(0), SlotId(0))
+        g.connect(ao, mix, SlotId(0), SlotId(0))
+        g.connect(ds, mix, SlotId(0), SlotId(1))
+        g.connect(mix, out, SlotId(0), SlotId(0))
+        return out
+
+    with TextureProcessor(10_000_000) as plain:
+        lg_plain = plain.new_live_graph()
+        with lg_plain.write() as g:
+            out_p = build(g)
+        lg_mesh = mesh_tex_pro.new_live_graph()
+        with lg_mesh.write() as g:
+            out_m = build(g)
+        assert np.array_equal(render_u8(lg_plain, out_p), render_u8(lg_mesh, out_m))
