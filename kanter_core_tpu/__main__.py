@@ -106,6 +106,19 @@ def _cmd_render(args) -> int:
                     return 2
                 lg.set_hsv(NodeId(int(node_id)), *parts)
 
+            for spec in args.voronoi or []:
+                node_id, _, csv = spec.partition("=")
+                parts = csv.split(",")
+                if len(parts) != 6:
+                    print("error: --voronoi NODE_ID=width,height,cells_x,"
+                          "cells_y,jitter,seed", file=sys.stderr)
+                    return 2
+                lg.set_voronoi(
+                    NodeId(int(node_id)), int(parts[0]), int(parts[1]),
+                    int(parts[2]), int(parts[3]), float(parts[4]),
+                    int(parts[5]),
+                )
+
             for spec in args.transform or []:
                 node_id, _, csv = spec.partition("=")
                 parts = [float(x) for x in csv.split(",")]
@@ -198,6 +211,11 @@ def main(argv=None) -> int:
     p_render.add_argument(
         "--distance", action="append", metavar="NODE_ID=max_dist",
         help="override a Distance node's spread (pixels)",
+    )
+    p_render.add_argument(
+        "--voronoi", action="append",
+        metavar="NODE_ID=width,height,cells_x,cells_y,jitter,seed",
+        help="override a Voronoi node's parameters",
     )
     p_render.add_argument(
         "--transform", action="append",

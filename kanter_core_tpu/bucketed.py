@@ -56,7 +56,8 @@ BUCKETABLE_KINDS = frozenset(
         K.VALUE, K.IMAGE, K.INPUT_GRAY, K.INPUT_RGBA, K.EMBED,
         K.OUTPUT_GRAY, K.OUTPUT_RGBA, K.MIX, K.HEIGHT_TO_NORMAL, K.CURVATURE,
         K.AMBIENT_OCCLUSION, K.BLUR,
-        K.LEVELS, K.HSV, K.NOISE, K.PATTERN, K.GRADIENT_MAP, K.TRANSFORM,
+        K.LEVELS, K.HSV, K.NOISE, K.PATTERN, K.VORONOI, K.GRADIENT_MAP,
+        K.TRANSFORM,
         K.WARP,
         K.SEPARATE_RGBA, K.COMBINE_RGBA,
     }
@@ -139,6 +140,9 @@ def size_normalized_fingerprint(graph, extra: str = "") -> str:
             if isinstance(nt, dict) and "Pattern" in nt:
                 # same: the size rides in padded index-vector arguments
                 node = dict(node, node_type={"Pattern": dict(nt["Pattern"], width=0, height=0)})
+            if isinstance(nt, dict) and "Voronoi" in nt:
+                # same: the size rides in padded index-vector arguments
+                node = dict(node, node_type={"Voronoi": dict(nt["Voronoi"], width=0, height=0)})
             out["nodes"].append(node)
         return out
 
@@ -469,6 +473,16 @@ class BucketedGraph:
                 for field in ("fx", "fy", "px", "py", "mortar", "bevel", "seed"):
                     args[f"pt{field}_{nid}"] = pb[field]
                 continue
+            if kind == K.VORONOI:
+                from .ops.voronoi import voronoi_bindings
+
+                vb = voronoi_bindings(node.node_type.payload)
+                th, tw = info.out_size.height, info.out_size.width
+                args[f"vor_{nid}"] = _pad1(vb["rows"], bucket_of(th, B))
+                args[f"voc_{nid}"] = _pad1(vb["cols"], bucket_of(tw, B))
+                for field in ("fx", "fy", "px", "py", "jitter", "seed"):
+                    args[f"vo{field}_{nid}"] = vb[field]
+                continue
             if kind in _LEAF_KINDS:
                 if kind == K.IMAGE:
                     key = f"image_{nid}"
@@ -708,6 +722,19 @@ class BucketedGraph:
                 )
                 env[(node_id, SlotId(0))] = ImgVal(shard([mask]))
                 env[(node_id, SlotId(1))] = ImgVal(shard([cells]))
+                continue
+            if kind == K.VORONOI:
+                from .ops.voronoi import voronoi_planes
+
+                distance, borders, vcells = voronoi_planes(
+                    args[f"vor_{nid}"], args[f"voc_{nid}"],
+                    args[f"vofx_{nid}"], args[f"vofy_{nid}"],
+                    args[f"vopx_{nid}"], args[f"vopy_{nid}"],
+                    args[f"vojitter_{nid}"], args[f"voseed_{nid}"],
+                )
+                env[(node_id, SlotId(0))] = ImgVal(shard([distance]))
+                env[(node_id, SlotId(1))] = ImgVal(shard([borders]))
+                env[(node_id, SlotId(2))] = ImgVal(shard([vcells]))
                 continue
             if kind in _LEAF_KINDS:
                 count = self._counts[node_id][SlotId(0)]

@@ -521,6 +521,20 @@ class GraphCompiler:
                 (SlotId(1), ImgVal([cells])),
             ]
 
+        if kind == K.VORONOI:
+            from .ops.voronoi import voronoi_planes
+
+            b = args[f"{prefix}voronoi_{nid}"]
+            distance, borders, cells = voronoi_planes(
+                b["rows"], b["cols"], b["fx"], b["fy"], b["px"], b["py"],
+                b["jitter"], b["seed"],
+            )
+            return [
+                (SlotId(0), ImgVal([distance])),
+                (SlotId(1), ImgVal([borders])),
+                (SlotId(2), ImgVal([cells])),
+            ]
+
         if kind == K.GRADIENT_MAP:
             from .ops.gradient import gradient_planes
 
@@ -847,6 +861,12 @@ class CompiledGraph:
                 bindings[f"{prefix}pattern_{nid}"] = pattern_bindings(
                     node.node_type.payload
                 )
+            elif kind == K.VORONOI:
+                from .ops.voronoi import voronoi_bindings
+
+                bindings[f"{prefix}voronoi_{nid}"] = voronoi_bindings(
+                    node.node_type.payload
+                )
             elif kind == K.GRADIENT_MAP:
                 from .ops.gradient import gradient_bindings
 
@@ -974,6 +994,13 @@ def _normalize_values(graph_json):
                     node_type["Pattern"], cells_x=0, cells_y=0,
                     mortar=0.0, bevel=0.0, seed=0,
                 )})
+            elif "Voronoi" in node_type:
+                # cells/jitter/seed are arguments; width/height shape the
+                # trace and stay
+                node = dict(node, node_type={"Voronoi": dict(
+                    node_type["Voronoi"], cells_x=0, cells_y=0,
+                    jitter=0.0, seed=0,
+                )})
             elif "GradientMap" in node_type:
                 # stop VALUES are arguments; the COUNT shapes the trace
                 node = dict(node, node_type={"GradientMap": {
@@ -1088,6 +1115,12 @@ def collect_value_bindings(node_graph: NodeGraph, prefix: str = "") -> dict:
             from .ops.pattern import pattern_bindings
 
             bindings[f"{prefix}pattern_{int(node.node_id)}"] = pattern_bindings(
+                node.node_type.payload
+            )
+        elif kind == NodeTypeKind.VORONOI:
+            from .ops.voronoi import voronoi_bindings
+
+            bindings[f"{prefix}voronoi_{int(node.node_id)}"] = voronoi_bindings(
                 node.node_type.payload
             )
         elif kind == NodeTypeKind.GRADIENT_MAP:

@@ -635,6 +635,18 @@ class LiveGraph:
             self.node(node_id).cancel.store(True)
 
     @_journaled()
+    def set_voronoi(self, node_id: NodeId, width, height, cells_x=8,
+                    cells_y=8, jitter=1.0, seed=0) -> None:
+        """Change a Voronoi node's parameters and dirty it (extension node;
+        cells/jitter/seed edits re-run a cached program)."""
+        with self._lock:
+            self.node_graph.set_voronoi(
+                node_id, width, height, cells_x, cells_y, jitter, seed
+            )
+            self.set_state(node_id, NodeState.DIRTY)
+            self.node(node_id).cancel.store(True)
+
+    @_journaled()
     def set_transform(self, node_id: NodeId, offset_x, offset_y, rotation,
                       scale_x, scale_y) -> None:
         """Change a Transform node's placement and dirty it (extension

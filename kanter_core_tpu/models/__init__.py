@@ -558,6 +558,129 @@ def brick_material_graph(
     return graph
 
 
+def cobblestone_material_graph(
+    size: int = 512,
+    seed: int = 23,
+    cells: int = 6,
+    jitter: float = 0.9,
+    gap: float = 0.22,
+    relief: float = 0.6,
+    tint_spread: float = 0.5,
+    ao_sigma: float = 5.0,
+) -> NodeGraph:
+    """Fully procedural cobblestone material: NO inputs, five outputs
+    (`albedo`/`normal` RGBA, `height`/`roughness`/`ao` gray).
+
+    The `Voronoi` node's showcase — all THREE outputs of one cellular
+    source drive the whole material:
+
+    - `distance` (F1): inverted into per-stone domes (`1 − F1` peaks at
+      each stone's center and falls toward its edges);
+    - `borders` (F2−F1): a `Levels` ramp over [0, `gap`] carves the
+      mortar channels (the field is exactly 0 on the cell walls), giving
+      a groove mask that is 0 in the joints and 1 on stone tops;
+    - `cells` (per-stone ID): per-stone tint/roughness variation through
+      ONE GradientMap coordinate, exactly like brick's `cells` slot.
+
+    height = `0.15 + relief·dome·groove + 0.04·(noise − ½)` — joints
+    recessed, domed stones with fine FBM grain; albedo collapses
+    "joint vs which-stone" into one ramp coordinate
+    (`groove·(0.35 + spread·id) + 0.14·(1 − groove)`); roughness =
+    `0.9 − 0.45·groove + 0.2·id·groove` (joints roughest, stones vary);
+    ao/normal reuse the shared constructions (multi-scale
+    `AmbientOcclusion`, blur → `HeightToNormal`). All scalars ride as
+    program arguments; `size`/stop count/AO taps shape the trace."""
+    graph = NodeGraph()
+    vor = graph.add_node(Node(NodeType.Voronoi(
+        size, size, cells, cells, jitter, seed,
+    )))
+    grain = graph.add_node(Node(NodeType.Noise(size, size, 8, 3, seed + 1)))
+
+    # groove mask: 0 in the joints (borders ≈ 0 on walls), 1 on stone tops
+    groove = graph.add_node(Node(NodeType.Levels(0.0, gap, 1.0, 0.0, 1.0)))
+    graph.connect(vor, groove, SlotId(1), SlotId(0))
+    # per-stone dome: 1 − F1
+    dome = _mix(graph, MixType.SUBTRACT, _value(graph, 1.0), vor)
+
+    # height = 0.15 + relief·dome·groove + 0.04·(grain − 0.5)
+    stones = _mix(graph, MixType.MULTIPLY, dome, groove)
+    raised = _mix(graph, MixType.MULTIPLY, stones, _value(graph, relief))
+    detail = _mix(
+        graph, MixType.MULTIPLY,
+        _mix(graph, MixType.SUBTRACT, grain, _value(graph, 0.5)),
+        _value(graph, 0.04),
+    )
+    height = _mix(
+        graph, MixType.ADD,
+        _mix(graph, MixType.ADD, raised, detail),
+        _value(graph, 0.15),
+    )
+    height_out = graph.add_node(Node(NodeType.OutputGray("height")))
+    graph.connect(height, height_out, SlotId(0), SlotId(0))
+
+    # albedo coordinate: groove·(0.35 + spread·id) + 0.14·(1 − groove)
+    tinted = _mix(
+        graph, MixType.ADD,
+        _mix(
+            graph, MixType.MULTIPLY,
+            _mix(graph, MixType.MULTIPLY, _value(graph, tint_spread), vor,
+                 right_slot=SlotId(2)),  # the per-stone ID slot
+            groove,
+        ),
+        _mix(graph, MixType.MULTIPLY, groove, _value(graph, 0.35)),
+    )
+    joint = _mix(
+        graph, MixType.MULTIPLY,
+        _mix(graph, MixType.SUBTRACT, _value(graph, 1.0), groove),
+        _value(graph, 0.14),
+    )
+    coord = _mix(graph, MixType.ADD, tinted, joint)
+    albedo = graph.add_node(
+        Node(
+            NodeType.GradientMap(
+                [
+                    (0.0, 0.10, 0.10, 0.11, 1.0),   # wet joint shadow
+                    (0.30, 0.34, 0.33, 0.32, 1.0),
+                    (0.55, 0.48, 0.46, 0.43, 1.0),
+                    (0.8, 0.62, 0.60, 0.56, 1.0),
+                    (1.0, 0.75, 0.73, 0.68, 1.0),   # sun-bleached stone
+                ]
+            )
+        )
+    )
+    graph.connect(coord, albedo, SlotId(0), SlotId(0))
+    albedo_out = graph.add_node(Node(NodeType.OutputRgba("albedo")))
+    graph.connect(albedo, albedo_out, SlotId(0), SlotId(0))
+
+    # roughness = 0.9 − 0.45·groove + 0.2·id·groove
+    idvar = _mix(
+        graph, MixType.MULTIPLY,
+        _mix(graph, MixType.MULTIPLY, vor, groove, left_slot=SlotId(2)),
+        _value(graph, 0.2),
+    )
+    smoothing = _mix(graph, MixType.MULTIPLY, groove, _value(graph, 0.45))
+    rough = _mix(
+        graph, MixType.ADD,
+        _mix(graph, MixType.SUBTRACT, _value(graph, 0.9), smoothing),
+        idvar,
+    )
+    rough_out = graph.add_node(Node(NodeType.OutputGray("roughness")))
+    graph.connect(rough, rough_out, SlotId(0), SlotId(0))
+
+    ao = graph.add_node(Node(NodeType.AmbientOcclusion(2.4, ao_sigma / 4.0)))
+    graph.connect(height, ao, SlotId(0), SlotId(0))
+    ao_out = graph.add_node(Node(NodeType.OutputGray("ao")))
+    graph.connect(ao, ao_out, SlotId(0), SlotId(0))
+
+    pre = graph.add_node(Node(NodeType.Blur(1.0)))
+    graph.connect(height, pre, SlotId(0), SlotId(0))
+    h2n = graph.add_node(Node(NodeType.HeightToNormal()))
+    graph.connect(pre, h2n, SlotId(0), SlotId(0))
+    normal_out = graph.add_node(Node(NodeType.OutputRgba("normal")))
+    graph.connect(h2n, normal_out, SlotId(0), SlotId(0))
+    return graph
+
+
 def emboss_graph(strength: float = 0.6) -> NodeGraph:
     """Gray in → emboss-style relief: `0.5 + k·(h − blur₁(h))` sharpens
     local detail around mid-gray (an unsharp mask re-centered at 0.5)."""
@@ -586,6 +709,7 @@ from ..graphs import (
 __all__ = [
     "ambient_occlusion_graph",
     "brick_material_graph",
+    "cobblestone_material_graph",
     "emboss_graph",
     "metal_material_graph",
     "pbr_material_graph",

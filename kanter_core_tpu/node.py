@@ -224,6 +224,7 @@ class NodeTypeKind(enum.Enum):
     HSV = "Hsv"  # TPU-native extension: no reference counterpart
     AMBIENT_OCCLUSION = "AmbientOcclusion"  # TPU-native extension: no reference counterpart
     DISTANCE = "Distance"  # TPU-native extension: no reference counterpart
+    VORONOI = "Voronoi"  # TPU-native extension: no reference counterpart
 
 
 class NodeType:
@@ -350,6 +351,34 @@ class NodeType:
             NodeTypeKind.PATTERN,
             (width, height, pattern, cells_x, cells_y,
              float(mortar), float(bevel), int(seed)),
+        )
+
+    @staticmethod
+    def Voronoi(width: int, height: int, cells_x: int = 8, cells_y: int = 8,
+                jitter: float = 1.0, seed: int = 0) -> "NodeType":
+        """Seamlessly-tiling cellular-noise source (extension node; see
+        ops/voronoi.py). Three Gray outputs: `distance` (slot 0 — F1
+        nearest-point distance in cell units, clipped to [0,1]), `borders`
+        (slot 1 — F2−F1 cell-boundary ridge field), and `cells` (slot 2 —
+        the nearest point's random ID in [0,1) for per-cell variation).
+        `cells_x`/`cells_y`/`jitter`/`seed` are PROGRAM ARGUMENTS in every
+        traced consumer (cell-count drags, jitter sliders, and seed cycling
+        re-run cached executables); only the size shapes the trace.
+        `jitter` is bounded to [0, 1] so a feature point stays inside its
+        own cell and the 3×3 neighbourhood search is exact."""
+        width, height = int(width), int(height)
+        cells_x, cells_y = int(cells_x), int(cells_y)
+        if width < 1 or height < 1 or cells_x < 1 or cells_y < 1:
+            raise TexProError(
+                ErrorKind.GENERIC, "Voronoi needs size/cells >= 1"
+            )
+        if not (0.0 <= float(jitter) <= 1.0):
+            raise TexProError(
+                ErrorKind.GENERIC, "Voronoi needs jitter in [0, 1]"
+            )
+        return NodeType(
+            NodeTypeKind.VORONOI,
+            (width, height, cells_x, cells_y, float(jitter), int(seed)),
         )
 
     @staticmethod
@@ -546,6 +575,11 @@ class NodeType:
             return {"Pattern": {"width": p[0], "height": p[1], "pattern": p[2],
                                 "cells_x": p[3], "cells_y": p[4],
                                 "mortar": p[5], "bevel": p[6], "seed": p[7]}}
+        if k == NodeTypeKind.VORONOI:
+            p = self.payload
+            return {"Voronoi": {"width": p[0], "height": p[1],
+                                "cells_x": p[2], "cells_y": p[3],
+                                "jitter": p[4], "seed": p[5]}}
         if k == NodeTypeKind.GRADIENT_MAP:
             return {"GradientMap": {"stops": [list(s) for s in self.payload]}}
         if k == NodeTypeKind.TRANSFORM:
@@ -593,6 +627,11 @@ class NodeType:
                 payload["width"], payload["height"], payload["pattern"],
                 payload["cells_x"], payload["cells_y"], payload["mortar"],
                 payload["bevel"], payload["seed"],
+            )
+        if kind == NodeTypeKind.VORONOI:
+            return NodeType.Voronoi(
+                payload["width"], payload["height"], payload["cells_x"],
+                payload["cells_y"], payload["jitter"], payload["seed"],
             )
         if kind == NodeTypeKind.GRADIENT_MAP:
             return NodeType.GradientMap(payload["stops"])
@@ -682,7 +721,7 @@ class Node:
         k = self.node_type.kind
         K = NodeTypeKind
         if k in (K.INPUT_GRAY, K.INPUT_RGBA, K.IMAGE, K.EMBED, K.VALUE,
-                 K.NOISE, K.PATTERN):
+                 K.NOISE, K.PATTERN, K.VORONOI):
             return []
         if k == K.OUTPUT_GRAY:
             return [Slot("input", SlotId(0), SlotType.GRAY)]
@@ -743,6 +782,12 @@ class Node:
             return [
                 Slot("mask", SlotId(0), SlotType.GRAY),
                 Slot("cells", SlotId(1), SlotType.GRAY),
+            ]
+        if k == K.VORONOI:
+            return [
+                Slot("distance", SlotId(0), SlotType.GRAY),
+                Slot("borders", SlotId(1), SlotType.GRAY),
+                Slot("cells", SlotId(2), SlotType.GRAY),
             ]
         if k == K.MIX:
             return [Slot("output", SlotId(0), SlotType.GRAY_OR_RGBA)]

@@ -131,6 +131,15 @@ class NodeGraph:
             width, height, pattern, cells_x, cells_y, mortar, bevel, seed
         )
 
+    def set_voronoi(self, node_id: NodeId, width, height, cells_x, cells_y,
+                    jitter, seed) -> None:
+        node = self._node_with_id_mut(node_id)
+        if node is None or node.node_type.kind != NodeTypeKind.VORONOI:
+            raise TexProError(ErrorKind.INVALID_NODE_ID)
+        node.node_type = NodeType.Voronoi(
+            width, height, cells_x, cells_y, jitter, seed
+        )
+
     def set_transform(self, node_id: NodeId, offset_x, offset_y, rotation,
                       scale_x, scale_y) -> None:
         node = self._node_with_id_mut(node_id)

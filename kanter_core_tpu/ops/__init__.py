@@ -33,6 +33,7 @@ from . import (
     pattern,
     separate_combine,
     transform,
+    voronoi,
     warp,
 )
 from .resize import resize_buffers
@@ -93,6 +94,8 @@ def process_node_internal(node, slot_datas, embedded_slot_datas, input_slot_data
         output = noise.process(node)
     elif kind == K.PATTERN:
         output = pattern.process(node)
+    elif kind == K.VORONOI:
+        output = voronoi.process(node)
     elif kind == K.GRADIENT_MAP:
         output = gradient.process(slot_datas, node)
     elif kind == K.TRANSFORM:

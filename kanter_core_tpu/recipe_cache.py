@@ -262,6 +262,16 @@ def node_recipe(node, input_recipes: list, live_graph) -> Optional[str]:
             struct.pack("<2f", mortar, bevel),
             input_recipes,
         )
+    if kind == K.VORONOI:
+        import struct
+
+        w, h, cx, cy, jitter, seed = node.node_type.payload
+        return _h(
+            base,
+            (int(w), int(h), int(cx), int(cy), int(seed)),
+            struct.pack("<f", jitter),
+            input_recipes,
+        )
     if kind == K.GRADIENT_MAP:
         import struct
 

@@ -75,6 +75,7 @@ TILEABLE_KINDS = frozenset(
         K.HSV,
         K.NOISE,
         K.PATTERN,
+        K.VORONOI,
         K.GRADIENT_MAP,
         K.TRANSFORM,
         K.WARP,
@@ -271,6 +272,13 @@ def flatten_graph_nodes(graph, bindings, preset=None):
                 from .ops.pattern import pattern_bindings
 
                 extra_bindings[f"pattern_{int(clone.node_id)}"] = pattern_bindings(
+                    n.node_type.payload
+                )
+            elif kind == K.VORONOI:
+                # cells/jitter/seed edits keep the fingerprint too
+                from .ops.voronoi import voronoi_bindings
+
+                extra_bindings[f"voronoi_{int(clone.node_id)}"] = voronoi_bindings(
                     n.node_type.payload
                 )
             elif kind == K.CURVATURE:
@@ -486,6 +494,12 @@ def infer_sizes(graph, bindings, preset=None) -> dict:
             w, h = node.node_type.payload[0], node.node_type.payload[1]
             info.out_planes[SlotId(0)] = 1
             info.out_planes[SlotId(1)] = 1
+            info.out_size = Size(int(w), int(h))
+        elif kind == K.VORONOI:
+            w, h = node.node_type.payload[0], node.node_type.payload[1]
+            info.out_planes[SlotId(0)] = 1
+            info.out_planes[SlotId(1)] = 1
+            info.out_planes[SlotId(2)] = 1
             info.out_size = Size(int(w), int(h))
         elif kind in (K.IMAGE, K.EMBED):
             key = (
@@ -878,6 +892,19 @@ class TiledEvaluator:
                 for field in ("fx", "fy", "px", "py", "mortar", "bevel", "seed"):
                     args[f"pt{field}_{nid}"] = pb[field]
                 continue
+            if kind == K.VORONOI:
+                vb = self.bindings.get(f"voronoi_{nid}")
+                if vb is None:
+                    from .ops.voronoi import voronoi_bindings
+
+                    vb = voronoi_bindings(node.node_type.payload)
+                # band's GLOBAL rows substitute the full row vector — the
+                # kernel is elementwise in (row, col) like Noise/Pattern
+                args[f"vor_{nid}"] = rows.astype(np.int32)
+                args[f"voc_{nid}"] = np.asarray(vb["cols"], np.int32)
+                for field in ("fx", "fy", "px", "py", "jitter", "seed"):
+                    args[f"vo{field}_{nid}"] = vb[field]
+                continue
             leaf_key = None
             if kind == K.IMAGE:
                 leaf_key = f"image_{nid}"
@@ -1093,6 +1120,19 @@ class TiledEvaluator:
                 )
                 env[(node_id, SlotId(0))] = ImgVal([mask])
                 env[(node_id, SlotId(1))] = ImgVal([cells])
+                continue
+            if kind == K.VORONOI:
+                from .ops.voronoi import voronoi_planes
+
+                distance, borders, vcells = voronoi_planes(
+                    args[f"vor_{nid}"], args[f"voc_{nid}"],
+                    args[f"vofx_{nid}"], args[f"vofy_{nid}"],
+                    args[f"vopx_{nid}"], args[f"vopy_{nid}"],
+                    args[f"vojitter_{nid}"], args[f"voseed_{nid}"],
+                )
+                env[(node_id, SlotId(0))] = ImgVal([distance])
+                env[(node_id, SlotId(1))] = ImgVal([borders])
+                env[(node_id, SlotId(2))] = ImgVal([vcells])
                 continue
             if kind in (K.IMAGE, K.EMBED, K.INPUT_GRAY, K.INPUT_RGBA):
                 count = info.out_planes[SlotId(0)]

@@ -97,6 +97,13 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
             16, 16, "Brick", cells_x=3, cells_y=5, mortar=0.15, bevel=0.06,
             seed=1,
         )))
+        # cellular source: the borders field modulates a mix so the
+        # three-output source soaks under churn (NOTE: adding this node
+        # REMAPPED every seed's sequence — pre-Voronoi soak evidence is
+        # historical, VALIDATION.md)
+        vor = g.add_node(Node(NodeType.Voronoi(
+            16, 16, cells_x=3, cells_y=3, jitter=0.8, seed=2,
+        )))
         # final grade stage (NOTE: adding this node remapped every seed's
         # sequence again — see VALIDATION.md's HSV REMAP entry)
         hsv = g.add_node(Node(NodeType.Hsv(10.0, 1.1, 1.0)))
@@ -111,6 +118,7 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
         g.connect(pattern, ao, SlotId(0), SlotId(0))  # groove mask → AO
         g.connect(ao, mixes[1], SlotId(0), SlotId(0))
         g.connect(pattern, mixes[2], SlotId(1), SlotId(1))  # per-cell IDs
+        g.connect(vor, mixes[1], SlotId(1), SlotId(1))  # voronoi borders
         g.connect(mixes[0], comb, SlotId(0), SlotId(0))
         g.connect(mixes[1], comb, SlotId(0), SlotId(1))
         g.connect(mixes[2], comb, SlotId(0), SlotId(2))
@@ -128,8 +136,9 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
         with lg.write() as g:
             for _ in range(n_edits):
                 # NOTE: widening 9 → 10 (Pattern), 10 → 11 (Hsv drags),
-                # and 11 → 12 (AO drags) each remapped seeds too
-                action = rng.integers(12)
+                # 11 → 12 (AO drags), and 12 → 13 (Voronoi drags) each
+                # remapped seeds too
+                action = rng.integers(13)
                 if action == 0:
                     node = values[rng.integers(len(values))]
                     g.node_mut(node).node_type = NodeType.Value(float(rng.random()))
@@ -188,6 +197,15 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
                         int(rng.integers(1, 6)), int(rng.integers(1, 6)),
                         float(rng.uniform(0.0, 0.4)),
                         float(rng.choice([0.0, 0.08])),
+                        int(rng.integers(0, 100)),
+                    )
+                elif action == 12:
+                    # voronoi drag: cells/jitter/seed are all program
+                    # arguments — every drag re-runs the cached executable
+                    g.set_voronoi(
+                        vor, 16, 16,
+                        int(rng.integers(1, 6)), int(rng.integers(1, 6)),
+                        float(rng.uniform(0.0, 1.0)),
                         int(rng.integers(0, 100)),
                     )
                 elif action == 7:

@@ -318,6 +318,33 @@ def _determinism_kernels():
     # (groove ramp) has a RUNTIME divisor → corrected_div off-CPU → 0 diffs
     cases.append(("pattern_kinds", _pattern_row, 0))
 
+    def _voronoi_row():
+        import jax.numpy as _jnp
+
+        from kanter_core_tpu.ops.voronoi import (
+            voronoi_bindings,
+            voronoi_planes,
+        )
+
+        outs = []
+        for cells_x, cells_y, jitter, seed in (
+            (5, 7, 0.85, 4242),  # non-dyadic frequencies, jittered points
+            (4, 4, 0.0, 17),  # degenerate grid: heavy d² ties at midlines
+        ):
+            b = voronoi_bindings((211, 173, cells_x, cells_y, jitter, seed))
+            distance, borders, cells = jax.jit(voronoi_planes)(
+                b["rows"], b["cols"], b["fx"], b["fy"],
+                b["px"], b["py"], b["jitter"], b["seed"],
+            )
+            outs.append(_jnp.concatenate([distance, borders, cells], axis=0))
+        return _jnp.concatenate(outs, axis=0)
+
+    # integer-hash lattice exact; d² products via nc_mul, fixed-order
+    # select chains (strict < keeps the earliest candidate on ties — the
+    # jitter=0 case forces midline ties); sqrt via the backend gate
+    # (corrected_sqrt off-CPU) → 0 diffs expected
+    cases.append(("voronoi_cellular", _voronoi_row, 0))
+
     def _hsv_row():
         import jax.numpy as _jnp
 

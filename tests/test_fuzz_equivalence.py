@@ -265,6 +265,29 @@ def _build_random_graph(seed: int, allow_graph_nodes: bool = True,
         graph.connect(pat_id, pmix_id, SlotId(int(prng.integers(2))), SlotId(0))
         graph.connect(psrc[0], pmix_id, psrc[1], SlotId(1))
 
+    # Voronoi coverage (separate rng, appended): a cellular-noise source;
+    # all THREE outputs (F1 distance, F2−F1 borders, per-cell id) enter the
+    # gray pool, and one random output mixes into the existing chain
+    vrng = np.random.default_rng(seed * 29996224275833 % 87178291199 + 31)
+    vor = Node(
+        NodeType.Voronoi(
+            int(vrng.integers(20, 70)), int(vrng.integers(20, 70)),
+            cells_x=int(vrng.integers(1, 9)), cells_y=int(vrng.integers(1, 9)),
+            jitter=float(vrng.uniform(0.0, 1.0)),
+            seed=int(vrng.integers(0, 2**31)),
+        )
+    )
+    vor_id = add(vor, [(SlotId(0), SlotType.GRAY), (SlotId(1), SlotType.GRAY),
+                       (SlotId(2), SlotType.GRAY)])
+    vsrc = pick(SlotType.GRAY_OR_RGBA, r=vrng)
+    if vsrc is not None and vsrc[0] != vor_id:
+        vmix = Node(NodeType.Mix(list(MixType)[vrng.integers(5)]))
+        vmix.resize_policy = ResizePolicy.MostPixels()
+        vmix.resize_filter = list(ResizeFilter)[vrng.integers(len(ResizeFilter))]
+        vmix_id = add(vmix, [(SlotId(0), SlotType.GRAY_OR_RGBA)])
+        graph.connect(vor_id, vmix_id, SlotId(int(vrng.integers(3))), SlotId(0))
+        graph.connect(vsrc[0], vmix_id, vsrc[1], SlotId(1))
+
     # Hsv coverage (separate rng, appended): a hue/sat/value adjust of a
     # random producer — gray draws the value-scale path, rgba the full
     # hexcone transform with the aliased alpha

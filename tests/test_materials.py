@@ -299,16 +299,43 @@ def test_brick_edge_wear_polishes_edges():
         assert np.array_equal(worn[name], plain[name]), name
 
 
+def test_cobblestone_material_outputs():
+    from kanter_core_tpu.models import cobblestone_material_graph
+
+    outs = _evaluate_procedural(cobblestone_material_graph(size=64, cells=4))
+    assert set(outs) == {"albedo", "height", "normal", "roughness", "ao"}
+    h = outs["height"].reshape(64, 64, 4)[..., 0].astype(np.float64) / 255.0
+    # joints recessed near 0.15, domed stones rise well above
+    assert (h < 0.25).mean() > 0.05, "mortar joints must be present"
+    assert (h > 0.4).mean() > 0.2, "stone domes must dominate"
+    assert len(np.unique(h)) > 40, "domes are smooth fields, not plateaus"
+    # per-stone tint variation: the albedo has multiple distinct stone tones
+    albedo = outs["albedo"].reshape(64, 64, 4)
+    assert len(np.unique(albedo[..., 0])) > 20
+    # warm-neutral stone ramp: red >= blue essentially everywhere
+    assert (albedo[..., 0].astype(int) >= albedo[..., 2].astype(int)).mean() > 0.99
+    rough = outs["roughness"].reshape(64, 64, 4)[..., 0]
+    # joints (groove=0) sit at 0.9; stone tops drop below
+    assert rough.max() >= round(0.88 * 255)
+    assert rough.min() < round(0.6 * 255)
+    ao = outs["ao"].reshape(64, 64, 4)[..., 0]
+    assert ao.mean() > 180 and ao.min() < 250, "mostly lit with real cavities"
+    normal = outs["normal"].reshape(64, 64, 4)
+    assert normal[..., 2].mean() > 140, "normal z biases toward viewer"
+
+
 def test_procedural_materials_fused_matches_pernode():
     from kanter_core_tpu.models import (
         brick_material_graph,
+        cobblestone_material_graph,
         metal_material_graph,
         stone_material_graph,
         wood_material_graph,
     )
 
     for factory in (wood_material_graph, stone_material_graph,
-                    metal_material_graph, brick_material_graph):
+                    metal_material_graph, brick_material_graph,
+                    cobblestone_material_graph):
         fused = _evaluate_procedural(factory(size=48), fused=True)
         pernode = _evaluate_procedural(factory(size=48), fused=False)
         for name in fused:

@@ -231,6 +231,10 @@ def test_param_edits_change_every_extension_recipe():
         (NodeType.Noise(16, 16, 4, 2, 0), NodeType.Noise(16, 16, 4, 2, 1)),
         (NodeType.Pattern(16, 16, "Brick", 2, 2, 0.1, 0.0, 0),
          NodeType.Pattern(16, 16, "Brick", 3, 2, 0.1, 0.0, 0)),
+        (NodeType.Voronoi(16, 16, 2, 2, 0.5, 0),
+         NodeType.Voronoi(16, 16, 2, 2, 0.75, 0)),
+        (NodeType.Voronoi(16, 16, 2, 2, 0.5, 0),
+         NodeType.Voronoi(16, 16, 2, 2, 0.5, 1)),
     ]
     inputs = ["deadbeef"]
     for a, b in pairs:

@@ -364,3 +364,29 @@ def test_mesh_engine_ao_and_distance_match_unsharded(mesh_tex_pro):
         with lg_mesh.write() as g:
             out_m = build(g)
         assert np.array_equal(render_u8(lg_plain, out_p), render_u8(lg_mesh, out_m))
+
+
+def test_mesh_engine_voronoi_matches_unsharded(mesh_tex_pro):
+    """The cellular source composes with the mesh: elementwise in global
+    (row, col), so GSPMD row-shards all three outputs with no halo; the
+    8-device engine is bit-identical to the single-device engine."""
+    def build(g):
+        vor = g.add_node(Node(NodeType.Voronoi(96, 96, 5, 3, 0.8, 7)))
+        mix = g.add_node(Node(NodeType.Mix(MixType.SUBTRACT)))
+        mix2 = g.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+        out = g.add_node(Node(NodeType.OutputGray("out")))
+        g.connect(vor, mix, SlotId(0), SlotId(0))
+        g.connect(vor, mix, SlotId(1), SlotId(1))
+        g.connect(mix, mix2, SlotId(0), SlotId(0))
+        g.connect(vor, mix2, SlotId(2), SlotId(1))
+        g.connect(mix2, out, SlotId(0), SlotId(0))
+        return out
+
+    with TextureProcessor(10_000_000) as plain:
+        lg_plain = plain.new_live_graph()
+        with lg_plain.write() as g:
+            out_p = build(g)
+        lg_mesh = mesh_tex_pro.new_live_graph()
+        with lg_mesh.write() as g:
+            out_m = build(g)
+        assert np.array_equal(render_u8(lg_plain, out_p), render_u8(lg_mesh, out_m))
