@@ -105,12 +105,33 @@ def main() -> None:
     roof3_s, ok3 = roof3.run()
     distinct &= ok3
     roofline_b = 2 * 3 * 4096 * 4096 * 4 / roof3_s / 1e9
-    del roof3, planes3
-    roofline_gbps = max(roofline_a, roofline_b)
-    extras["roofline_checksums_distinct"] = ok and ok3
+    del roof3
+    # (c) SAME-STRUCTURE calibration for the fused chain (VERDICT r3 weak
+    # #5): three INTERDEPENDENT outputs over three input planes, so XLA
+    # emits ONE fused kernel interleaving all 3 reads + 3 writes — the
+    # chain's exact memory structure — instead of (b)'s three independent
+    # kernels whose launch gaps depress the measured ceiling. With this
+    # row in the max, `implied_within_roofline` holds at 1.05× headroom
+    # (r3's chain beat calibration (b) by 6.5% and passed only through a
+    # 1.25× fudge).
+    roof3f = _ScanBench(
+        lambda c, ps: (
+            ps[0] * c,
+            (ps[0] + ps[1]) * c,
+            ((ps[0] + ps[1]) + ps[2]) * c,
+        ),
+        planes3, n1=8, n2=64,
+    )
+    roof3f_s, ok3f = roof3f.run()
+    distinct &= ok3f
+    roofline_c = 2 * 3 * 4096 * 4096 * 4 / roof3f_s / 1e9
+    del roof3f, planes3
+    roofline_gbps = max(roofline_a, roofline_b, roofline_c)
+    extras["roofline_checksums_distinct"] = ok and ok3 and ok3f
     extras["roofline_gbps"] = round(roofline_gbps, 1)
     extras["roofline_1buf_gbps"] = round(roofline_a, 1)
     extras["roofline_3buf_gbps"] = round(roofline_b, 1)
+    extras["roofline_3buf_fused_gbps"] = round(roofline_c, 1)
 
     # --- config 4: fused 64-node chain @ 4k, amortized device time ---
     graph, inputs, white, out = bounded_chain_graph(depth=CHAIN)
@@ -146,10 +167,11 @@ def main() -> None:
     extras["chain_device_ms"] = round(chain_s * 1e3, 3)
     extras["chain_implied_gbps"] = round(chain_gbps, 1)
     extras["node_evals_gpix_s"] = round(node_evals_gpix_s, 1)
-    # 1.25× headroom: lax.scan lets consecutive iterations overlap reads and
-    # writes slightly, so a fused chain can beat the single-op roofline by a
-    # few percent; the flag exists to catch order-of-magnitude fictions
-    extras["implied_within_roofline"] = bool(chain_gbps <= roofline_gbps * 1.25)
+    # 1.05× headroom (tightened from r3's 1.25× fudge): the roofline max
+    # now includes the same-structure fused-kernel calibration (c), so the
+    # chain has no structural edge left over the ceiling — anything >5%
+    # above it is a traffic-model or measurement error, not "overlap"
+    extras["implied_within_roofline"] = bool(chain_gbps <= roofline_gbps * 1.05)
 
     # --- interactive: one synchronous re-eval incl. tunnel + forcing read ---
     chk_jit = jax.jit(lambda planes: _chk(planes))
@@ -388,54 +410,103 @@ def main() -> None:
     evict_threshold = int(
         os.environ.get("KANTER_BENCH_EVICT_THRESHOLD", str(4 * evict_canvas * evict_canvas))
     )  # default: ONE gray plane — every further commit forces eviction
+    evict_reps = int(os.environ.get("KANTER_BENCH_EVICT_REPS", "3"))
     from kanter_core_tpu import SlotData, SlotImage, TextureProcessor
 
+    # Tunnel transfer-rate calibration row (VERDICT r3 weak #3): the
+    # eviction wall is dominated by device→host copies OVER THE TUNNEL,
+    # whose rate swings ~10× run to run — a same-run fetch calibration
+    # makes each rep's wall interpretable as (bytes moved / tunnel rate),
+    # so the artifact records a rate-normalized quantity, not a raw sample
+    # of tunnel weather.
+    fetch_plane = _device_random((4096, 4096), seed=77)
+    fetch_s = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(fetch_plane)
+        fetch_s.append(time.perf_counter() - t0)
+    extras["tunnel_fetch_gbps"] = round(
+        4096 * 4096 * 4 / float(np.median(fetch_s)) / 1e9, 3
+    )
+    del fetch_plane
+
+    # ≥3 reps, median + spread (VERDICT r3 weak #3: r2/r3 recorded single
+    # samples of a ~10×-variance quantity). Inputs vary per rep (the
+    # tunnel dedups identical dispatches). The drain metric is measured
+    # from the state at render end: `drain_start_bytes_device` records how
+    # much was still undrained — when render-path eviction already reached
+    # the watermark the drain wall is reported as None (not a vacuous
+    # 0.001), otherwise it times draining that REAL backlog.
     rng = np.random.default_rng(5)
-    tp = TextureProcessor(evict_threshold)
-    try:
-        lg = tp.new_live_graph()
-        egraph, einputs, _ewhite, eout = bounded_chain_graph(depth=CHAIN)
-        with lg.write() as g:
-            g.set_node_graph(egraph)
-            for node in einputs:
-                g.add_input_slot_data(
-                    SlotData(
-                        node,
-                        SlotId(0),
-                        SlotImage.Gray(rng.random((evict_canvas, evict_canvas), np.float32)),
+    evict_walls, drain_walls, drain_starts, host_bytes, checksums = [], [], [], [], []
+    for rep in range(evict_reps):
+        tp = TextureProcessor(evict_threshold)
+        try:
+            lg = tp.new_live_graph()
+            egraph, einputs, _ewhite, eout = bounded_chain_graph(depth=CHAIN)
+            with lg.write() as g:
+                g.set_node_graph(egraph)
+                for node in einputs:
+                    g.add_input_slot_data(
+                        SlotData(
+                            node,
+                            SlotId(0),
+                            SlotImage.Gray(
+                                rng.random((evict_canvas, evict_canvas), np.float32)
+                            ),
+                        )
                     )
-                )
-        t0 = time.perf_counter()
-        pixels = TextureProcessor.buffer_rgba(lg, eout, SlotId(0))
-        evict_wall = time.perf_counter() - t0
-        # Eviction is ASYNC (two-phase manager daemon): the render returns
-        # while device→host copies are still draining, and shutdown_now
-        # abandons whatever is left — so wait for the watermark before
-        # reading tier bytes, else bytes_host undercounts (a pre-fix run
-        # read 64 MB where the drained figure is ~870 MB). The drain is
-        # background work overlapping further edits on a live deployment,
-        # hence reported separately from the render wall.
-        t0 = time.perf_counter()
-        deadline = t0 + 240.0
-        while (
-            tp.metrics()["bytes_device"] > evict_threshold
-            and time.perf_counter() < deadline
-        ):
-            time.sleep(0.2)
-        drain_wall = time.perf_counter() - t0
-        metrics = tp.metrics()
-        extras["evict_canvas"] = evict_canvas
-        extras["evict_threshold_bytes"] = evict_threshold
-        extras["evict_wall_s"] = round(evict_wall, 3)
-        extras["evict_drain_wall_s"] = round(drain_wall, 3)
-        extras["evict_drained_to_watermark"] = bool(
-            metrics["bytes_device"] <= evict_threshold
-        )
-        extras["evict_bytes_host"] = int(metrics["bytes_host"])
-        extras["evict_happened"] = bool(metrics["bytes_host"] > 0)
-        extras["evict_px_checksum"] = int(np.asarray(pixels, dtype=np.uint64).sum() % (1 << 32))
-    finally:
-        tp.shutdown_now()
+            t0 = time.perf_counter()
+            pixels = TextureProcessor.buffer_rgba(lg, eout, SlotId(0))
+            evict_walls.append(time.perf_counter() - t0)
+            # Eviction is ASYNC (two-phase manager daemon): the render
+            # returns while device→host copies may still be draining, and
+            # shutdown_now abandons whatever is left — so wait for the
+            # watermark before reading tier bytes, else bytes_host
+            # undercounts (a pre-fix run read 64 MB where the drained
+            # figure is ~870 MB). The drain is background work overlapping
+            # further edits on a live deployment, hence reported
+            # separately from the render wall.
+            start_bytes = int(tp.metrics()["bytes_device"])
+            drain_starts.append(start_bytes)
+            t0 = time.perf_counter()
+            deadline = t0 + 240.0
+            while (
+                tp.metrics()["bytes_device"] > evict_threshold
+                and time.perf_counter() < deadline
+            ):
+                time.sleep(0.2)
+            drain_walls.append(
+                round(time.perf_counter() - t0, 3)
+                if start_bytes > evict_threshold
+                else None
+            )
+            metrics = tp.metrics()
+            host_bytes.append(int(metrics["bytes_host"]))
+            checksums.append(
+                int(np.asarray(pixels, dtype=np.uint64).sum() % (1 << 32))
+            )
+        finally:
+            tp.shutdown_now()
+    extras["evict_canvas"] = evict_canvas
+    extras["evict_threshold_bytes"] = evict_threshold
+    extras["evict_reps"] = evict_reps
+    extras["evict_wall_s"] = round(float(np.median(evict_walls)), 3)
+    extras["evict_wall_s_all"] = [round(w, 3) for w in evict_walls]
+    extras["evict_wall_s_spread"] = round(
+        float(max(evict_walls) - min(evict_walls)), 3
+    )
+    extras["evict_drain_wall_s_all"] = drain_walls
+    extras["evict_drain_start_bytes_device"] = drain_starts
+    extras["evict_drained_to_watermark"] = bool(
+        metrics["bytes_device"] <= evict_threshold
+    )
+    extras["evict_bytes_host"] = int(np.median(host_bytes))
+    extras["evict_happened"] = bool(min(host_bytes) > 0)
+    # all reps render DIFFERENT inputs → all checksums must differ (the
+    # same honesty contract as every scan stage)
+    extras["evict_checksums_distinct"] = len(set(checksums)) == len(checksums)
+    extras["evict_px_checksum"] = checksums[-1]
 
     print(
         json.dumps(

@@ -288,6 +288,105 @@ def stages(canvas: int):
                 8, 32, 0.25,  # fast op: needs a long scan to clear the noise floor
             )
 
+    # --- Hsv color adjust, RGBA (3 color reads + 3 writes; alpha is an
+    #     alias, not traffic). The scan value drives the VALUE scale (a
+    #     runtime argument riding in the params vector) so every
+    #     iteration's checksum is distinct. ---
+    from kanter_core_tpu.ops.hsv import hsv_planes
+
+    def hsv_body(c, ps):
+        params = _jnp.stack([_jnp.float32(1.7), _jnp.float32(0.8), c % 2.0])
+        return tuple(hsv_planes(list(ps), params)[:3])
+
+    yield (
+        "hsv_rgba",
+        hsv_body,
+        rgba,
+        6 * plane_bytes,
+        canvas * canvas,
+        8, 32, 0.25,
+    )
+
+    # --- Curvature (wrap Laplacian: 1 read + 1 write; the 4 rolls fuse —
+    #     the h2n few-operand stencil class, CLAUDE.md). The scan value
+    #     drives STRENGTH (a traced argument): the Laplacian is shift-
+    #     invariant, so varying the input by +c would collide checksums. ---
+    from kanter_core_tpu.ops.curvature import curvature_plane
+
+    yield (
+        "curvature",
+        lambda c, ps: (curvature_plane(ps[0], c),),
+        (p1,),
+        2 * plane_bytes,
+        canvas * canvas,
+        8, 32, 0.25,
+    )
+
+    # --- AmbientOcclusion radius=8 (3 wrap blurs at graded sigmas + the
+    #     rewrite-guarded combine). Minimal-traffic model: each separable
+    #     blur is 2 passes (in+tmp+tmp+out = 4 planes) ×3, plus the
+    #     combine's 3 blurred reads + center read + out write; the GB/s is
+    #     a LOWER bound when XLA fuses the combine into the last pass. The
+    #     scan value drives STRENGTH (a traced argument). ---
+    from kanter_core_tpu.ops.ambient_occlusion import ao_plane
+
+    yield (
+        "ambient_occlusion_r8",
+        lambda c, ps: (ao_plane(ps[0], c, 8.0),),
+        (p1,),
+        17 * plane_bytes,
+        canvas * canvas,
+        8, 32, 0.25,
+    )
+
+    # --- Distance (jump flooding): ceil(log2(canvas))+1 sequential steps
+    #     of 8 roll/compare offsets over the nearest-seed state. Traffic
+    #     model: the state must stream (read+write) at least once per STEP
+    #     (offsets within a step can fuse) + mask read + fade write; the
+    #     GB/s is the fraction of that floor actually achieved — CLAUDE.md
+    #     flags many-tap shifted sums as the HBM-materialization class, so
+    #     this row is the "actually fast, or just correct?" probe (VERDICT
+    #     r3 #2). The scan value drives MAX_DIST (a traced argument). ---
+    from kanter_core_tpu.ops.distance import _jfa_steps, distance_plane
+
+    dist_mask = (device_random((canvas, canvas), seed=5) > 0.998).astype(
+        np.float32
+    )
+    n_steps = len(_jfa_steps(canvas, canvas))
+
+    yield (
+        "distance_jfa",
+        lambda c, ps: (distance_plane(ps[0], c * np.float32(100.0)),),
+        (dist_mask,),
+        (2 * n_steps + 2) * plane_bytes,
+        canvas * canvas,
+        2, 8, 0.25,  # multi-ms op: short scan clears the noise floor
+    )
+
+    # --- Voronoi cellular source (25-candidate exact window; compute-
+    #     bound: 75 lattice hashes per pixel; traffic model = the three
+    #     output writes). The scan value drives JITTER (a traced
+    #     argument). ---
+    from kanter_core_tpu.ops.voronoi import voronoi_bindings, voronoi_planes
+
+    vb = voronoi_bindings((canvas, canvas, 24, 24, 1.0, 99))
+
+    def voronoi_body(c, ps):
+        rows, cols = ps
+        return voronoi_planes(
+            rows, cols, vb["fx"], vb["fy"], vb["px"], vb["py"],
+            c % 1.0, vb["seed"],
+        )
+
+    yield (
+        "voronoi_cellular",
+        voronoi_body,
+        (vb["rows"], vb["cols"]),
+        3 * plane_bytes,
+        canvas * canvas,
+        8, 32, 0.25,
+    )
+
     # --- u8 export, RGBA interleave (4 f32 reads + 1 u32 write): the
     #     PRODUCTION pack formulation (slot_image's little-endian u32) ---
     from kanter_core_tpu.ops.common import f32_to_u8

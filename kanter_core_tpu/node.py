@@ -365,7 +365,9 @@ class NodeType:
         traced consumer (cell-count drags, jitter sliders, and seed cycling
         re-run cached executables); only the size shapes the trace.
         `jitter` is bounded to [0, 1] so a feature point stays inside its
-        own cell and the 3×3 neighbourhood search is exact."""
+        own cell and the 5×5 neighbourhood search is exact for F1, F2,
+        and the ID (ops/voronoi.py proves the window bound; a 3×3 window
+        is only exact up to jitter ≈ 0.5)."""
         width, height = int(width), int(height)
         cells_x, cells_y = int(cells_x), int(cells_y)
         if width < 1 or height < 1 or cells_x < 1 or cells_y < 1:

@@ -51,7 +51,14 @@ Consumers: the op is GLOBAL (any pixel may be nearest to any seed), so
 the tiled twin hoists the full input height per band like Transform
 (documented band-dense cost) and the bucketed gate excludes it (a padded
 plane cannot wrap-roll; partitions containing Distance fall back to the
-dense fused path, asserted by tests).
+dense fused path, asserted by tests). Because banding cannot bound the
+hoisted full-height input, a partition whose band-dense floor exceeds
+DEVICE capacity (the engine's auto half-of-HBM budget — an explicit
+tiny `tile_bytes`, the test idiom for forcing banding, still bands) is
+REFUSED with a diagnosable RESOURCE_EXHAUSTED graph-fatal error
+(`tiled.band_dense_floor_bytes` + the engine gate;
+`tests/test_tiled.py::test_band_dense_distance_capacity_gate`) — the
+explicit degradation analog of `transient_buffer.rs:388-406`.
 """
 
 from __future__ import annotations
@@ -105,46 +112,61 @@ def distance_plane(mask, max_dist):
     rows = jnp.arange(h, dtype=jnp.int32)[:, None] * jnp.ones((1, w), jnp.int32)
     cols = jnp.ones((h, 1), jnp.int32) * jnp.arange(w, dtype=jnp.int32)[None, :]
     seed = mask > jnp.float32(0.5)
-    # nearest-seed coordinate planes; non-seeds start at the sentinel
     far = jnp.int32(_FAR)
-    best_y = jnp.where(seed, rows, far)
-    best_x = jnp.where(seed, cols, far)
+
+    # PACKED single-plane state (r4 perf rework, bit-identical by integer
+    # exactness — chip-measured vs the three-plane original in
+    # DESIGN.md §10): the nearest-seed coordinate rides as y<<16 | x in ONE
+    # i32 plane instead of (best_y, best_x, best_d2) three. Every JFA
+    # round then rolls/reads/writes one plane — the sequential roll→select
+    # chain is the HBM-materialization class (CLAUDE.md), so state bytes
+    # ARE the wall clock — and both d² values are recomputed from the
+    # packed coords inside the same fused pass (pure i32 VPU ops, exact on
+    # every backend; d² is a function of the stored coords, so recompute
+    # == carry). Coords are in-range by construction (rolls permute
+    # positions; values never leave [0,h)×[0,w)), the pack is lossless for
+    # h ≤ 32767 and w ≤ 65535 (beyond the documented 30k canvas bound),
+    # and the sentinel 0x7FFFFFFF exceeds every real pack. Candidate
+    # order, strict-< tie-breaks, and all d² values are unchanged from the
+    # unpacked formulation — the bitwise numpy oracle
+    # (`tests/test_distance.py::_oracle`) still mirrors an UNPACKED pass
+    # order and the outputs match bit for bit.
+    assert h <= 32767 and w <= 65535, "canvas exceeds the packed-JFA bound"
+    sent = jnp.int32(0x7FFFFFFF)
+    pix = (rows << jnp.int32(16)) | cols
+    packed = jnp.where(seed, pix, sent)
 
     half_h, half_w = jnp.int32(h // 2), jnp.int32(w // 2)
     hh, ww = jnp.int32(h), jnp.int32(w)
 
-    def d2_of(cand_y, cand_x):
-        # toroidal |Δ| per axis (i32-exact); sentinel coords saturate
-        dy = jnp.abs(rows - cand_y)
+    def d2_of(cand):
+        # toroidal |Δ| per axis (i32-exact); the sentinel saturates
+        valid = cand != sent
+        cy = jnp.right_shift(cand, jnp.int32(16))
+        cx = jnp.bitwise_and(cand, jnp.int32(0xFFFF))
+        dy = jnp.abs(rows - cy)
         dy = jnp.where(dy > half_h, hh - dy, dy)
-        dx = jnp.abs(cols - cand_x)
+        dx = jnp.abs(cols - cx)
         dx = jnp.where(dx > half_w, ww - dx, dx)
-        valid = cand_y < far
         dy = jnp.where(valid, dy, jnp.int32(0))
         dx = jnp.where(valid, dx, jnp.int32(0))
         return jnp.where(valid, dy * dy + dx * dx, far)
 
-    best_d2 = d2_of(best_y, best_x)
     for k in _jfa_steps(h, w):
         for oy in (-k, 0, k):
             for ox in (-k, 0, k):
                 if oy == 0 and ox == 0:
                     continue
                 # toroidal roll; degenerate/oversized axes wrap to self
-                cy, cx = best_y, best_x
+                cand = packed
                 if h > 1 and oy % h != 0:
-                    cy = jnp.roll(cy, oy, axis=0)
-                    cx = jnp.roll(cx, oy, axis=0)
+                    cand = jnp.roll(cand, oy, axis=0)
                 if w > 1 and ox % w != 0:
-                    cy = jnp.roll(cy, ox, axis=1)
-                    cx = jnp.roll(cx, ox, axis=1)
-                d2 = d2_of(cy, cx)
-                better = d2 < best_d2  # strict: first-seen wins ties
-                best_y = jnp.where(better, cy, best_y)
-                best_x = jnp.where(better, cx, best_x)
-                best_d2 = jnp.where(better, d2, best_d2)
+                    cand = jnp.roll(cand, ox, axis=1)
+                better = d2_of(cand) < d2_of(packed)  # strict: first wins
+                packed = jnp.where(better, cand, packed)
 
-    dist = corrected_sqrt(best_d2.astype(jnp.float32))
+    dist = corrected_sqrt(d2_of(packed).astype(jnp.float32))
     one = jnp.float32(1.0)
     fade = one - corrected_div(dist, jnp.maximum(max_dist, jnp.float32(1e-6)))
     return jnp.clip(fade, 0.0, 1.0)

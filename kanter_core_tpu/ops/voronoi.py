@@ -4,7 +4,8 @@ No reference counterpart — the reference's only procedural source is the
 1×1 Value constant (`/root/reference/src/node/value.rs:14-26`); cellular
 (Worley) noise is the third classic texture source next to FBM Noise and
 the Pattern lattice. One jittered feature point per lattice cell; each
-pixel searches its 3×3 cell neighbourhood for the nearest two points.
+pixel searches its 5×5 cell neighbourhood for the nearest two points
+(exact for every jitter in [0,1] — see the window-exactness proof below).
 Three Gray outputs:
 
 - slot 0 `distance`: F1 — Euclidean distance to the nearest feature
@@ -46,9 +47,22 @@ Design rules shared with Noise/Pattern (the sibling source nodes):
   plane), so no constant-origin arithmetic exists for the constant folder
   to round differently (CLAUDE.md const-guard rule) — the one `inf` init
   for F2 only ever passes through exact `minimum`/`where` lanes.
-- `jitter` is clamped to [0, 1] at construction: a point stays inside its
-  own cell, so the 3×3 neighbourhood provably contains the nearest two
-  points and F1/F2 are exact (not approximate) cellular distances.
+- **Window exactness (why 5×5, not 3×3)**: `jitter` is clamped to [0, 1]
+  at construction, so a feature point stays inside its own cell. In cell
+  units, a point in a cell at Chebyshev lattice offset k from the pixel's
+  home cell is at Euclidean distance ≥ k−1, so every point outside the
+  5×5 window (k ≥ 3) is at distance ≥ 2. The true F1 is at most the
+  home-cell point's distance ≤ √2 < 2, and the true F2 is at most the
+  larger of (a) the home point's distance and (b) the distance to the
+  point of the nearer edge-adjacent cell toward the pixel's quadrant,
+  whose far corner is at distance² ≤ 2 + 2t² ≤ 2.5 (t = in-cell
+  coordinate ≤ ½), i.e. F2 ≤ √2.5 ≈ 1.5812 < 2. Hence the nearest TWO
+  points (and the ID = argmin) always lie inside the 5×5 window and
+  F1/F2/ID are exact — not approximate — cellular values for all jitter
+  in [0, 1]. A 3×3 window is NOT exact above jitter ≈ 0.5 (measured
+  ~1e-4 of pixels wrong at jitter=1.0, errors up to 0.13 in F2−F1 —
+  round-3 advisor finding); the 25-candidate unroll stays one fused
+  elementwise pass.
 """
 
 from __future__ import annotations
@@ -65,6 +79,11 @@ from .noise import _hash01
 # u32 seed salts for the three independent per-cell hash channels
 _SALT_JY = 0x68E31DA4
 _SALT_ID = 0xB5297A4D
+
+# The exact search window (module docstring proves 5×5 suffices for all
+# jitter in [0,1]); shared with test_voronoi's oracles so the candidate
+# ORDER — which decides ties via strict `<` — stays in lockstep.
+_OFFSETS = [(dx, dy) for dy in (-2, -1, 0, 1, 2) for dx in (-2, -1, 0, 1, 2)]
 
 
 def voronoi_bindings(payload) -> dict:
@@ -95,10 +114,11 @@ def voronoi_planes(rows, cols, fx, fy, px, py, jitter, seed):
 
     `rows`/`cols` are GLOBAL i32 pixel indices (the tiled evaluator passes
     a band's absolute rows; the bucketed evaluator passes padded index
-    vectors); everything else is a traced argument. The 3×3 candidate loop
-    is a fixed Python unroll — nine statically-ordered select chains, no
+    vectors); everything else is a traced argument. The 5×5 candidate loop
+    is a fixed Python unroll — 25 statically-ordered select chains, no
     data-dependent control flow, so XLA fuses the whole node into one
-    elementwise pass.
+    elementwise pass; the module docstring proves 5×5 exact for all
+    jitter in [0, 1].
     """
     import jax
     import jax.numpy as jnp
@@ -138,11 +158,10 @@ def voronoi_planes(rows, cols, fx, fy, px, py, jitter, seed):
         d2 = nc_mul(ddx, ddx) + nc_mul(ddy, ddy)
         return d2, cid
 
-    offsets = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
     # seed the accumulators from candidate 0 — no constant-plane arithmetic
-    best1, best_id = candidate(*offsets[0])
+    best1, best_id = candidate(*_OFFSETS[0])
     best2 = jnp.full((nr, nc), jnp.inf, f32)  # only touched by min/select
-    for off in offsets[1:]:
+    for off in _OFFSETS[1:]:
         d2, cid = candidate(*off)
         closer = d2 < best1
         best2 = jnp.where(closer, best1, jnp.minimum(best2, d2))

@@ -104,6 +104,11 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
         vor = g.add_node(Node(NodeType.Voronoi(
             16, 16, cells_x=3, cells_y=3, jitter=0.8, seed=2,
         )))
+        # mortar spread: the jump-flood Distance field of the groove mask
+        # — the one GLOBAL iterative op — soaks under churn (NOTE: adding
+        # this node REMAPPED every seed's sequence — r4, VALIDATION.md's
+        # DISTANCE REMAP entry)
+        dst = g.add_node(Node(NodeType.Distance(6.0)))
         # final grade stage (NOTE: adding this node remapped every seed's
         # sequence again — see VALIDATION.md's HSV REMAP entry)
         hsv = g.add_node(Node(NodeType.Hsv(10.0, 1.1, 1.0)))
@@ -119,9 +124,12 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
         g.connect(ao, mixes[1], SlotId(0), SlotId(0))
         g.connect(pattern, mixes[2], SlotId(1), SlotId(1))  # per-cell IDs
         g.connect(vor, mixes[1], SlotId(1), SlotId(1))  # voronoi borders
+        g.connect(pattern, dst, SlotId(0), SlotId(0))  # groove mask → JFA
+        g.connect(dst, mixes[3], SlotId(0), SlotId(0))
         g.connect(mixes[0], comb, SlotId(0), SlotId(0))
         g.connect(mixes[1], comb, SlotId(0), SlotId(1))
         g.connect(mixes[2], comb, SlotId(0), SlotId(2))
+        g.connect(mixes[3], comb, SlotId(0), SlotId(3))
         g.connect(comb, blur, SlotId(0), SlotId(0))
         g.connect(blur, warp, SlotId(0), SlotId(0))
         g.connect(values[2], warp, SlotId(0), SlotId(1))
@@ -136,9 +144,9 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
         with lg.write() as g:
             for _ in range(n_edits):
                 # NOTE: widening 9 → 10 (Pattern), 10 → 11 (Hsv drags),
-                # 11 → 12 (AO drags), and 12 → 13 (Voronoi drags) each
-                # remapped seeds too
-                action = rng.integers(13)
+                # 11 → 12 (AO drags), 12 → 13 (Voronoi drags), and
+                # 13 → 14 (Distance drags, r4) each remapped seeds too
+                action = rng.integers(14)
                 if action == 0:
                     node = values[rng.integers(len(values))]
                     g.node_mut(node).node_type = NodeType.Value(float(rng.random()))
@@ -208,6 +216,10 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
                         float(rng.uniform(0.0, 1.0)),
                         int(rng.integers(0, 100)),
                     )
+                elif action == 13:
+                    # distance spread drag: max_dist is a program argument
+                    # — every drag re-runs the cached executable
+                    g.set_distance(dst, float(rng.uniform(1.0, 12.0)))
                 elif action == 7:
                     # structural churn: add a fresh Value wired into a mix,
                     # or remove one added earlier (dirties its children)

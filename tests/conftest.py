@@ -37,7 +37,15 @@ HEART_110 = os.path.join(REFERENCE_DATA, "heart_110.png")
 CLOUDS = os.path.join(REFERENCE_DATA, "clouds.png")
 INVERT_GRAPH_JSON = os.path.join(REFERENCE_DATA, "invert_graph.json")
 
-TIMEOUT_SECONDS = 120  # generous: remote-tunnel stalls can freeze I/O for tens of seconds
+# Per-test watchdog budget. 120 s is generous for a WARM jit cache
+# (remote-tunnel stalls can freeze I/O for tens of seconds), but a COLD
+# cache on a fresh host compiles every program from scratch and the
+# slowest tests blow it — the visible symptom is the suite "passing N
+# dots then exiting rc=1 with no summary" (the faulthandler dump lands in
+# pytest's capture fd). On a fresh host run with
+# `KANTER_TEST_TIMEOUT=900 python -m pytest tests/ -q` once to warm
+# ~/.cache/kanter_core_tpu/jit, then the default is fine.
+TIMEOUT_SECONDS = int(os.environ.get("KANTER_TEST_TIMEOUT", "120"))
 
 
 @pytest.fixture(autouse=True)

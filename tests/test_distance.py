@@ -157,7 +157,11 @@ def test_distance_degenerate_masks():
 
 def test_distance_four_consumer_parity():
     """fused == eager == tiled engine pixels (the tiled twin is band-dense:
-    full-height hoist, field recomputed per band, rows sliced)."""
+    full-height hoist, field recomputed per band, rows sliced). The tiny
+    forcing budget still bands: the band-dense capacity gate keys on
+    DEVICE capacity (the auto half-of-HBM bound), not on an explicit
+    tile_bytes (test_tiled.py::test_band_dense_distance_capacity_gate
+    pins the refusal side)."""
     px = {}
     for mode, kw, auto in (
         ("fused", {}, False),

@@ -67,8 +67,10 @@ def _np_hash01(x_u32, y_u32, seed):
 def _np_voronoi(width, height, cells_x, cells_y, jitter, seed):
     """Bitwise oracle for voronoi_planes on the CPU backend: numpy's
     correctly-rounded f32 mul/add/sub/sqrt match XLA:CPU's non-contracted
-    (nc_mul-guarded) kernels; the select chains are order-identical."""
-    from kanter_core_tpu.ops.voronoi import _SALT_ID, _SALT_JY
+    (nc_mul-guarded) kernels; the select chains are order-identical
+    (the candidate ORDER is imported from the kernel so tie-breaks stay
+    in lockstep)."""
+    from kanter_core_tpu.ops.voronoi import _OFFSETS, _SALT_ID, _SALT_JY
 
     f32 = np.float32
     b_fx = f32(np.float64(cells_x) / np.float64(width))
@@ -97,10 +99,9 @@ def _np_voronoi(width, height, cells_x, cells_y, jitter, seed):
         d2 = ddx * ddx + ddy * ddy
         return d2, cid
 
-    offsets = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
-    best1, best_id = cand(*offsets[0])
+    best1, best_id = cand(*_OFFSETS[0])
     best2 = np.full((height, width), np.inf, f32)
-    for off in offsets[1:]:
+    for off in _OFFSETS[1:]:
         d2, cid = cand(*off)
         closer = d2 < best1
         best2 = np.where(closer, best1, np.minimum(best2, d2))
@@ -122,38 +123,64 @@ def test_numpy_oracle_bitwise():
         assert np.array_equal(g, w), name
 
 
-def test_brute_force_toroidal_f1_f2():
-    """The 3×3 neighbourhood search must find the true nearest two feature
-    points under the TOROIDAL metric — checked against an all-cells f64
-    brute force with wrap copies (independent of the kernel's search)."""
+@pytest.mark.parametrize("cfg", [
+    # (cells_x, cells_y, jitter, seed) — jitter=1.0 rows are the regime
+    # where a 3×3 window demonstrably misses (round-3 advisor finding);
+    # the brute force is independent of ANY windowed search.
+    (4, 4, 1.0, 11),
+    (4, 4, 1.0, 77),
+    (4, 4, 1.0, 123456),
+    (5, 3, 1.0, 7),
+    (8, 8, 1.0, 2),
+    (3, 6, 0.85, 9),
+    (4, 4, 0.5, 11),
+])
+def test_brute_force_toroidal_f1_f2_id(cfg):
+    """The 5×5 neighbourhood search must find the true nearest two feature
+    points AND the true nearest ID under the TOROIDAL metric — every pixel
+    of the plane checked against an all-cells f64 brute force with wrap
+    copies (independent of the kernel's windowed search; a genuine
+    neighbourhood miss fails deterministically rather than by seed luck)."""
     W = H = 32
-    CX, CY, J, S = 4, 4, 1.0, 11
-    from kanter_core_tpu.ops.voronoi import _SALT_JY
+    CX, CY, J, S = cfg
+    from kanter_core_tpu.ops.voronoi import _SALT_ID, _SALT_JY
 
-    # feature points (f64) at every cell, from the same hashes
+    # feature points (f64) + IDs at every cell, from the same hashes
     pts = []
     for cyi in range(CY):
         for cxi in range(CX):
             jx = float(_np_hash01(np.uint32(cxi), np.uint32(cyi), np.uint32(S)))
             jy = float(_np_hash01(np.uint32(cxi), np.uint32(cyi),
                                   np.uint32(S) ^ np.uint32(_SALT_JY)))
-            pts.append((cxi + 0.5 + (jx - 0.5) * J, cyi + 0.5 + (jy - 0.5) * J))
-    distance, borders, _ = _planes(W, H, cells_x=CX, cells_y=CY, jitter=J, seed=S)
+            cid = float(_np_hash01(np.uint32(cxi), np.uint32(cyi),
+                                   np.uint32(S) ^ np.uint32(_SALT_ID)))
+            pts.append((cxi + 0.5 + (jx - 0.5) * J,
+                        cyi + 0.5 + (jy - 0.5) * J, cid))
+    distance, borders, cells = _planes(
+        W, H, cells_x=CX, cells_y=CY, jitter=J, seed=S)
     fx, fy = CX / W, CY / H
-    for py in range(0, H, 5):
-        for px in range(0, W, 5):
+    for py in range(H):
+        for px in range(W):
             u, v = (px + 0.5) * fx, (py + 0.5) * fy
-            d2s = sorted(
-                min(
-                    ((x + sx * CX) - u) ** 2 + ((y + sy * CY) - v) ** 2
-                    for sx in (-1, 0, 1)
-                    for sy in (-1, 0, 1)
+            ranked = sorted(
+                (
+                    min(
+                        ((x + sx * CX) - u) ** 2 + ((y + sy * CY) - v) ** 2
+                        for sx in (-1, 0, 1)
+                        for sy in (-1, 0, 1)
+                    ),
+                    cid,
                 )
-                for (x, y) in pts
+                for (x, y, cid) in pts
             )
-            f1, f2 = np.sqrt(d2s[0]), np.sqrt(d2s[1])
+            f1, f2 = np.sqrt(ranked[0][0]), np.sqrt(ranked[1][0])
             assert abs(min(f1, 1.0) - distance[py, px]) < 1e-5, (px, py)
-            assert abs(min(max(f2 - f1, 0.0), 1.0) - borders[py, px]) < 1e-5, (px, py)
+            assert abs(min(max(f2 - f1, 0.0), 1.0) - borders[py, px]) < 1e-5, \
+                (px, py)
+            # ID must be the nearest point's (skip near-ties, where f32
+            # vs f64 ranking may legitimately differ)
+            if ranked[1][0] - ranked[0][0] > 1e-5:
+                assert abs(ranked[0][1] - cells[py, px]) < 1e-6, (px, py)
 
 
 def test_jitter_zero_is_cell_center_grid():
