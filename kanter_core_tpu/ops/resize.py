@@ -13,9 +13,12 @@ Replicates `image-0.24.0`'s `imageops::resize` as used by the reference
 
 All weight arithmetic is done in strict IEEE f32 (numpy float32 scalar ops)
 matching Rust's evaluation order, so outputs are bit-identical. Transcendental
-kernels (Gaussian `exp`, Lanczos `sin`) are computed in float64 and rounded,
-which agrees with glibc's correctly-rounded `expf`/`sinf` in all but
-astronomically rare double-rounding cases.
+kernels (Gaussian `exp`, Lanczos `sin`) call glibc's FLOAT functions
+(`expf`/`sinf` via ctypes) — the same symbols Rust's `f32::exp`/`f32::sin`
+lower to on linux-gnu — because the earlier f64-compute-then-round route
+double-rounds on ~1/36k weights (measured 1-ulp drift vs the independent C
+oracle, tests/test_resize_c_oracle.py); if libm cannot be loaded the f64
+route remains as fallback.
 
 The device-side application preserves the tap accumulation order (sequential
 adds), so XLA cannot reassociate the sum; padded taps multiply by a weight of
@@ -47,6 +50,33 @@ _SUPPORT = {
 }
 
 _PI = f32(math.pi)  # f32::consts::PI
+
+# glibc float transcendentals (the exact symbols Rust f32 math lowers to
+# on linux-gnu). expf/sinf have been correctly rounded since glibc 2.28,
+# so these are the crate's bits; the f64 fallback differs only in
+# astronomically rare double-rounding cases (~1/36k kernel evaluations).
+try:
+    import ctypes as _ctypes
+
+    _libm = _ctypes.CDLL("libm.so.6")
+    _libm.expf.restype = _ctypes.c_float
+    _libm.expf.argtypes = [_ctypes.c_float]
+    _libm.sinf.restype = _ctypes.c_float
+    _libm.sinf.argtypes = [_ctypes.c_float]
+
+    def _expf(x: f32) -> f32:
+        return f32(_libm.expf(float(x)))
+
+    def _sinf(x: f32) -> f32:
+        return f32(_libm.sinf(float(x)))
+
+except OSError:  # pragma: no cover — non-glibc host
+
+    def _expf(x: f32) -> f32:
+        return f32(math.exp(float(x)))
+
+    def _sinf(x: f32) -> f32:
+        return f32(math.sin(float(x)))
 
 
 def _box_kernel(x: f32) -> f32:
@@ -93,7 +123,7 @@ def _gaussian(x: f32, r: f32) -> f32:
     x2 = f32(x * x)
     r2 = f32(r * r)
     arg = f32(-x2 / f32(f32(2.0) * r2))
-    return f32(norm * f32(math.exp(float(arg))))
+    return f32(norm * _expf(arg))
 
 
 def _gaussian_kernel(x: f32) -> f32:
@@ -104,7 +134,7 @@ def _sinc(t: f32) -> f32:
     a = f32(t * _PI)
     if t == f32(0.0):
         return f32(1.0)
-    return f32(f32(math.sin(float(a))) / a)
+    return f32(_sinf(a) / a)
 
 
 def _lanczos3_kernel(x: f32) -> f32:
