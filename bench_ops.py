@@ -291,7 +291,11 @@ def stages(canvas: int):
     # --- Hsv color adjust, RGBA (3 color reads + 3 writes; alpha is an
     #     alias, not traffic). The scan value drives the VALUE scale (a
     #     runtime argument riding in the params vector) so every
-    #     iteration's checksum is distinct. ---
+    #     iteration's checksum is distinct. Measured ~2.6× the pure-
+    #     traffic floor at 4096²: chip probes attribute 0.45 ms of the
+    #     1.4 ms to corrected_div's Newton refine (the cross-backend
+    #     determinism tax — plain div measured 0.95 ms) and the rest to
+    #     the hexcone select tree; accepted as compute-bound. ---
     from kanter_core_tpu.ops.hsv import hsv_planes
 
     def hsv_body(c, ps):
@@ -308,45 +312,72 @@ def stages(canvas: int):
     )
 
     # --- Curvature (wrap Laplacian: 1 read + 1 write; the 4 rolls fuse —
-    #     the h2n few-operand stencil class, CLAUDE.md). The scan value
-    #     drives STRENGTH (a traced argument): the Laplacian is shift-
-    #     invariant, so varying the input by +c would collide checksums. ---
+    #     the h2n few-operand stencil class, CLAUDE.md). Variation: roll
+    #     the input by the iteration index (the h2n driver). Driving
+    #     STRENGTH alone lets XLA hoist the c-invariant Laplacian out of
+    #     the scan (measured: the row collapsed below the noise floor);
+    #     value variation (+c) is no better — the Laplacian is
+    #     shift-invariant. The roll moves every stencil neighborhood with
+    #     zero change to the op's arithmetic. ---
     from kanter_core_tpu.ops.curvature import curvature_plane
+
+    def curvature_body(c, ps):
+        rolled = _jnp.roll(ps[0], c.astype(_jnp.int32), axis=1)
+        return (curvature_plane(rolled, _jnp.float32(5.0)),)
 
     yield (
         "curvature",
-        lambda c, ps: (curvature_plane(ps[0], c),),
+        curvature_body,
         (p1,),
         2 * plane_bytes,
         canvas * canvas,
-        8, 32, 0.25,
+        8, 32, 1.0,  # integer roll offsets (step=1 via the h2n rule)
     )
 
-    # --- AmbientOcclusion radius=8 (3 wrap blurs at graded sigmas + the
-    #     rewrite-guarded combine). Minimal-traffic model: each separable
-    #     blur is 2 passes (in+tmp+tmp+out = 4 planes) ×3, plus the
-    #     combine's 3 blurred reads + center read + out write; the GB/s is
-    #     a LOWER bound when XLA fuses the combine into the last pass. The
-    #     scan value drives STRENGTH (a traced argument). ---
+    # --- AmbientOcclusion radius=2, the flagship payload (3 wrap blurs at
+    #     sigmas 2/4/8 — all Pallas-kernel-viable — + the rewrite-guarded
+    #     combine). Radius 8 was tried first and OOM'd: sigmas (8,16,32)
+    #     exceed the Mosaic tap bound, the jnp fallback's ~100 rolls
+    #     materialize 64 MB temps inside the scan, and HBM dies — the
+    #     documented blur-class hazard, now pinned at the AO level too.
+    #     Minimal-traffic model: each separable blur is 2 passes
+    #     (in+tmp+tmp+out = 4 planes) ×3, plus the combine's 3 blurred
+    #     reads + center read + out write; the GB/s is a LOWER bound when
+    #     XLA fuses the combine into the last pass. Variation: roll the
+    #     input by the iteration index (the h2n driver) — a first attempt
+    #     drove STRENGTH, and XLA hoisted the three c-invariant blurs out
+    #     of the scan entirely (measured 0.31 ms ≈ the combine alone,
+    #     implied 3.7 TB/s — fiction); the roll forces the whole op to run
+    #     per iteration. ---
     from kanter_core_tpu.ops.ambient_occlusion import ao_plane
 
+    def ao_body(c, ps):
+        rolled = _jnp.roll(ps[0], c.astype(_jnp.int32), axis=1)
+        return (ao_plane(rolled, _jnp.float32(2.0), 2.0),)
+
     yield (
-        "ambient_occlusion_r8",
-        lambda c, ps: (ao_plane(ps[0], c, 8.0),),
+        "ambient_occlusion_r2",
+        ao_body,
         (p1,),
         17 * plane_bytes,
         canvas * canvas,
-        8, 32, 0.25,
+        8, 32, 1.0,  # integer roll offsets
     )
 
-    # --- Distance (jump flooding): ceil(log2(canvas))+1 sequential steps
-    #     of 8 roll/compare offsets over the nearest-seed state. Traffic
-    #     model: the state must stream (read+write) at least once per STEP
-    #     (offsets within a step can fuse) + mask read + fade write; the
-    #     GB/s is the fraction of that floor actually achieved — CLAUDE.md
-    #     flags many-tap shifted sums as the HBM-materialization class, so
-    #     this row is the "actually fast, or just correct?" probe (VERDICT
-    #     r3 #2). The scan value drives MAX_DIST (a traced argument). ---
+    # --- Distance (jump flooding): ceil(log2(canvas))+1 step-batched
+    #     passes of 8 roll/compare offsets over the packed nearest-seed
+    #     state (DESIGN.md §10 has the 149.7 → 26.9 ms rework history).
+    #     Traffic model per STEP: the 8 rolled copies of the state
+    #     materialize (write+read each — rolls of computed values are the
+    #     blur's documented HBM class; measured, not assumed) + the state
+    #     read + the new state write = 18 planes, + mask read + fade
+    #     write. Chip-measured ~1.3× this bound — the residual is the
+    #     ~40 i32 VPU ops/px/offset of unpack+d². The idealized
+    #     state-stream floor (2 planes/step, offsets fusing) would be
+    #     ~2.5 ms; a per-step Pallas kernel could approach it but needs
+    #     ±k-row remote DMA windows at k up to H/2 (rejected for now —
+    #     DESIGN.md §10). The scan value drives MAX_DIST (a traced
+    #     argument). ---
     from kanter_core_tpu.ops.distance import _jfa_steps, distance_plane
 
     dist_mask = (device_random((canvas, canvas), seed=5) > 0.998).astype(
@@ -358,7 +389,7 @@ def stages(canvas: int):
         "distance_jfa",
         lambda c, ps: (distance_plane(ps[0], c * np.float32(100.0)),),
         (dist_mask,),
-        (2 * n_steps + 2) * plane_bytes,
+        (18 * n_steps + 2) * plane_bytes,
         canvas * canvas,
         2, 8, 0.25,  # multi-ms op: short scan clears the noise floor
     )
@@ -366,7 +397,12 @@ def stages(canvas: int):
     # --- Voronoi cellular source (25-candidate exact window; compute-
     #     bound: 75 lattice hashes per pixel; traffic model = the three
     #     output writes). The scan value drives JITTER (a traced
-    #     argument). ---
+    #     argument). Chip cost attribution at 4096² (14.0 ms): hashes
+    #     8.7 ms (cheap-hash probe ran 5.3 ms), candidate d²/select math
+    #     the rest. A per-cell hash table + two-axis takes was BIT-EQUAL
+    #     but measured 22.1 ms — the axis-1 take is the slow lane-gather
+    #     class — so the broadcast recompute stays (DESIGN.md §5's
+    #     measure-first rule, rejection recorded there). ---
     from kanter_core_tpu.ops.voronoi import voronoi_bindings, voronoi_planes
 
     vb = voronoi_bindings((canvas, canvas, 24, 24, 1.0, 99))
@@ -429,8 +465,8 @@ def main() -> None:
             # offsets (see h2n_body)
             if name.startswith("u8"):
                 step = 1.0 / 128.0
-            elif name.startswith("h2n"):
-                step = 1.0
+            elif name.startswith(("h2n", "curvature", "ambient")):
+                step = 1.0  # integer roll offsets drive the variation
             else:
                 step = 1e-4
             bench = ScanBench(body, consts, n1=n1, n2=n2, base=base, step=step)

@@ -14,13 +14,13 @@ tileable masks yield tileable fields), and the output is the fade
 mask produces all-zero output (the sentinel distance saturates the fade).
 
 Algorithm — Jump Flooding (JFA), the GPU-classic O(N log N) nearest-seed
-propagation and the TPU-natural choice: ceil(log2(max(H, W))) passes,
-each a NINE-offset gather/compare over two i32 coordinate planes. Every
-pass is data-independent elementwise compare+select over rolled copies —
-XLA fuses each pass into a streaming sweep, there is no data-dependent
-control flow, and the pass count is static in the trace (Python loop:
-shapes are static per program, matching the engine's size-keyed
-fingerprints).
+propagation and the TPU-natural choice: ceil(log2(max(H, W)))+1
+step-batched passes, each folding eight rolls of ONE packed i32
+nearest-seed plane through a fixed-order select chain. Every pass is
+data-independent elementwise compare+select over rolled copies — no
+data-dependent control flow, and the pass count is static in the trace
+(Python loop: shapes are static per program, matching the engine's
+size-keyed fingerprints). Chip-measured perf history: DESIGN.md §10.
 
 Determinism design (CLAUDE.md discipline):
 
@@ -114,16 +114,16 @@ def distance_plane(mask, max_dist):
     seed = mask > jnp.float32(0.5)
     far = jnp.int32(_FAR)
 
-    # PACKED single-plane state (r4 perf rework, bit-identical by integer
-    # exactness — chip-measured vs the three-plane original in
+    # PACKED single-plane state (r4 perf rework — chip numbers in
     # DESIGN.md §10): the nearest-seed coordinate rides as y<<16 | x in ONE
-    # i32 plane instead of (best_y, best_x, best_d2) three. Every JFA
-    # round then rolls/reads/writes one plane — the sequential roll→select
-    # chain is the HBM-materialization class (CLAUDE.md), so state bytes
-    # ARE the wall clock — and both d² values are recomputed from the
-    # packed coords inside the same fused pass (pure i32 VPU ops, exact on
-    # every backend; d² is a function of the stored coords, so recompute
-    # == carry). Coords are in-range by construction (rolls permute
+    # i32 plane instead of (best_y, best_x, best_d2) three. The JFA
+    # roll→select chain is the HBM-materialization class (CLAUDE.md), so
+    # state bytes ARE the wall clock — packing cut 149.7 → 42.9 ms at
+    # 4096² on chip, bit-identical by integer exactness — and the d²
+    # values are recomputed from the packed coords inside the fused pass
+    # (pure i32 VPU ops, exact on every backend; d² is a function of the
+    # stored coords, so recompute == carry). Coords are in-range by
+    # construction (rolls permute
     # positions; values never leave [0,h)×[0,w)), the pack is lossless for
     # h ≤ 32767 and w ≤ 65535 (beyond the documented 30k canvas bound),
     # and the sentinel 0x7FFFFFFF exceeds every real pack. Candidate
@@ -152,7 +152,19 @@ def distance_plane(mask, max_dist):
         dx = jnp.where(valid, dx, jnp.int32(0))
         return jnp.where(valid, dy * dy + dx * dx, far)
 
+    # STEP-BATCHED update (textbook JFA): all eight candidates of a step
+    # are rolls of the STEP-START state, folded through a fixed-order
+    # strict-< select chain; the state writes once per STEP, not once per
+    # offset. The r4 sequential-propagation variant (each offset rolling
+    # the just-updated state) forced a materialization per OFFSET and
+    # chip-measured 42.9 ms at 4096² vs 26.9 ms for this form (1.6×);
+    # both variants measured EXACT vs the f64 brute-force toroidal EDT on
+    # random masks at two seed densities (the JFA+1 ladder removes the
+    # textbook misses), and they differ from each other on only ~2e-6 of
+    # pixels at 4096² — DESIGN.md §10.
     for k in _jfa_steps(h, w):
+        best = packed
+        best_d2 = d2_of(packed)
         for oy in (-k, 0, k):
             for ox in (-k, 0, k):
                 if oy == 0 and ox == 0:
@@ -163,8 +175,11 @@ def distance_plane(mask, max_dist):
                     cand = jnp.roll(cand, oy, axis=0)
                 if w > 1 and ox % w != 0:
                     cand = jnp.roll(cand, ox, axis=1)
-                better = d2_of(cand) < d2_of(packed)  # strict: first wins
-                packed = jnp.where(better, cand, packed)
+                d2 = d2_of(cand)
+                better = d2 < best_d2  # strict: first-seen wins ties
+                best = jnp.where(better, cand, best)
+                best_d2 = jnp.where(better, d2, best_d2)
+        packed = best
 
     dist = corrected_sqrt(d2_of(packed).astype(jnp.float32))
     one = jnp.float32(1.0)

@@ -22,9 +22,13 @@ from kanter_core_tpu.ops.distance import _FAR, _jfa_steps
 
 
 def _oracle(mask: np.ndarray, max_dist: float) -> np.ndarray:
-    """numpy twin of ops/distance.distance_plane: same i32 propagation,
-    same pass/offset order, same final f32 ops (np sqrt/divide are IEEE,
-    matching corrected_sqrt/corrected_div on every backend)."""
+    """numpy twin of ops/distance.distance_plane: same i32 propagation
+    (STEP-BATCHED — the eight candidates of a step all roll the
+    step-start state), same pass/offset order, same final f32 ops (np
+    sqrt/divide are IEEE, matching corrected_sqrt/corrected_div on every
+    backend). Deliberately UNPACKED (y/x planes, not y<<16|x): identical
+    integers through a different representation also re-proves the
+    kernel's pack/unpack lossless."""
     h, w = mask.shape
     rows = np.broadcast_to(np.arange(h, dtype=np.int32)[:, None], (h, w)).copy()
     cols = np.broadcast_to(np.arange(w, dtype=np.int32)[None, :], (h, w)).copy()
@@ -43,13 +47,14 @@ def _oracle(mask: np.ndarray, max_dist: float) -> np.ndarray:
         dx = np.where(valid, dx, 0)
         return np.where(valid, dy * dy + dx * dx, far).astype(np.int64)
 
-    best_d2 = d2_of(best_y, best_x)
     for k in _jfa_steps(h, w):
+        best_yy, best_xx = best_y, best_x
+        best_d2 = d2_of(best_y, best_x)
         for oy in (-k, 0, k):
             for ox in (-k, 0, k):
                 if oy == 0 and ox == 0:
                     continue
-                cy, cx = best_y, best_x
+                cy, cx = best_y, best_x  # step-start state
                 if h > 1 and oy % h != 0:
                     cy = np.roll(cy, oy, axis=0)
                     cx = np.roll(cx, oy, axis=0)
@@ -58,11 +63,12 @@ def _oracle(mask: np.ndarray, max_dist: float) -> np.ndarray:
                     cx = np.roll(cx, ox, axis=1)
                 d2 = d2_of(cy, cx)
                 better = d2 < best_d2
-                best_y = np.where(better, cy, best_y)
-                best_x = np.where(better, cx, best_x)
+                best_yy = np.where(better, cy, best_yy)
+                best_xx = np.where(better, cx, best_xx)
                 best_d2 = np.where(better, d2, best_d2)
+        best_y, best_x = best_yy, best_xx
 
-    dist = np.sqrt(best_d2.astype(np.float32), dtype=np.float32)
+    dist = np.sqrt(d2_of(best_y, best_x).astype(np.float32), dtype=np.float32)
     fade = (np.float32(1.0)
             - (dist / np.maximum(np.float32(max_dist), np.float32(1e-6)))
             .astype(np.float32))
