@@ -88,6 +88,15 @@ def warp_pairs(k, halo: int):
     kx, ky = float(k[0]), float(k[1])
     if not (math.isfinite(kx) and math.isfinite(ky)):
         return None
+    if halo > 4096:
+        # No serveable canvas can use such a bucket (fits_kernel needs
+        # height ≥ the aligned halo; VMEM and the 9·halo pair table both
+        # die long before 4096) — and the staircase enumeration below is
+        # O(|kx|+|ky|) HOST work, so a huge-but-finite intensity (e.g.
+        # 1e9) would otherwise hang the engine at binding collection
+        # (r4 regression find: test_warp.py::test_huge_intensity_bindings
+        # _skip_pair_table). Callers fall back to the gather.
+        return None
     ds = {-0.5, 0.5}
     for s in (kx, ky):
         a = abs(s) / 2.0

@@ -724,6 +724,49 @@ def test_band_dense_floor_under_budget_still_bands():
     _assert_tiled_matches(g, [(out, SlotId(0))], band_rows=13)
 
 
+def test_band_dense_floor_covers_transform_and_unbounded_warp():
+    """`band_dense_floor_bytes` counts every band-dense kind, not just
+    Distance: Transform's affine wrap gather always hoists full height,
+    and a Warp becomes band-dense exactly when its halo covers the whole
+    height (or the intensity is non-finite); a bounded-halo Warp and
+    plain elementwise nodes contribute nothing."""
+    from kanter_core_tpu.compiler import collect_value_bindings
+    from kanter_core_tpu.tiled import band_dense_floor_bytes, infer_sizes
+
+    def floor_of(mk_node, wire_strength=False):
+        g = NodeGraph()
+        pat = g.add_node(Node(NodeType.Pattern(
+            64, 32, "Checker", cells_x=4, cells_y=2,
+            mortar=0.1, bevel=0.0, seed=1,
+        )))
+        n = g.add_node(mk_node())
+        out = g.add_node(Node(NodeType.OutputGray("out")))
+        g.connect(pat, n, SlotId(0), SlotId(0))
+        if wire_strength:
+            g.connect(pat, n, SlotId(1), SlotId(1))
+        g.connect(n, out, SlotId(0), SlotId(0))
+        infos = infer_sizes(g, collect_value_bindings(g), {})
+        return band_dense_floor_bytes(infos)
+
+    plane = 4 * 64 * 32
+    f, culprits = floor_of(lambda: Node(NodeType.Transform(1.0, 0.0, 0.0, 1.0, 0.3)))
+    assert f == plane and "TRANSFORM" in culprits[0]
+    f, culprits = floor_of(lambda: Node(NodeType.Distance(8.0)))
+    assert f == plane and "DISTANCE" in culprits[0]
+    # unbounded-halo warp: intensity covers the whole height; BOTH wired
+    # inputs (image + strength map) hoist full height
+    f, culprits = floor_of(lambda: Node(NodeType.Warp(10.0, 1e9)),
+                           wire_strength=True)
+    assert f == 2 * plane and "WARP" in culprits[0]
+    # bounded-halo warp: NOT band-dense
+    f, culprits = floor_of(lambda: Node(NodeType.Warp(10.0, 4.0)),
+                           wire_strength=True)
+    assert f == 0 and culprits == []
+    # elementwise-only graph: zero floor
+    f, culprits = floor_of(lambda: Node(NodeType.Blur(1.0)))
+    assert f == 0 and culprits == []
+
+
 def test_flatten_bails_on_inner_embed_and_unbound_input():
     """`flatten_graph_nodes` refuses graphs whose flattening could not
     preserve semantics — an inner Embed (the embed side-channel is

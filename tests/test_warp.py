@@ -360,3 +360,23 @@ def test_warp_tiled_hoists_only_halo_rows():
     expect = np.asarray(prog(**bindings)[(out, SlotId(0))][0])
     got = np.asarray(ev.run()[(out, SlotId(0))][0])
     assert np.array_equal(got, expect)
+
+
+def test_huge_intensity_bindings_skip_pair_table():
+    """A huge-but-finite intensity must NOT hang binding collection: the
+    staircase enumeration in `warp_pairs` is O(|kx|+|ky|) host work, so
+    r4 added a halo-bucket gate (>4096 → no pair table, gather fallback).
+    Before the gate, `NodeType.Warp(10, 1e9)` spun ~1e9 Python iterations
+    inside `warp_bindings` — a host-side hang reachable from any graph
+    edit."""
+    import time
+
+    from kanter_core_tpu.ops.warp import warp_bindings, warp_halo
+
+    t0 = time.perf_counter()
+    b = warp_bindings((10.0, 1e9))
+    assert time.perf_counter() - t0 < 1.0
+    assert "pairs" not in b  # gather fallback owns this regime
+    assert warp_halo(1e9) is not None  # finite ⇒ still a bounded bucket
+    # sane intensities keep their table
+    assert "pairs" in warp_bindings((10.0, 24.0))
