@@ -288,8 +288,17 @@ class NodeType:
     @staticmethod
     def Blur(sigma: float = 1.0) -> "NodeType":
         """Separable Gaussian blur with toroidal wrap (extension node —
-        the reference has no blur; sigma is in pixels of the input)."""
-        return NodeType(NodeTypeKind.BLUR, float(sigma))
+        the reference has no blur; sigma is in pixels of the input).
+        `sigma` must be in (0, 256]: the tap table and the jnp roll
+        chain are O(sigma) HOST/trace structures, so an absurd payload
+        (e.g. 1e9) would hang tap baking or compile — the same r4 hazard
+        class as the Warp staircase gate (ops/pallas_warp.warp_pairs)."""
+        sigma = float(sigma)
+        if not (0.0 < sigma <= 256.0):
+            raise TexProError(
+                ErrorKind.GENERIC, "Blur needs sigma in (0, 256]"
+            )
+        return NodeType(NodeTypeKind.BLUR, sigma)
 
     @staticmethod
     def Levels(in_lo: float = 0.0, in_hi: float = 1.0, gamma: float = 1.0,
@@ -319,6 +328,14 @@ class NodeType:
         if width < 1 or height < 1 or cells < 1 or octaves < 1:
             raise TexProError(
                 ErrorKind.GENERIC, "Noise needs size/cells/octaves >= 1"
+            )
+        if octaves > 24:
+            # octaves shape the TRACE (one lattice pass each) and double
+            # the cell frequency per octave — past 2^24 cells no canvas
+            # this framework serves has sub-cell pixels, and an absurd
+            # payload would hang the trace (the r4 payload-hazard class)
+            raise TexProError(
+                ErrorKind.GENERIC, "Noise needs octaves <= 24"
             )
         return NodeType(
             NodeTypeKind.NOISE,
@@ -415,9 +432,12 @@ class NodeType:
         a PROGRAM ARGUMENT in every traced consumer (slider drags re-run
         cached executables); `radius` bakes the Gaussian taps into the
         trace like Blur's sigma (a radius edit refingerprints)."""
-        if not (float(radius) > 0.0):
+        if not (0.0 < float(radius) <= 64.0):
+            # radius bakes sigmas radius·(1,2,4) into Gaussian tap tables
+            # — the Blur O(sigma) host/trace bound, divided by the
+            # largest scale factor (the r4 payload-hazard class)
             raise TexProError(
-                ErrorKind.GENERIC, "AmbientOcclusion needs radius > 0"
+                ErrorKind.GENERIC, "AmbientOcclusion needs radius in (0, 64]"
             )
         return NodeType(
             NodeTypeKind.AMBIENT_OCCLUSION, (float(strength), float(radius))

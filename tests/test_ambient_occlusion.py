@@ -79,6 +79,12 @@ def test_ao_strength_is_argument_radius_is_structure():
 def test_ao_rejects_bad_radius():
     with pytest.raises(TexProError):
         NodeType.AmbientOcclusion(1.0, 0.0)
+    # radius bakes O(radius) Gaussian tap tables — absurd payloads are
+    # rejected, not host-hung (r4 payload-hazard class; radius 8 already
+    # OOM'd the jnp blur fallback at 4k in bench_ops)
+    with pytest.raises(TexProError):
+        NodeType.AmbientOcclusion(1.0, 1e9)
+    NodeType.AmbientOcclusion(1.0, 64.0)  # the cap itself is fine
 
 
 @pytest.mark.parametrize("shape", [(33, 41), (1, 17), (19, 1), (2, 2)])

@@ -97,3 +97,20 @@ def test_engine_end_to_end_rgba():
     reds = np.asarray(pixels).reshape(-1, 4)[:, 0]
     assert ((reds > 10) & (reds < 245)).sum() > 100
     tp.shutdown_now()
+
+
+def test_blur_rejects_absurd_sigma():
+    """sigma shapes the tap table and the jnp roll chain (O(sigma) host
+    and trace structures) — absurd payloads are rejected at construction
+    instead of hanging tap baking (r4 payload-hazard class, same gate
+    family as warp_pairs' halo bound)."""
+    import pytest
+    from kanter_core_tpu.errors import TexProError
+
+    with pytest.raises(TexProError):
+        NodeType.Blur(1e9)
+    with pytest.raises(TexProError):
+        NodeType.Blur(0.0)
+    with pytest.raises(TexProError):
+        NodeType.Blur(-1.0)
+    NodeType.Blur(256.0)  # the cap itself is fine

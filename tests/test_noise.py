@@ -94,6 +94,11 @@ def test_noise_validates_payload():
         NodeType.Noise(64, 64, cells=0)
     with pytest.raises(TexProError):
         NodeType.Noise(64, 64, octaves=0)
+    # octaves shape the trace — an absurd payload must be rejected, not
+    # hang the compile (r4 payload-hazard class)
+    with pytest.raises(TexProError):
+        NodeType.Noise(64, 64, octaves=10**9)
+    NodeType.Noise(64, 64, octaves=24)  # the cap itself is fine
 
 
 def test_noise_recipe_distinguishes_payloads():
