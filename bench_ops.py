@@ -174,17 +174,23 @@ def stages(canvas: int):
 
     # --- Brick pattern source (integer-hash lattice + groove ramp; traffic
     #     model = the two output writes, mask + cells). The scan value
-    #     drives MORTAR (a runtime argument) so every iteration's checksum
-    #     is distinct. ---
+    #     drives the SEED (a runtime u32 argument): it re-hashes every
+    #     cell's ID, which the checksum's corner slice always sees.
+    #     Driving MORTAR collided checksums at 4096 — the corner pixel
+    #     sits at a groove CENTER (flat 0 for any width) and the center
+    #     pixel mid-brick (flat 1), so width drags were invisible to the
+    #     corner+center checksum even at groove-moving step sizes. ---
     from kanter_core_tpu.ops.pattern import pattern_bindings, pattern_planes
 
     pb = pattern_bindings((canvas, canvas, "Brick", 7, 13, 0.15, 0.05, 4242))
 
     def pattern_body(c, ps):
-        rows, cols, fx, fy, px, py, seed = ps
+        import jax.numpy as _j
+
+        rows, cols, fx, fy, px, py, _seed = ps
         return pattern_planes(
             "Brick", rows, cols, fx, fy, px, py,
-            c % np.float32(0.3), np.float32(0.05), seed,
+            np.float32(0.15), np.float32(0.05), c.astype(_j.uint32),
         )
 
     yield (
@@ -376,7 +382,10 @@ def stages(canvas: int):
     #     state-stream floor (2 planes/step, offsets fusing) would be
     #     ~2.5 ms; a per-step Pallas kernel could approach it but needs
     #     ±k-row remote DMA windows at k up to H/2 (rejected for now —
-    #     DESIGN.md §10). The scan value drives MAX_DIST (a traced
+    #     DESIGN.md §10). The materializing model is 4096-calibrated: at
+    #     2048 (16 MB planes) the rolls PARTIALLY fuse and the implied
+    #     GB/s reads above roofline — same canvas-dependent fusion
+    #     boundary as the blur. The scan value drives MAX_DIST (a traced
     #     argument). ---
     from kanter_core_tpu.ops.distance import _jfa_steps, distance_plane
 
@@ -467,6 +476,8 @@ def main() -> None:
                 step = 1.0 / 128.0
             elif name.startswith(("h2n", "curvature", "ambient")):
                 step = 1.0  # integer roll offsets drive the variation
+            elif name.startswith("pattern"):
+                step = 1.0  # integer seed steps (see the row comment)
             else:
                 step = 1e-4
             bench = ScanBench(body, consts, n1=n1, n2=n2, base=base, step=step)
