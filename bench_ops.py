@@ -371,34 +371,34 @@ def stages(canvas: int):
     )
 
     # --- Distance (jump flooding): ceil(log2(canvas))+1 step-batched
-    #     passes of 8 roll/compare offsets over the packed nearest-seed
-    #     state (DESIGN.md §10 has the 149.7 → 26.9 ms rework history).
-    #     Traffic model per STEP: the 8 rolled copies of the state
-    #     materialize (write+read each — rolls of computed values are the
-    #     blur's documented HBM class; measured, not assumed) + the state
-    #     read + the new state write = 18 planes, + mask read + fade
-    #     write. Chip-measured ~1.3× this bound — the residual is the
-    #     ~40 i32 VPU ops/px/offset of unpack+d². The idealized
-    #     state-stream floor (2 planes/step, offsets fusing) would be
-    #     ~2.5 ms; a per-step Pallas kernel could approach it but needs
-    #     ±k-row remote DMA windows at k up to H/2 (rejected for now —
-    #     DESIGN.md §10). The materializing model is 4096-calibrated: at
-    #     2048 (16 MB planes) the rolls PARTIALLY fuse and the implied
-    #     GB/s reads above roofline — same canvas-dependent fusion
-    #     boundary as the blur. The scan value drives MAX_DIST (a traced
-    #     argument). ---
+    #     passes over the packed nearest-seed state, through the Mosaic
+    #     step kernel on TPU (DESIGN.md §10 has the 149.7 → 26.9 → 10.8 ms
+    #     rework history; the jnp roll ladder — the mesh/tiled/CPU form —
+    #     stays measurable via KANTER_BENCHOPS_DISTANCE_JNP=1). Traffic
+    #     model per far step: 3 window reads + 1 state write (near steps
+    #     2), + mask read + fade write. The kernel is VPU-COMPUTE-bound
+    #     (~190 int-ops/px/step), so the implied GB/s reads well under
+    #     roofline by design — the row guards against regression to the
+    #     materializing class, not against the compute envelope. The scan
+    #     value drives MAX_DIST (a traced argument). ---
     from kanter_core_tpu.ops.distance import _jfa_steps, distance_plane
 
     dist_mask = (device_random((canvas, canvas), seed=5) > 0.998).astype(
         np.float32
     )
-    n_steps = len(_jfa_steps(canvas, canvas))
+    steps = _jfa_steps(canvas, canvas)
+    dist_pallas = os.environ.get("KANTER_BENCHOPS_DISTANCE_JNP") != "1"
+    dist_traffic = (
+        sum((4 if k >= 8 else 2) for k in steps) + 2
+    ) * plane_bytes
 
     yield (
         "distance_jfa",
-        lambda c, ps: (distance_plane(ps[0], c * np.float32(100.0)),),
+        (lambda ok: lambda c, ps: (
+            distance_plane(ps[0], c * np.float32(100.0), pallas_ok=ok),
+        ))(dist_pallas),
         (dist_mask,),
-        (18 * n_steps + 2) * plane_bytes,
+        dist_traffic,
         canvas * canvas,
         2, 8, 0.25,  # multi-ms op: short scan clears the noise floor
     )

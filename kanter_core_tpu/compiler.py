@@ -440,7 +440,12 @@ class GraphCompiler:
             max_dist = args[f"{prefix}dist_{nid}"]
             return [(
                 SlotId(0),
-                ImgVal([distance_plane(inp.planes[0], max_dist)]),
+                ImgVal([distance_plane(
+                    inp.planes[0], max_dist,
+                    # mesh: GSPMD can't partition the Mosaic step kernel;
+                    # the jnp rolls lower to collective permutes instead
+                    pallas_ok=self.pallas_ok and self.mesh is None,
+                )]),
             )]
 
         if kind == K.AMBIENT_OCCLUSION:

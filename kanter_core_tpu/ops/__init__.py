@@ -83,7 +83,7 @@ def process_node_internal(node, slot_datas, embedded_slot_datas, input_slot_data
     elif kind == K.AMBIENT_OCCLUSION:
         output = ambient_occlusion.process(slot_datas, node, mesh=tex_pro.mesh)
     elif kind == K.DISTANCE:
-        output = distance.process(slot_datas, node)
+        output = distance.process(slot_datas, node, mesh=tex_pro.mesh)
     elif kind == K.HSV:
         output = hsv.process(slot_datas, node)
     elif kind == K.BLUR:

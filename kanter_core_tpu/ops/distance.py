@@ -90,9 +90,18 @@ def _jfa_steps(h: int, w: int) -> list:
     return steps + [1]
 
 
-def distance_plane(mask, max_dist):
+def distance_plane(mask, max_dist, pallas_ok: bool = True):
     """Traceable normalized-distance fade of one `[H, W]` gray plane;
-    `max_dist` is a traced f32 scalar (pixels). See module docstring."""
+    `max_dist` is a traced f32 scalar (pixels). See module docstring.
+
+    `pallas_ok=False` forces the jnp roll ladder — the gate for contexts
+    the Mosaic step kernel cannot serve (mesh programs: GSPMD cannot
+    partition a custom call, and the jnp rolls lower to collective
+    permutes there; the band twin passes False too — capacity is
+    correctness-first). On TPU with a viable geometry the propagation
+    runs through `pallas_distance.jfa_propagate_pallas` (bit-identical
+    by integer exactness; chip-measured numbers in DESIGN.md §10)."""
+    import jax
     import jax.numpy as jnp
 
     from .exact_math import corrected_div, corrected_sqrt
@@ -162,24 +171,39 @@ def distance_plane(mask, max_dist):
     # random masks at two seed densities (the JFA+1 ladder removes the
     # textbook misses), and they differ from each other on only ~2e-6 of
     # pixels at 4096² — DESIGN.md §10.
-    for k in _jfa_steps(h, w):
-        best = packed
-        best_d2 = d2_of(packed)
-        for oy in (-k, 0, k):
-            for ox in (-k, 0, k):
-                if oy == 0 and ox == 0:
-                    continue
-                # toroidal roll; degenerate/oversized axes wrap to self
-                cand = packed
-                if h > 1 and oy % h != 0:
-                    cand = jnp.roll(cand, oy, axis=0)
-                if w > 1 and ox % w != 0:
-                    cand = jnp.roll(cand, ox, axis=1)
-                d2 = d2_of(cand)
-                better = d2 < best_d2  # strict: first-seen wins ties
-                best = jnp.where(better, cand, best)
-                best_d2 = jnp.where(better, d2, best_d2)
-        packed = best
+    steps = _jfa_steps(h, w)
+    from . import pallas_distance
+
+    on_tpu = (
+        jax.default_backend() == "tpu"
+        or pallas_distance.FORCE_PALLAS_INTERPRET
+    )
+    if pallas_ok and on_tpu and pallas_distance.fits_kernel(h, w):
+        # the Mosaic step kernel streams the state (3r+1w per far step)
+        # instead of materializing 8 rolled copies — bit-identical fold;
+        # chip numbers in DESIGN.md §10
+        packed = pallas_distance.jfa_propagate_pallas(
+            packed, steps, interpret=jax.default_backend() != "tpu"
+        )
+    else:
+        for k in steps:
+            best = packed
+            best_d2 = d2_of(packed)
+            for oy in (-k, 0, k):
+                for ox in (-k, 0, k):
+                    if oy == 0 and ox == 0:
+                        continue
+                    # toroidal roll; degenerate/oversized axes wrap self
+                    cand = packed
+                    if h > 1 and oy % h != 0:
+                        cand = jnp.roll(cand, oy, axis=0)
+                    if w > 1 and ox % w != 0:
+                        cand = jnp.roll(cand, ox, axis=1)
+                    d2 = d2_of(cand)
+                    better = d2 < best_d2  # strict: first-seen wins ties
+                    best = jnp.where(better, cand, best)
+                    best_d2 = jnp.where(better, d2, best_d2)
+            packed = best
 
     dist = corrected_sqrt(d2_of(packed).astype(jnp.float32))
     one = jnp.float32(1.0)
@@ -188,18 +212,24 @@ def distance_plane(mask, max_dist):
 
 
 @functools.cache
-def _kernel():
+def _kernel(pallas_ok: bool = True):
     import jax
 
-    return jax.jit(lambda max_dist, p: distance_plane(p, max_dist))
+    return jax.jit(
+        lambda max_dist, p: distance_plane(p, max_dist, pallas_ok=pallas_ok)
+    )
 
 
-def process(slot_datas, node):
+def process(slot_datas, node, mesh=None):
     slot_data = slot_data_with_name(slot_datas, node, "input")
     if slot_data is None:
         return []
     if slot_data.image.is_rgba():
         return []  # gray only: a distance field of an RGBA image is ill-defined
     max_dist = np.float32(node.node_type.payload)
-    out = _kernel()(max_dist, slot_data.image.planes[0].data())
+    # mesh: inputs arrive GSPMD-row-sharded (`ops._shard_inputs`) and a
+    # Mosaic call cannot be partitioned — keep the jnp ladder there
+    out = _kernel(pallas_ok=mesh is None)(
+        max_dist, slot_data.image.planes[0].data()
+    )
     return [SlotData(node.node_id, SlotId(0), SlotImage([plane_from_device(out)]))]
