@@ -432,6 +432,30 @@ def stages(canvas: int):
         8, 32, 0.25,
     )
 
+    # --- Ramp gradient source (elementwise coordinate math; traffic
+    #     model = the single output write). The scan value drives the
+    #     ANGLE's projection via the k vector (runtime argument). ---
+    from kanter_core_tpu.ops.ramp import ramp_bindings, ramp_plane
+
+    rb = ramp_bindings((canvas, canvas, "Radial", 0.0, 0.5, 0.5, 1.0))
+
+    def ramp_body(c, ps):
+        import jax.numpy as _j
+
+        rows, cols, iw, ih = ps
+        k = _j.stack([_j.float32(1.0), _j.float32(0.0), c % 1.0,
+                      _j.float32(0.5), _j.float32(1.2)])
+        return (ramp_plane("Radial", rows, cols, iw, ih, k),)
+
+    yield (
+        "ramp_radial",
+        ramp_body,
+        (rb["rows"], rb["cols"], rb["iw"], rb["ih"]),
+        plane_bytes,
+        canvas * canvas,
+        8, 64, 0.25,
+    )
+
     # --- u8 export, RGBA interleave (4 f32 reads + 1 u32 write): the
     #     PRODUCTION pack formulation (slot_image's little-endian u32) ---
     from kanter_core_tpu.ops.common import f32_to_u8

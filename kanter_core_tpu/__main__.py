@@ -119,6 +119,19 @@ def _cmd_render(args) -> int:
                     int(parts[5]),
                 )
 
+            for spec in args.ramp or []:
+                node_id, _, csv = spec.partition("=")
+                parts = csv.split(",")
+                if len(parts) != 7:
+                    print("error: --ramp NODE_ID=width,height,kind,angle,"
+                          "cx,cy,scale", file=sys.stderr)
+                    return 2
+                lg.set_ramp(
+                    NodeId(int(node_id)), int(parts[0]), int(parts[1]),
+                    parts[2], float(parts[3]), float(parts[4]),
+                    float(parts[5]), float(parts[6]),
+                )
+
             for spec in args.transform or []:
                 node_id, _, csv = spec.partition("=")
                 parts = [float(x) for x in csv.split(",")]
@@ -216,6 +229,11 @@ def main(argv=None) -> int:
         "--voronoi", action="append",
         metavar="NODE_ID=width,height,cells_x,cells_y,jitter,seed",
         help="override a Voronoi node's parameters",
+    )
+    p_render.add_argument(
+        "--ramp", action="append",
+        metavar="NODE_ID=width,height,kind,angle,cx,cy,scale",
+        help="override a Ramp node's parameters",
     )
     p_render.add_argument(
         "--transform", action="append",

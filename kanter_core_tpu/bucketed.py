@@ -56,7 +56,8 @@ BUCKETABLE_KINDS = frozenset(
         K.VALUE, K.IMAGE, K.INPUT_GRAY, K.INPUT_RGBA, K.EMBED,
         K.OUTPUT_GRAY, K.OUTPUT_RGBA, K.MIX, K.HEIGHT_TO_NORMAL, K.CURVATURE,
         K.AMBIENT_OCCLUSION, K.BLUR,
-        K.LEVELS, K.HSV, K.NOISE, K.PATTERN, K.VORONOI, K.GRADIENT_MAP,
+        K.LEVELS, K.HSV, K.NOISE, K.PATTERN, K.VORONOI, K.RAMP,
+        K.GRADIENT_MAP,
         K.TRANSFORM,
         K.WARP,
         K.SEPARATE_RGBA, K.COMBINE_RGBA,
@@ -483,6 +484,17 @@ class BucketedGraph:
                 for field in ("fx", "fy", "px", "py", "jitter", "seed"):
                     args[f"vo{field}_{nid}"] = vb[field]
                 continue
+            if kind == K.RAMP:
+                from .ops.ramp import ramp_bindings
+
+                rb = ramp_bindings(node.node_type.payload)
+                th, tw = info.out_size.height, info.out_size.width
+                args[f"rpr_{nid}"] = _pad1(rb["rows"], bucket_of(th, B))
+                args[f"rpc_{nid}"] = _pad1(rb["cols"], bucket_of(tw, B))
+                args[f"rpiw_{nid}"] = rb["iw"]
+                args[f"rpih_{nid}"] = rb["ih"]
+                args[f"rpk_{nid}"] = rb["k"]
+                continue
             if kind in _LEAF_KINDS:
                 if kind == K.IMAGE:
                     key = f"image_{nid}"
@@ -735,6 +747,17 @@ class BucketedGraph:
                 env[(node_id, SlotId(0))] = ImgVal(shard([distance]))
                 env[(node_id, SlotId(1))] = ImgVal(shard([borders]))
                 env[(node_id, SlotId(2))] = ImgVal(shard([vcells]))
+                continue
+            if kind == K.RAMP:
+                from .ops.ramp import ramp_plane
+
+                plane = ramp_plane(
+                    node.node_type.payload[2],
+                    args[f"rpr_{nid}"], args[f"rpc_{nid}"],
+                    args[f"rpiw_{nid}"], args[f"rpih_{nid}"],
+                    args[f"rpk_{nid}"],
+                )
+                env[(node_id, SlotId(0))] = ImgVal(shard([plane]))
                 continue
             if kind in _LEAF_KINDS:
                 count = self._counts[node_id][SlotId(0)]

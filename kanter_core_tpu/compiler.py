@@ -540,6 +540,18 @@ class GraphCompiler:
                 (SlotId(2), ImgVal([cells])),
             ]
 
+        if kind == K.RAMP:
+            from .ops.ramp import ramp_plane
+
+            b = args[f"{prefix}ramp_{nid}"]
+            return [(
+                SlotId(0),
+                ImgVal([ramp_plane(
+                    node.node_type.payload[2],  # kind is static
+                    b["rows"], b["cols"], b["iw"], b["ih"], b["k"],
+                )]),
+            )]
+
         if kind == K.GRADIENT_MAP:
             from .ops.gradient import gradient_planes
 
@@ -872,6 +884,12 @@ class CompiledGraph:
                 bindings[f"{prefix}voronoi_{nid}"] = voronoi_bindings(
                     node.node_type.payload
                 )
+            elif kind == K.RAMP:
+                from .ops.ramp import ramp_bindings
+
+                bindings[f"{prefix}ramp_{nid}"] = ramp_bindings(
+                    node.node_type.payload
+                )
             elif kind == K.GRADIENT_MAP:
                 from .ops.gradient import gradient_bindings
 
@@ -1006,6 +1024,12 @@ def _normalize_values(graph_json):
                     node_type["Voronoi"], cells_x=0, cells_y=0,
                     jitter=0.0, seed=0,
                 )})
+            elif "Ramp" in node_type:
+                # angle/center/scale are arguments; width/height/kind
+                # shape the trace and stay
+                node = dict(node, node_type={"Ramp": dict(
+                    node_type["Ramp"], angle=0.0, cx=0.0, cy=0.0, scale=0.0,
+                )})
             elif "GradientMap" in node_type:
                 # stop VALUES are arguments; the COUNT shapes the trace
                 node = dict(node, node_type={"GradientMap": {
@@ -1126,6 +1150,12 @@ def collect_value_bindings(node_graph: NodeGraph, prefix: str = "") -> dict:
             from .ops.voronoi import voronoi_bindings
 
             bindings[f"{prefix}voronoi_{int(node.node_id)}"] = voronoi_bindings(
+                node.node_type.payload
+            )
+        elif kind == NodeTypeKind.RAMP:
+            from .ops.ramp import ramp_bindings
+
+            bindings[f"{prefix}ramp_{int(node.node_id)}"] = ramp_bindings(
                 node.node_type.payload
             )
         elif kind == NodeTypeKind.GRADIENT_MAP:

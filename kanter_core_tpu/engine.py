@@ -1049,7 +1049,7 @@ class Engine:
                     visit_size(w, h, 4)
                 elif kind in (
                     NodeTypeKind.NOISE, NodeTypeKind.PATTERN,
-                    NodeTypeKind.VORONOI,
+                    NodeTypeKind.VORONOI, NodeTypeKind.RAMP,
                 ):
                     # procedural sources carry their canvas in the payload
                     # (width, height, ...) — without this a PURE-procedural

@@ -647,6 +647,19 @@ class LiveGraph:
             self.node(node_id).cancel.store(True)
 
     @_journaled()
+    def set_ramp(self, node_id: NodeId, width, height, kind="Linear",
+                 angle=0.0, cx=0.5, cy=0.5, scale=1.0) -> None:
+        """Change a Ramp node's parameters and dirty it (extension node;
+        angle/center/scale edits re-run a cached program; size/kind edits
+        retrace)."""
+        with self._lock:
+            self.node_graph.set_ramp(
+                node_id, width, height, kind, angle, cx, cy, scale
+            )
+            self.set_state(node_id, NodeState.DIRTY)
+            self.node(node_id).cancel.store(True)
+
+    @_journaled()
     def set_transform(self, node_id: NodeId, offset_x, offset_y, rotation,
                       scale_x, scale_y) -> None:
         """Change a Transform node's placement and dirty it (extension

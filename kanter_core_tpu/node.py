@@ -225,6 +225,7 @@ class NodeTypeKind(enum.Enum):
     AMBIENT_OCCLUSION = "AmbientOcclusion"  # TPU-native extension: no reference counterpart
     DISTANCE = "Distance"  # TPU-native extension: no reference counterpart
     VORONOI = "Voronoi"  # TPU-native extension: no reference counterpart
+    RAMP = "Ramp"  # TPU-native extension: no reference counterpart
 
 
 class NodeType:
@@ -398,6 +399,36 @@ class NodeType:
         return NodeType(
             NodeTypeKind.VORONOI,
             (width, height, cells_x, cells_y, float(jitter), int(seed)),
+        )
+
+    @staticmethod
+    def Ramp(width: int, height: int, kind: str = "Linear",
+             angle: float = 0.0, cx: float = 0.5, cy: float = 0.5,
+             scale: float = 1.0) -> "NodeType":
+        """Procedural gradient source (extension node; see ops/ramp.py):
+        one Gray plane over normalized canvas coordinates — `Linear`
+        (0.5 at the center, rising along `angle` degrees), `Radial`
+        (Euclidean distance fade from `(cx, cy)`), or `Box` (Chebyshev
+        square fade). `angle`/`cx`/`cy`/`scale` are PROGRAM ARGUMENTS in
+        every traced consumer (drags re-run cached executables); only the
+        size and the KIND (three distinct formulas) shape the trace."""
+        width, height = int(width), int(height)
+        if width < 1 or height < 1:
+            raise TexProError(ErrorKind.GENERIC, "Ramp needs size >= 1")
+        if kind not in ("Linear", "Radial", "Box"):
+            raise TexProError(
+                ErrorKind.GENERIC, f"unknown ramp kind {kind!r}"
+            )
+        import math
+
+        if not all(math.isfinite(float(v)) for v in (angle, cx, cy, scale)):
+            raise TexProError(
+                ErrorKind.GENERIC, "Ramp needs finite angle/center/scale"
+            )
+        return NodeType(
+            NodeTypeKind.RAMP,
+            (width, height, str(kind), float(angle), float(cx), float(cy),
+             float(scale)),
         )
 
     @staticmethod
@@ -602,6 +633,11 @@ class NodeType:
             return {"Voronoi": {"width": p[0], "height": p[1],
                                 "cells_x": p[2], "cells_y": p[3],
                                 "jitter": p[4], "seed": p[5]}}
+        if k == NodeTypeKind.RAMP:
+            p = self.payload
+            return {"Ramp": {"width": p[0], "height": p[1], "kind": p[2],
+                             "angle": p[3], "cx": p[4], "cy": p[5],
+                             "scale": p[6]}}
         if k == NodeTypeKind.GRADIENT_MAP:
             return {"GradientMap": {"stops": [list(s) for s in self.payload]}}
         if k == NodeTypeKind.TRANSFORM:
@@ -654,6 +690,12 @@ class NodeType:
             return NodeType.Voronoi(
                 payload["width"], payload["height"], payload["cells_x"],
                 payload["cells_y"], payload["jitter"], payload["seed"],
+            )
+        if kind == NodeTypeKind.RAMP:
+            return NodeType.Ramp(
+                payload["width"], payload["height"], payload["kind"],
+                payload["angle"], payload["cx"], payload["cy"],
+                payload["scale"],
             )
         if kind == NodeTypeKind.GRADIENT_MAP:
             return NodeType.GradientMap(payload["stops"])
@@ -743,7 +785,7 @@ class Node:
         k = self.node_type.kind
         K = NodeTypeKind
         if k in (K.INPUT_GRAY, K.INPUT_RGBA, K.IMAGE, K.EMBED, K.VALUE,
-                 K.NOISE, K.PATTERN, K.VORONOI):
+                 K.NOISE, K.PATTERN, K.VORONOI, K.RAMP):
             return []
         if k == K.OUTPUT_GRAY:
             return [Slot("input", SlotId(0), SlotType.GRAY)]
@@ -798,7 +840,7 @@ class Node:
         if k == K.WRITE:
             return []  # sink node; see input_slots note
         if k in (K.VALUE, K.NOISE, K.CURVATURE, K.AMBIENT_OCCLUSION,
-                 K.DISTANCE):
+                 K.DISTANCE, K.RAMP):
             return [Slot("output", SlotId(0), SlotType.GRAY)]
         if k == K.PATTERN:
             return [

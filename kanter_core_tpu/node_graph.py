@@ -140,6 +140,15 @@ class NodeGraph:
             width, height, cells_x, cells_y, jitter, seed
         )
 
+    def set_ramp(self, node_id: NodeId, width, height, kind, angle,
+                 cx, cy, scale) -> None:
+        node = self._node_with_id_mut(node_id)
+        if node is None or node.node_type.kind != NodeTypeKind.RAMP:
+            raise TexProError(ErrorKind.INVALID_NODE_ID)
+        node.node_type = NodeType.Ramp(
+            width, height, kind, angle, cx, cy, scale
+        )
+
     def set_transform(self, node_id: NodeId, offset_x, offset_y, rotation,
                       scale_x, scale_y) -> None:
         node = self._node_with_id_mut(node_id)

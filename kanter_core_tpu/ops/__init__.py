@@ -31,6 +31,7 @@ from . import (
     mix,
     noise,
     pattern,
+    ramp,
     separate_combine,
     transform,
     voronoi,
@@ -96,6 +97,8 @@ def process_node_internal(node, slot_datas, embedded_slot_datas, input_slot_data
         output = pattern.process(node)
     elif kind == K.VORONOI:
         output = voronoi.process(node)
+    elif kind == K.RAMP:
+        output = ramp.process(node)
     elif kind == K.GRADIENT_MAP:
         output = gradient.process(slot_datas, node)
     elif kind == K.TRANSFORM:

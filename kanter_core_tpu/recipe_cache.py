@@ -272,6 +272,16 @@ def node_recipe(node, input_recipes: list, live_graph) -> Optional[str]:
             struct.pack("<f", jitter),
             input_recipes,
         )
+    if kind == K.RAMP:
+        import struct
+
+        w, h, rkind, angle, cx, cy, scale = node.node_type.payload
+        return _h(
+            base,
+            (int(w), int(h), str(rkind)),
+            struct.pack("<4f", angle, cx, cy, scale),
+            input_recipes,
+        )
     if kind == K.GRADIENT_MAP:
         import struct
 

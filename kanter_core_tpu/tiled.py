@@ -76,6 +76,7 @@ TILEABLE_KINDS = frozenset(
         K.NOISE,
         K.PATTERN,
         K.VORONOI,
+        K.RAMP,
         K.GRADIENT_MAP,
         K.TRANSFORM,
         K.WARP,
@@ -279,6 +280,13 @@ def flatten_graph_nodes(graph, bindings, preset=None):
                 from .ops.voronoi import voronoi_bindings
 
                 extra_bindings[f"voronoi_{int(clone.node_id)}"] = voronoi_bindings(
+                    n.node_type.payload
+                )
+            elif kind == K.RAMP:
+                # angle/center/scale edits keep the fingerprint too
+                from .ops.ramp import ramp_bindings
+
+                extra_bindings[f"ramp_{int(clone.node_id)}"] = ramp_bindings(
                     n.node_type.payload
                 )
             elif kind == K.CURVATURE:
@@ -500,6 +508,10 @@ def infer_sizes(graph, bindings, preset=None) -> dict:
             info.out_planes[SlotId(0)] = 1
             info.out_planes[SlotId(1)] = 1
             info.out_planes[SlotId(2)] = 1
+            info.out_size = Size(int(w), int(h))
+        elif kind == K.RAMP:
+            w, h = node.node_type.payload[0], node.node_type.payload[1]
+            info.out_planes[SlotId(0)] = 1
             info.out_size = Size(int(w), int(h))
         elif kind in (K.IMAGE, K.EMBED):
             key = (
@@ -947,6 +959,20 @@ class TiledEvaluator:
                 for field in ("fx", "fy", "px", "py", "jitter", "seed"):
                     args[f"vo{field}_{nid}"] = vb[field]
                 continue
+            if kind == K.RAMP:
+                rb = self.bindings.get(f"ramp_{nid}")
+                if rb is None:
+                    from .ops.ramp import ramp_bindings
+
+                    rb = ramp_bindings(node.node_type.payload)
+                # band's GLOBAL rows substitute the full row vector — the
+                # kernel is elementwise in (row, col) like Noise/Pattern
+                args[f"rpr_{nid}"] = rows.astype(np.int32)
+                args[f"rpc_{nid}"] = np.asarray(rb["cols"], np.int32)
+                args[f"rpiw_{nid}"] = rb["iw"]
+                args[f"rpih_{nid}"] = rb["ih"]
+                args[f"rpk_{nid}"] = rb["k"]
+                continue
             leaf_key = None
             if kind == K.IMAGE:
                 leaf_key = f"image_{nid}"
@@ -1175,6 +1201,16 @@ class TiledEvaluator:
                 env[(node_id, SlotId(0))] = ImgVal([distance])
                 env[(node_id, SlotId(1))] = ImgVal([borders])
                 env[(node_id, SlotId(2))] = ImgVal([vcells])
+                continue
+            if kind == K.RAMP:
+                from .ops.ramp import ramp_plane
+
+                env[(node_id, SlotId(0))] = ImgVal([ramp_plane(
+                    node.node_type.payload[2],
+                    args[f"rpr_{nid}"], args[f"rpc_{nid}"],
+                    args[f"rpiw_{nid}"], args[f"rpih_{nid}"],
+                    args[f"rpk_{nid}"],
+                )])
                 continue
             if kind in (K.IMAGE, K.EMBED, K.INPUT_GRAY, K.INPUT_RGBA):
                 count = info.out_planes[SlotId(0)]

@@ -109,6 +109,11 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
         # this node REMAPPED every seed's sequence — r4, VALIDATION.md's
         # DISTANCE REMAP entry)
         dst = g.add_node(Node(NodeType.Distance(6.0)))
+        # gradient source: a Ramp modulates a mix input so the fourth
+        # procedural source soaks under churn (NOTE: adding this node
+        # REMAPPED every seed's sequence again — r4, VALIDATION.md's
+        # RAMP REMAP entry)
+        rmp = g.add_node(Node(NodeType.Ramp(16, 16, "Radial", 0.0, 0.5, 0.5, 1.2)))
         # final grade stage (NOTE: adding this node remapped every seed's
         # sequence again — see VALIDATION.md's HSV REMAP entry)
         hsv = g.add_node(Node(NodeType.Hsv(10.0, 1.1, 1.0)))
@@ -126,6 +131,7 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
         g.connect(vor, mixes[1], SlotId(1), SlotId(1))  # voronoi borders
         g.connect(pattern, dst, SlotId(0), SlotId(0))  # groove mask → JFA
         g.connect(dst, mixes[3], SlotId(0), SlotId(0))
+        g.connect(rmp, mixes[3], SlotId(0), SlotId(1))  # radial vignette
         g.connect(mixes[0], comb, SlotId(0), SlotId(0))
         g.connect(mixes[1], comb, SlotId(0), SlotId(1))
         g.connect(mixes[2], comb, SlotId(0), SlotId(2))
@@ -144,9 +150,10 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
         with lg.write() as g:
             for _ in range(n_edits):
                 # NOTE: widening 9 → 10 (Pattern), 10 → 11 (Hsv drags),
-                # 11 → 12 (AO drags), 12 → 13 (Voronoi drags), and
-                # 13 → 14 (Distance drags, r4) each remapped seeds too
-                action = rng.integers(14)
+                # 11 → 12 (AO drags), 12 → 13 (Voronoi drags), 13 → 14
+                # (Distance drags, r4), and 14 → 15 (Ramp drags, r4)
+                # each remapped seeds too
+                action = rng.integers(15)
                 if action == 0:
                     node = values[rng.integers(len(values))]
                     g.node_mut(node).node_type = NodeType.Value(float(rng.random()))
@@ -220,6 +227,17 @@ def _main_loop(tp, rng, tile_bytes, bucket_sizes, precision):
                     # distance spread drag: max_dist is a program argument
                     # — every drag re-runs the cached executable
                     g.set_distance(dst, float(rng.uniform(1.0, 12.0)))
+                elif action == 14:
+                    # ramp drag: angle/center/scale are arguments; the
+                    # KIND draw sometimes reshapes the trace
+                    g.set_ramp(
+                        rmp, 16, 16,
+                        ("Linear", "Radial", "Box")[rng.integers(3)],
+                        float(rng.uniform(-360.0, 360.0)),
+                        float(rng.uniform(0.0, 1.0)),
+                        float(rng.uniform(0.0, 1.0)),
+                        float(rng.uniform(0.3, 2.5)),
+                    )
                 elif action == 7:
                     # structural churn: add a fresh Value wired into a mix,
                     # or remove one added earlier (dirties its children)

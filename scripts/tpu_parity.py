@@ -345,6 +345,28 @@ def _determinism_kernels():
     # (corrected_sqrt off-CPU) → 0 diffs expected
     cases.append(("voronoi_cellular", _voronoi_row, 0))
 
+    def _ramp_row():
+        import jax.numpy as _jnp
+
+        from kanter_core_tpu.ops.ramp import ramp_bindings, ramp_plane
+
+        outs = []
+        for kind, angle, cx, cy, scale in (
+            ("Linear", 37.5, 0.3, 0.7, 1.4),   # off-axis f64 cos/sin
+            ("Linear", 90.0, 0.5, 0.5, 1.0),   # exact quarter-turn table
+            ("Radial", 0.0, 0.45, 0.55, 1.2),  # sqrt gate path
+            ("Box", 0.0, 0.5, 0.5, 2.0),       # max/abs exact path
+        ):
+            b = ramp_bindings((211, 173, kind, angle, cx, cy, scale))
+            outs.append(jax.jit(ramp_plane, static_argnums=0)(
+                kind, b["rows"], b["cols"], b["iw"], b["ih"], b["k"],
+            ))
+        return _jnp.concatenate(outs, axis=0)
+
+    # nc_mul-guarded products, exact subs/max/clip, Radial's sqrt via the
+    # backend gate (corrected_sqrt off-CPU) → 0 diffs expected
+    cases.append(("ramp_gradient", _ramp_row, 0))
+
     def _hsv_row():
         import jax.numpy as _jnp
 

@@ -288,6 +288,30 @@ def _build_random_graph(seed: int, allow_graph_nodes: bool = True,
         graph.connect(vor_id, vmix_id, SlotId(int(vrng.integers(3))), SlotId(0))
         graph.connect(vsrc[0], vmix_id, vsrc[1], SlotId(1))
 
+    # Ramp coverage (separate rng, appended): a gradient source — all
+    # three kinds drawn — mixed into the existing chain so every lockstep
+    # consumer fuzzes it, including through random resizes
+    rrng = np.random.default_rng(seed * 15487469 + 41)
+    rmp = Node(
+        NodeType.Ramp(
+            int(rrng.integers(20, 70)), int(rrng.integers(20, 70)),
+            ("Linear", "Radial", "Box")[int(rrng.integers(3))],
+            angle=float(rrng.uniform(-400.0, 400.0)),
+            cx=float(rrng.uniform(-0.3, 1.3)),
+            cy=float(rrng.uniform(-0.3, 1.3)),
+            scale=float(rrng.uniform(0.2, 3.0)),
+        )
+    )
+    rmp_id = add(rmp, [(SlotId(0), SlotType.GRAY)])
+    rsrc = pick(SlotType.GRAY_OR_RGBA, r=rrng)
+    if rsrc is not None and rsrc[0] != rmp_id:
+        rmix = Node(NodeType.Mix(list(MixType)[rrng.integers(5)]))
+        rmix.resize_policy = ResizePolicy.MostPixels()
+        rmix.resize_filter = list(ResizeFilter)[rrng.integers(len(ResizeFilter))]
+        rmix_id = add(rmix, [(SlotId(0), SlotType.GRAY_OR_RGBA)])
+        graph.connect(rmp_id, rmix_id, SlotId(0), SlotId(0))
+        graph.connect(rsrc[0], rmix_id, rsrc[1], SlotId(1))
+
     # Hsv coverage (separate rng, appended): a hue/sat/value adjust of a
     # random producer — gray draws the value-scale path, rgba the full
     # hexcone transform with the aliased alpha

@@ -235,6 +235,10 @@ def test_param_edits_change_every_extension_recipe():
          NodeType.Voronoi(16, 16, 2, 2, 0.75, 0)),
         (NodeType.Voronoi(16, 16, 2, 2, 0.5, 0),
          NodeType.Voronoi(16, 16, 2, 2, 0.5, 1)),
+        (NodeType.Ramp(16, 16, "Linear", 10.0, 0.5, 0.5, 1.0),
+         NodeType.Ramp(16, 16, "Linear", 20.0, 0.5, 0.5, 1.0)),
+        (NodeType.Ramp(16, 16, "Linear", 10.0, 0.5, 0.5, 1.0),
+         NodeType.Ramp(16, 16, "Radial", 10.0, 0.5, 0.5, 1.0)),
     ]
     inputs = ["deadbeef"]
     for a, b in pairs:
