@@ -221,6 +221,7 @@ def stone_material_graph(
     crack_warp: float = 14.0,
     crack_gamma: float = 2.4,
     ao_sigma: float = 5.0,
+    vignette: float = 0.0,
 ) -> NodeGraph:
     """Fully procedural stone/rock material: NO inputs, five outputs
     (`albedo` RGBA, `height`/`roughness`/`ao` gray, `normal` RGBA).
@@ -263,6 +264,15 @@ def stone_material_graph(
     )
     graph.connect(height, albedo, SlotId(0), SlotId(0))
     albedo_out = graph.add_node(Node(NodeType.OutputRgba("albedo")))
+    if vignette > 0.0:
+        # radial Ramp vignette (the 26th node's gradient source): corners
+        # darken by up to `vignette` of full scale — LEFT stays the RGBA
+        # albedo so the Mix keeps the color type
+        rmp = graph.add_node(Node(NodeType.Ramp(
+            size, size, "Radial", 0.0, 0.5, 0.5, float(vignette),
+        )))
+        shade = _mix(graph, MixType.SUBTRACT, _value(graph, 1.0), rmp)
+        albedo = _mix(graph, MixType.MULTIPLY, albedo, shade)
     graph.connect(albedo, albedo_out, SlotId(0), SlotId(0))
 
     pre = graph.add_node(Node(NodeType.Blur(1.0)))

@@ -226,6 +226,28 @@ def test_stone_material_outputs():
     assert max(means) - min(means) < 12.0
 
 
+def test_stone_material_ramp_vignette():
+    """The optional vignette wires a radial Ramp into the albedo path:
+    corners darken relative to the un-vignetted template, the center is
+    untouched (ramp ≈ 0 there), and vignette=0 keeps the historical
+    topology (no Ramp node added)."""
+    from kanter_core_tpu.models import stone_material_graph
+    from kanter_core_tpu.node import NodeTypeKind
+
+    plain_graph = stone_material_graph(size=64)
+    assert not any(
+        n.node_type.kind == NodeTypeKind.RAMP for n in plain_graph.nodes
+    )
+    plain = _evaluate_procedural(plain_graph)["albedo"].reshape(64, 64, 4)
+    vig = _evaluate_procedural(
+        stone_material_graph(size=64, vignette=0.8)
+    )["albedo"].reshape(64, 64, 4)
+    # corners darker than the plain render; center essentially unchanged
+    assert int(vig[0, 0, 0]) < int(plain[0, 0, 0])
+    assert int(vig[-1, -1, 0]) < int(plain[-1, -1, 0])
+    assert abs(int(vig[32, 32, 0]) - int(plain[32, 32, 0])) <= 2
+
+
 def test_metal_material_outputs():
     from kanter_core_tpu.models import metal_material_graph
 

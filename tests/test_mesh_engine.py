@@ -390,3 +390,31 @@ def test_mesh_engine_voronoi_matches_unsharded(mesh_tex_pro):
         with lg_mesh.write() as g:
             out_m = build(g)
         assert np.array_equal(render_u8(lg_plain, out_p), render_u8(lg_mesh, out_m))
+
+
+def test_mesh_engine_ramp_matches_unsharded(mesh_tex_pro):
+    """The gradient source composes with the mesh: elementwise in global
+    (row, col), so GSPMD row-shards it with no halo; the 8-device engine
+    is bit-identical to the single-device engine for all three kinds."""
+    def build(g):
+        r1 = g.add_node(Node(NodeType.Ramp(96, 96, "Linear", 33.0, 0.4, 0.6, 1.2)))
+        r2 = g.add_node(Node(NodeType.Ramp(96, 96, "Radial", 0.0, 0.5, 0.5, 1.0)))
+        r3 = g.add_node(Node(NodeType.Ramp(96, 96, "Box", 0.0, 0.3, 0.7, 1.5)))
+        mix = g.add_node(Node(NodeType.Mix(MixType.SUBTRACT)))
+        mix2 = g.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+        out = g.add_node(Node(NodeType.OutputGray("out")))
+        g.connect(r1, mix, SlotId(0), SlotId(0))
+        g.connect(r2, mix, SlotId(0), SlotId(1))
+        g.connect(mix, mix2, SlotId(0), SlotId(0))
+        g.connect(r3, mix2, SlotId(0), SlotId(1))
+        g.connect(mix2, out, SlotId(0), SlotId(0))
+        return out
+
+    with TextureProcessor(10_000_000) as plain:
+        lg_plain = plain.new_live_graph()
+        with lg_plain.write() as g:
+            out_p = build(g)
+        lg_mesh = mesh_tex_pro.new_live_graph()
+        with lg_mesh.write() as g:
+            out_m = build(g)
+        assert np.array_equal(render_u8(lg_plain, out_p), render_u8(lg_mesh, out_m))
