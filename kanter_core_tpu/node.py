@@ -652,6 +652,24 @@ class NodeType:
         return {k.value: self.payload}
 
     @staticmethod
+    def _serde_clamp(value, lo: float, hi: float, default: float) -> float:
+        """Serde leniency (ADVICE r4): payload caps added after graphs were
+        saved (Blur sigma, AO radius, Noise octaves — host-hang guards)
+        must not make previously-saved files unloadable. On the load path
+        an out-of-range or non-finite value CLAMPS into the constructor's
+        accepted range; the hard TexProError stays on programmatic
+        construction, where the caller can fix the call."""
+        import math
+
+        try:
+            v = float(value)
+        except (TypeError, ValueError):
+            return default
+        if not math.isfinite(v):
+            return default
+        return min(max(v, lo), hi)
+
+    @staticmethod
     def from_json(data) -> "NodeType":
         from .node_graph import NodeGraph
 
@@ -667,7 +685,11 @@ class NodeType:
             from .ops.embed import EmbeddedSlotDataId
 
             return NodeType(kind, EmbeddedSlotDataId(payload))
-        if kind in (NodeTypeKind.VALUE, NodeTypeKind.BLUR, NodeTypeKind.CURVATURE,
+        if kind == NodeTypeKind.BLUR:
+            # the constructor's (0, 256] cap guards host tap baking; a
+            # saved Blur(300) loads as Blur(256) rather than failing
+            return NodeType.Blur(NodeType._serde_clamp(payload, 1e-6, 256.0, 1.0))
+        if kind in (NodeTypeKind.VALUE, NodeTypeKind.CURVATURE,
                     NodeTypeKind.DISTANCE):
             return NodeType(kind, float(payload))
         if kind == NodeTypeKind.LEVELS:
@@ -677,8 +699,10 @@ class NodeType:
             )
         if kind == NodeTypeKind.NOISE:
             return NodeType.Noise(
-                payload["width"], payload["height"], payload["cells"],
-                payload["octaves"], payload["seed"], payload["persistence"],
+                max(1, int(payload["width"])), max(1, int(payload["height"])),
+                max(1, int(payload["cells"])),
+                int(NodeType._serde_clamp(payload["octaves"], 1, 24, 4)),
+                payload["seed"], payload["persistence"],
             )
         if kind == NodeTypeKind.PATTERN:
             return NodeType.Pattern(
@@ -712,7 +736,8 @@ class NodeType:
             )
         if kind == NodeTypeKind.AMBIENT_OCCLUSION:
             return NodeType.AmbientOcclusion(
-                payload["strength"], payload["radius"]
+                payload["strength"],
+                NodeType._serde_clamp(payload["radius"], 1e-6, 64.0, 2.0),
             )
         return NodeType(kind, payload)
 

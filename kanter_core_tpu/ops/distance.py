@@ -140,7 +140,18 @@ def distance_plane(mask, max_dist, pallas_ok: bool = True):
     # unpacked formulation — the bitwise numpy oracle
     # (`tests/test_distance.py::_oracle`) still mirrors an UNPACKED pass
     # order and the outputs match bit for bit.
-    assert h <= 32767 and w <= 65535, "canvas exceeds the packed-JFA bound"
+    if h > 32767 or w > 65535:
+        # NOT an assert: `python -O` strips asserts, and a taller canvas
+        # would silently overflow the y<<16 pack into the sign bit —
+        # surface a diagnosable graph error instead (commit-time handling
+        # mirrors the reference's kernel-error path, engine.rs:104-120)
+        from ..errors import ErrorKind, TexProError
+
+        raise TexProError(
+            ErrorKind.GENERIC,
+            f"Distance canvas {w}x{h} exceeds the packed-JFA bound "
+            "(h <= 32767, w <= 65535)",
+        )
     sent = jnp.int32(0x7FFFFFFF)
     pix = (rows << jnp.int32(16)) | cols
     packed = jnp.where(seed, pix, sent)

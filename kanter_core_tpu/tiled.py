@@ -681,16 +681,30 @@ def band_dense_floor_bytes(infos: dict):
             halo = warp_halo(info.node.node_type.payload[1])
             dense = halo is None or 2 * halo + 1 >= info.working.height
         if not dense or not info.inputs:
+            # a Warp whose strength slot (SlotId(1)) is DANGLING is a
+            # pass-through alias in the band fn (no hoist at all), so the
+            # halo classification above correctly applies only when slot 1
+            # is wired — `_expand_rows`' Warp branch is the ground truth
             continue
         in_bytes = sum(
             4 * info.working.pixel_count() * infos[pid].out_planes[pslot]
             for _, pid, pslot in info.inputs
         )
-        floor += in_bytes
+        # the node's OWN live planes per band (ADVICE r4 — input-only
+        # undercounted the floor 2-3x for Distance): the Distance band fn
+        # runs the FULL propagation and slices, so its full-height output
+        # AND the packed-i32 JFA state plane are live alongside the input;
+        # Transform/Warp emit band-sized outputs (row-subset gathers), so
+        # only their full-height INPUT hoist counts.
+        own_bytes = 0
+        if kind == K.DISTANCE:
+            own_planes = sum(info.out_planes.values()) + 1  # output + state
+            own_bytes = 4 * info.working.pixel_count() * own_planes
+        floor += in_bytes + own_bytes
         culprits.append(
             f"{kind.name} node {int(info.node.node_id)} hoists its full "
             f"{info.working.width}x{info.working.height} input "
-            f"({in_bytes} bytes) into every band"
+            f"({in_bytes + own_bytes} bytes live per band)"
         )
     return floor, culprits
 

@@ -526,3 +526,38 @@ def test_name_collision_rejects_unicode_digits_like_rust():
     'a_4'."""
     assert NodeGraph._avoid_name_collision(["a_٣"], "a_٣") == "a_0"
     assert NodeGraph._avoid_name_collision(["a_3"], "a_3") == "a_4"
+
+
+def test_serde_clamps_out_of_range_payloads():
+    """ADVICE r4: payload caps (Blur sigma, AO radius, Noise octaves —
+    r4 host-hang guards) are enforced with a hard TexProError on
+    PROGRAMMATIC construction, but previously-saved graphs must still
+    LOAD: the serde path clamps out-of-range / non-finite values into the
+    accepted range instead of refusing the whole file."""
+    from kanter_core_tpu.node import NodeType, NodeTypeKind
+
+    # constructor: hard raise (unchanged)
+    with pytest.raises(TexProError):
+        NodeType.Blur(300.0)
+    with pytest.raises(TexProError):
+        NodeType.AmbientOcclusion(1.0, 1000.0)
+    with pytest.raises(TexProError):
+        NodeType.Noise(64, 64, octaves=99)
+
+    # serde: clamp
+    nt = NodeType.from_json({"Blur": 300.0})
+    assert nt.kind == NodeTypeKind.BLUR and nt.payload == 256.0
+    nt = NodeType.from_json({"Blur": float("nan")})
+    assert nt.payload == 1.0  # non-finite -> default
+    nt = NodeType.from_json(
+        {"AmbientOcclusion": {"strength": 1.0, "radius": 1000.0}}
+    )
+    assert nt.payload == (1.0, 64.0)
+    nt = NodeType.from_json({"Noise": {
+        "width": 64, "height": 64, "cells": 8, "octaves": 99,
+        "seed": 0, "persistence": 0.5,
+    }})
+    assert nt.payload[3] == 24
+    # in-range payloads round-trip untouched
+    nt = NodeType.from_json({"Blur": 2.5})
+    assert nt.payload == 2.5

@@ -751,8 +751,11 @@ def test_band_dense_floor_covers_transform_and_unbounded_warp():
     plane = 4 * 64 * 32
     f, culprits = floor_of(lambda: Node(NodeType.Transform(1.0, 0.0, 0.0, 1.0, 0.3)))
     assert f == plane and "TRANSFORM" in culprits[0]
+    # Distance's band fn runs the FULL propagation and slices (tiled.py
+    # band loop), so its full-height OUTPUT and packed-i32 JFA STATE are
+    # live alongside the input: 3 planes, not 1 (ADVICE r4 undercount fix)
     f, culprits = floor_of(lambda: Node(NodeType.Distance(8.0)))
-    assert f == plane and "DISTANCE" in culprits[0]
+    assert f == 3 * plane and "DISTANCE" in culprits[0]
     # unbounded-halo warp: intensity covers the whole height; BOTH wired
     # inputs (image + strength map) hoist full height
     f, culprits = floor_of(lambda: Node(NodeType.Warp(10.0, 1e9)),
