@@ -88,6 +88,49 @@ def graph_is_bucketable(graph, preset_nodes=frozenset(),
     return all(ok(n, True) for n in graph.nodes)
 
 
+def split_segments(graph, preset_nodes=frozenset()):
+    """Topological segmentation of a FLAT graph into maximal
+    same-bucketability layers (VERDICT r4 #2 — partition splitting at
+    unbucketable boundaries).
+
+    Returns `[(is_bucketable, [node_ids]), ...]` in evaluation order. Each
+    node's layer index k = max over parents of (k(parent) + 1 if the
+    bucketability color changes on that edge else 0); nodes group by
+    (k, color). Since k is non-decreasing along every edge and two
+    same-k nodes of different color can share no edge (an edge between
+    different colors increments k), ordering segments by k is a valid
+    schedule, and a chain independent of any unbucketable node stays in
+    one k=0 segment — the segment count grows only with unbucketable
+    NESTING depth, not graph size. Preset (clean-boundary) nodes belong
+    to no segment; their planes arrive via bindings."""
+    from .compiler import _topo_order
+
+    parents: dict = {}
+    for e in graph.edges:
+        parents.setdefault(e.input_id, set()).add(e.output_id)
+    color = {
+        n.node_id: n.node_type.kind in BUCKETABLE_KINDS
+        for n in graph.nodes
+        if n.node_id not in preset_nodes
+    }
+    k: dict = {}
+    for nid in _topo_order(graph):
+        if nid not in color:
+            continue
+        best = 0
+        for p in parents.get(nid, ()):
+            if p in color:
+                best = max(best, k[p] + (1 if color[p] != color[nid] else 0))
+        k[nid] = best
+    groups: dict = {}
+    for nid, kk in k.items():
+        groups.setdefault((kk, color[nid]), []).append(nid)
+    return [
+        (c, sorted(groups[(kk, c)], key=int))
+        for kk, c in sorted(groups, key=lambda t: (t[0], not t[1]))
+    ]
+
+
 def bucket_of(n: int, bucket: int) -> int:
     """Pad target for a true extent: tiny sizes stay exact (defaults and
     Value planes), sub-bucket sizes round to powers of two, larger sizes to
@@ -177,7 +220,8 @@ class BucketedGraph:
     """
 
     def __init__(self, node_graph, targets=None, bucket: int = 256, preset=None,
-                 device_out: bool = False, bindings=None, mesh=None):
+                 device_out: bool = False, bindings=None, mesh=None,
+                 padded_preset=frozenset()):
         import jax
 
         from . import tiled
@@ -190,6 +234,16 @@ class BucketedGraph:
         # mirroring the fused/tiled preset convention)
         self.preset = dict(preset or {})
         self._preset_nodes = {nid for nid, _ in self.preset}
+        # padded_preset ⊆ preset nodes: inter-SEGMENT boundaries whose
+        # planes arrive PADDED to this evaluator's bucket targets (the
+        # engine's segmented dispatch — see engine._eval_bucketed_segments).
+        # Their argument shapes are then bucket-stable across a size drag
+        # (one trace per bucket crossed), unlike true-size preset planes
+        # whose every distinct size would mint a fresh trace. Consumers are
+        # untouched: same-size edges pass through positionally (both frames
+        # padded), resample/gather edges index only true rows, and the tap
+        # bound below uses the bucket extent like any computed producer.
+        self._padded_presets = frozenset(NodeId(int(p)) for p in padded_preset)
         #: True → __call__ returns device arrays (lazy device slices);
         #: False → host numpy
         self.device_out = device_out
@@ -634,7 +688,11 @@ class BucketedGraph:
 
     def _plane_shape(self, pid, kind, size: Size, B: int) -> tuple:
         """In-trace plane shape of a producer: leaves and preset boundary
-        planes stay at true shape, computed nodes are padded."""
+        planes stay at true shape, computed nodes are padded — and padded
+        segment-boundary presets (engine segmented dispatch) arrive at
+        bucket targets like computed nodes."""
+        if pid in self._padded_presets:
+            return (bucket_of(size.height, B), bucket_of(size.width, B))
         if kind in _LEAF_KINDS or kind == K.VALUE or pid in self._preset_nodes:
             return (size.height, size.width)
         return (bucket_of(size.height, B), bucket_of(size.width, B))
@@ -644,11 +702,14 @@ class BucketedGraph:
         largest in extent (the parent's pad target; leaves/preset are
         static) over the smallest out extent mapping to `out_pad`."""
         B = self.bucket
-        in_hi = (
-            in_len
-            if pk in _LEAF_KINDS or pk == K.VALUE or pid in self._preset_nodes
-            else bucket_of(in_len, B)
-        )
+        if pid in self._padded_presets:
+            # padded segment-boundary planes: bound like a computed
+            # producer so the tap arg width is bucket-stable across drags
+            in_hi = bucket_of(in_len, B)
+        elif pk in _LEAF_KINDS or pk == K.VALUE or pid in self._preset_nodes:
+            in_hi = in_len
+        else:
+            in_hi = bucket_of(in_len, B)
         out_lo = _bucket_lo(out_pad, B)
         return resample_weights(in_hi, max(1, out_lo), filt)[1].shape[1]
 

@@ -27,6 +27,7 @@ by setting `shutdown` and recording the error on the live graph so blocked
 
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 
@@ -71,6 +72,20 @@ class _FusedPack:
         self.priority = priority
         self.live_graph = live_graph
         self.partition = partition  # list[NodeId], topo order
+
+
+@functools.lru_cache(maxsize=64)
+def _pad_plane_to(H: int, W: int):
+    """Jitted bottom/right zero-pad to (H, W): the segmented bucketed
+    dispatch (`_eval_bucketed_segments`) pads inter-segment boundary planes
+    to bucket targets in one device op per plane — pad texels are never
+    read downstream (the bucketed trace gathers only true rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(
+        lambda p: jnp.pad(p, ((0, H - p.shape[0]), (0, W - p.shape[1])))
+    )
 
 
 def _shard_overrides(overrides: dict, mesh) -> dict:
@@ -1173,8 +1188,11 @@ class Engine:
         `bucketed.BucketedGraph`, cached per SIZE-NORMALIZED structure
         fingerprint — a SpecificSize drag re-uses one executable per size
         bucket instead of recompiling per pixel size (SURVEY §7 hard-part 2).
-        Commits every partition node's planes device-resident, like the
-        dense path; falls back (False) for unbucketable structures."""
+        Partitions CONTAINING unbucketable nodes (Distance) split at the
+        unbucketable boundaries and evaluate segment-by-segment
+        (`_eval_bucketed_segments`, VERDICT r4 #2) — only un-FLATTENABLE
+        structures fall back (False) to the dense path. Commits every
+        partition node's planes device-resident, like the dense path."""
         from . import bucketed, tiled
         from .slot_data import SlotData
         from .slot_image import SlotImage
@@ -1183,10 +1201,6 @@ class Engine:
         preset_nodes = {nid for nid, _ in preset}
         if not tiled.graph_is_tileable(snapshot, preset_nodes, allow_graph=True):
             return False
-        if not bucketed.graph_is_bucketable(
-            snapshot, preset_nodes, allow_graph=True
-        ):
-            return False  # e.g. Distance: dense path owns the partition
         try:
             prep = self._flat_dispatch_inputs(
                 snapshot, boundary, embedded, input_datas, preset, device=True
@@ -1207,39 +1221,25 @@ class Engine:
             if not targets:
                 return False
 
-            # cache key: size-normalized structure + targets + leaf plane
-            # COUNTS (shapes may vary per size; counts must not)
-            counts_sig = tuple(
-                sorted(
-                    (k, len(v))
-                    for k, v in bindings.items()
-                    if isinstance(v, tuple)
+            unbucketable = {
+                n.node_id
+                for n in flat_graph.nodes
+                if n.node_id not in preset_nodes
+                and n.node_type.kind not in bucketed.BUCKETABLE_KINDS
+            }
+            if unbucketable:
+                # VERDICT r4 #2: serve the bucketable majority through the
+                # shape-bucketed evaluator and dense-compile ONLY the
+                # unbucketable segments (e.g. Distance's packed-i32 JFA),
+                # instead of declining the whole partition to the dense path
+                # — which recompiled EVERYTHING per dragged size.
+                outs = self._eval_bucketed_segments(
+                    flat_graph, infos, bindings, preset, preset_nodes, targets,
                 )
-            )
-            key = (
-                bucketed.size_normalized_fingerprint(
-                    flat_graph,
-                    extra=repr(sorted((int(n), int(s)) for n, s in targets))
-                    + repr(sorted((int(n), int(s), c) for (n, s), c in preset.items())),
-                ),
-                counts_sig,
-            )
-            with self._fused_programs_lock:
-                cached = self._bucketed_programs.get(key)
-                if cached is not None:
-                    self._bucketed_programs.move_to_end(key)
-            if cached is None:
-                cached = bucketed.BucketedGraph(
-                    flat_graph, targets=targets, preset=preset,
-                    device_out=True, bindings=bindings,
-                    mesh=self.tex_pro.mesh,
+            else:
+                outs = self._eval_bucketed_whole(
+                    flat_graph, infos, bindings, preset, targets,
                 )
-                with self._fused_programs_lock:
-                    self._bucketed_programs[key] = cached
-                    while len(self._bucketed_programs) > self.FUSED_PROGRAM_CACHE_CAP:
-                        self._bucketed_programs.popitem(last=False)
-
-            outs = cached.with_state(flat_graph, bindings)(infos=infos)
 
             results: dict = {}
             # the bucketed evaluator dedups aliased planes (same array object
@@ -1270,6 +1270,224 @@ class Engine:
         self._results.put(message)
         self.wake()
         return True
+
+    def _eval_bucketed_whole(
+        self, flat_graph, infos, bindings, preset, targets,
+    ) -> dict:
+        """All-bucketable partition: one cached BucketedGraph evaluator for
+        the whole flat graph (the pre-r5 path, unchanged). Returns
+        {(flat_nid, slot): true-size device planes} for `targets`."""
+        from . import bucketed
+
+        # cache key: size-normalized structure + targets + leaf plane
+        # COUNTS (shapes may vary per size; counts must not)
+        counts_sig = tuple(
+            sorted(
+                (k, len(v))
+                for k, v in bindings.items()
+                if isinstance(v, tuple)
+            )
+        )
+        key = (
+            bucketed.size_normalized_fingerprint(
+                flat_graph,
+                extra=repr(sorted((int(n), int(s)) for n, s in targets))
+                + repr(sorted((int(n), int(s), c) for (n, s), c in preset.items())),
+            ),
+            counts_sig,
+        )
+        with self._fused_programs_lock:
+            cached = self._bucketed_programs.get(key)
+            if cached is not None:
+                self._bucketed_programs.move_to_end(key)
+        if cached is None:
+            cached = bucketed.BucketedGraph(
+                flat_graph, targets=targets, preset=preset,
+                device_out=True, bindings=bindings,
+                mesh=self.tex_pro.mesh,
+            )
+            with self._fused_programs_lock:
+                self._bucketed_programs[key] = cached
+                while len(self._bucketed_programs) > self.FUSED_PROGRAM_CACHE_CAP:
+                    self._bucketed_programs.popitem(last=False)
+
+        return cached.with_state(flat_graph, bindings)(infos=infos)
+
+    def _eval_bucketed_segments(
+        self, flat_graph, infos, bindings, preset, preset_nodes, targets,
+    ) -> dict:
+        """Partition splitting at unbucketable boundaries (VERDICT r4 #2).
+
+        `bucketed.split_segments` layers the flat graph into maximal
+        same-bucketability segments in topological order. Bucketable
+        segments evaluate through cached `BucketedGraph` evaluators (one
+        compile per size BUCKET); unbucketable segments (Distance's
+        packed-i32 JFA — small programs) dense-compile per size through a
+        cached `CompiledGraph`. Earlier segments feed later ones as preset
+        planes: TRUE-size into dense segments, PADDED to bucket targets
+        into bucketed ones (`BucketedGraph(padded_preset=...)`), so a size
+        drag costs one bucketed compile per bucket crossed plus one dense
+        compile per size for the Distance segment only — instead of
+        re-compiling the WHOLE partition per size (the pre-r5 fallback;
+        interactive-sizing anchor: `live_graph.rs:164-195`). Bit-identity
+        to the dense path holds because every segment evaluates the same
+        lockstep op twins over the same planes; enforced by
+        `test_partition_split.py::test_distance_segmented_*` and the
+        dryrun's bucketed+mesh flagship compare.
+
+        Returns {(flat_nid, slot): true-size device planes} for `targets`.
+        """
+        from . import bucketed
+        from .compiler import (
+            CompiledGraph,
+            collect_value_bindings,
+            graph_fingerprint,
+        )
+        from .node_graph import NodeGraph as _NG
+
+        mesh = self.tex_pro.mesh
+        segments = bucketed.split_segments(flat_graph, preset_nodes)
+        plane_env: dict = {}  # (fnid, slot) → true-size device planes
+        edges_by_input: dict = {}
+        for e in flat_graph.edges:
+            edges_by_input.setdefault(e.input_id, []).append(e)
+
+        B = 256  # BucketedGraph's default bucket — keep in lockstep
+
+        def padded(p, size):
+            H = bucketed.bucket_of(size.height, B)
+            W = bucketed.bucket_of(size.width, B)
+            if tuple(p.shape) == (H, W):
+                return p
+            return _pad_plane_to(H, W)(p)
+
+        for is_bucketable, seg_nodes in segments:
+            seg_set = set(seg_nodes)
+            boundary_keys = sorted(
+                {
+                    (e.output_id, e.output_slot)
+                    for nid in seg_nodes
+                    for e in edges_by_input.get(nid, [])
+                    if e.output_id not in seg_set
+                },
+                key=lambda t: (int(t[0]), int(t[1])),
+            )
+            keep = seg_set | {pid for pid, _ in boundary_keys}
+            sub = _NG()
+            sub.nodes = [n for n in flat_graph.nodes if n.node_id in keep]
+            sub.edges = [
+                e
+                for e in flat_graph.edges
+                if e.input_id in seg_set and e.output_id in keep
+            ]
+            seg_preset: dict = {}
+            seg_planes: dict = {}  # binding key → planes for this segment
+            inter_segment: set = set()  # boundary pids fed from plane_env
+            for pid, pslot in boundary_keys:
+                if (pid, pslot) in plane_env:
+                    planes = plane_env[(pid, pslot)]
+                    inter_segment.add(pid)
+                    if is_bucketable:
+                        size = infos[pid].slot_size(pslot)
+                        planes = tuple(padded(p, size) for p in planes)
+                else:
+                    # original partition-boundary preset: stable planes,
+                    # ride unpadded exactly like the whole-graph path
+                    planes = bindings[f"preset_{int(pid)}_{int(pslot)}"]
+                seg_preset[(pid, pslot)] = len(planes)
+                seg_planes[f"preset_{int(pid)}_{int(pslot)}"] = tuple(planes)
+            seg_targets = [
+                (nid, slot)
+                for nid in seg_nodes
+                for slot in infos[nid].out_planes
+            ]
+
+            if is_bucketable:
+                seg_bind = {**bindings, **seg_planes}
+                counts_sig = tuple(
+                    sorted(
+                        (k, len(v))
+                        for k, v in seg_bind.items()
+                        if isinstance(v, tuple)
+                    )
+                )
+                key = (
+                    bucketed.size_normalized_fingerprint(
+                        sub,
+                        extra=repr(sorted((int(n), int(s)) for n, s in seg_targets))
+                        + repr(sorted(
+                            (int(n), int(s), c) for (n, s), c in seg_preset.items()
+                        ))
+                        + repr(sorted(int(p) for p in inter_segment)),
+                    ),
+                    counts_sig,
+                )
+                with self._fused_programs_lock:
+                    cached = self._bucketed_programs.get(key)
+                    if cached is not None:
+                        self._bucketed_programs.move_to_end(key)
+                if cached is None:
+                    cached = bucketed.BucketedGraph(
+                        sub, targets=seg_targets, preset=seg_preset,
+                        device_out=True, bindings=seg_bind, mesh=mesh,
+                        padded_preset=inter_segment,
+                    )
+                    with self._fused_programs_lock:
+                        self._bucketed_programs[key] = cached
+                        while len(self._bucketed_programs) > self.FUSED_PROGRAM_CACHE_CAP:
+                            self._bucketed_programs.popitem(last=False)
+                outs = cached.with_state(sub, seg_bind)(infos=infos)
+                for fkey, planes in outs.items():
+                    plane_env[fkey] = tuple(planes)
+            else:
+                # dense segment: true-size planes, per-size compiles owned
+                # by CompiledGraph's internal per-shape trace cache — the
+                # segment is small (the unbucketable node + its boundary),
+                # so this is the cheap leg of the drag. PRESET nodes'
+                # resize policies are normalized out of the key: their
+                # outputs come from preset planes, so a SpecificSize drag
+                # upstream must reuse this ONE program (per-shape retraces
+                # happen inside it); interior nodes' policies stay — they
+                # resize inside the trace and must key it.
+                from .node import ResizePolicy as _RP
+
+                fp_sub = sub.clone()
+                for n in fp_sub.nodes:
+                    if n.node_id not in seg_set:
+                        n.resize_policy = _RP.default()
+                key = (
+                    graph_fingerprint(
+                        fp_sub,
+                        extra="segment"
+                        + repr(sorted(
+                            (int(n), int(s), c) for (n, s), c in seg_preset.items()
+                        )),
+                    ),
+                )
+                with self._fused_programs_lock:
+                    prog = self._fused_programs.get(key)
+                    if prog is not None:
+                        self._fused_programs.move_to_end(key)
+                if prog is None:
+                    prog = CompiledGraph(
+                        sub, emit_all=True, preset=seg_preset, mesh=mesh,
+                    )
+                    with self._fused_programs_lock:
+                        self._fused_programs[key] = prog
+                        while len(self._fused_programs) > self.FUSED_PROGRAM_CACHE_CAP:
+                            self._fused_programs.popitem(last=False)
+                overrides = collect_value_bindings(sub)
+                overrides.update(seg_planes)
+                if mesh is not None:
+                    overrides = _shard_overrides(overrides, mesh)
+                unique_planes, layout = prog.call_with_layout(**overrides)
+                for (nid, slot), idxs in layout.items():
+                    if nid in seg_set:
+                        plane_env[(nid, slot)] = tuple(
+                            unique_planes[i] for i in idxs
+                        )
+
+        return {t: plane_env[t] for t in targets}
 
     def _try_tiled(
         self, snapshot, partition, boundary, embedded, input_datas, preset,

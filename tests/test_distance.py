@@ -188,11 +188,12 @@ def test_distance_four_consumer_parity():
     assert np.array_equal(px["fused"], px["tiled"])
 
 
-def test_distance_bucketed_engine_falls_back_to_dense():
+def test_distance_bucketed_engine_splits_segments():
     """Distance is NOT bucketable (a padded plane cannot wrap-roll): with
-    `bucket_sizes=True` the engine's bucketed gate declines the partition
-    and the dense path produces the same pixels — no error, no stale
-    bucketed program."""
+    `bucket_sizes=True` the engine SPLITS the partition at the Distance
+    boundary (VERDICT r4 #2) — the bucketable segments evaluate through
+    cached BucketedGraph evaluators, the Distance segment dense-compiles —
+    and the pixels stay bit-identical to the plain dense path."""
     from kanter_core_tpu.bucketed import BucketedGraph, graph_is_bucketable
 
     g, ds, out = _build()
@@ -214,7 +215,10 @@ def test_distance_bucketed_engine_falls_back_to_dense():
             else:
                 b = render_u8(lg, out2)
         assert np.array_equal(a, b)
-        assert len(tp_bucket.engine._bucketed_programs) == 0
+        # segments went through the bucketed machinery (≥1 cached
+        # segment evaluator) and the Distance segment dense-compiled
+        assert len(tp_bucket.engine._bucketed_programs) >= 1
+        assert len(tp_bucket.engine._fused_programs) >= 1
     finally:
         tp_dense.shutdown_now()
         tp_bucket.shutdown_now()
@@ -254,3 +258,16 @@ def test_distance_rejects_rgba_input():
     ds = g.add_node(Node(NodeType.Distance()))
     with pytest.raises(TexProError):
         g.connect(img, ds, SlotId(0), SlotId(0))  # GRAY slot refuses RGBA
+
+
+def test_distance_packed_bound_raises_texpro_error():
+    """ADVICE r4: the packed-JFA canvas bound (h<=32767: row coords ride
+    in y<<16) must survive `python -O` and surface as a diagnosable
+    TexProError, not a bare AssertionError. w=1 keeps the array tiny."""
+    import numpy as np
+
+    from kanter_core_tpu.ops.distance import distance_plane
+
+    mask = np.zeros((32768, 1), np.float32)
+    with pytest.raises(TexProError):
+        distance_plane(mask, 8.0, pallas_ok=False)
