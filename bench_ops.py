@@ -77,6 +77,67 @@ def stages(canvas: int):
         8, 64, 0.25,
     )
 
+    # --- VPU int-op envelope calibration (VERDICT r4 #4): the compute-
+    #     bound rows (distance_jfa, voronoi_cellular) were judged against
+    #     nothing — this row measures what a pure-ALU i32 kernel of KNOWN
+    #     op count achieves on this chip, so those rows can report "% of
+    #     measured VPU envelope" the way bandwidth rows report % of
+    #     roofline. The round body is the JFA fold's candidate evaluation
+    #     VERBATIM (ops/distance.d2_of + the select fold) iterated on a
+    #     rolling data-dependent state, so the op MIX (shift/and/sub/abs/
+    #     cmp/select/mul/add on i32) matches what it calibrates. Op count
+    #     per round, counted from the statements: valid-cmp 1, shifts 2-3,
+    #     and 1, sub/abs 4, wrap-selects 6, valid-selects 2, d² 4,
+    #     fold cmp+select 2, state update 3 = 24 plane ops; ROUNDS=24 →
+    #     576 ops/px, ~36:1 compute:HBM ratio at 16 B/px (compute-bound
+    #     by construction). Traffic model: 3 reads + 1 write. ---
+    import jax.numpy as _jv
+    from jax import lax as _lax
+
+    _VPU_ROUNDS = 24
+    _VPU_OPS_PER_ROUND = 24
+    rows_i = _jv.broadcast_to(
+        _jv.arange(canvas, dtype=_jv.int32)[:, None], (canvas, canvas)
+    )
+    cols_i = _jv.broadcast_to(
+        _jv.arange(canvas, dtype=_jv.int32)[None, :], (canvas, canvas)
+    )
+    x0 = (p1 * np.float32(2**20)).astype(_jv.int32)
+
+    def vpu_body(c, ps):
+        x, rp, cp = ps
+        sent = _jv.int32(0x7FFFFFFF)
+        far = sent
+        half_h = _jv.int32(canvas // 2)
+        hh = _jv.int32(canvas)
+        x = x ^ c.astype(_jv.int32)
+        acc = x | _jv.int32(1)
+        for i in range(_VPU_ROUNDS):
+            valid = x != sent
+            cy = _jv.right_shift(x, _jv.int32(16))
+            cx = _jv.bitwise_and(x, _jv.int32(0xFFFF))
+            dy = _jv.abs(rp - cy)
+            dy = _jv.where(dy > half_h, hh - dy, dy)
+            dx = _jv.abs(cp - cx)
+            dx = _jv.where(dx > half_h, hh - dx, dx)
+            dy = _jv.where(valid, dy, _jv.int32(0))
+            dx = _jv.where(valid, dx, _jv.int32(0))
+            d2 = _jv.where(valid, dy * dy + dx * dx, far)
+            better = d2 < acc
+            acc = _jv.where(better, d2, acc)
+            x = _jv.where(better, x ^ d2, x + _jv.int32(i + 1))
+        return (acc + x,)
+
+    yield (
+        "vpu_i32_calib",
+        vpu_body,
+        (x0, rows_i, cols_i),
+        4 * plane_bytes,
+        canvas * canvas,
+        8, 32, 1.0,
+        {"intops_per_px": _VPU_ROUNDS * _VPU_OPS_PER_ROUND},
+    )
+
     # --- mix chain ×16 (fusion probe: still 2 reads + 1 write) ---
     def chain_body(c, ps):
         x = ps[0] + c
@@ -392,6 +453,9 @@ def stages(canvas: int):
         sum((4 if k >= 8 else 2) for k in steps) + 2
     ) * plane_bytes
 
+    # Modeled VPU op count (for pct_of_vpu_envelope, counted from
+    # ops/distance.d2_of + the 8-candidate fold): d2_of = 19 plane ops;
+    # per step = 19 (step-start) + 8 × (19 + cmp + 2 selects) = 195.
     yield (
         "distance_jfa",
         (lambda ok: lambda c, ps: (
@@ -401,6 +465,7 @@ def stages(canvas: int):
         dist_traffic,
         canvas * canvas,
         2, 8, 0.25,  # multi-ms op: short scan clears the noise floor
+        {"modeled_intops_per_px": 195 * len(steps)},
     )
 
     # --- Voronoi cellular source (25-candidate exact window; compute-
@@ -423,6 +488,10 @@ def stages(canvas: int):
             c % 1.0, vb["seed"],
         )
 
+    # Modeled VPU op count (for pct_of_vpu_envelope, counted from
+    # ops/voronoi.candidate): 3 lowbias32 hashes × 13 plane ops (the two
+    # leading muls are VECTOR ops — free at plane scale) + jitter offsets
+    # 4 + deltas 2 + d² 3 + fold cmp/min/selects 5 = 53/candidate × 25.
     yield (
         "voronoi_cellular",
         voronoi_body,
@@ -430,6 +499,7 @@ def stages(canvas: int):
         3 * plane_bytes,
         canvas * canvas,
         8, 32, 0.25,
+        {"modeled_intops_per_px": 53 * 25},
     )
 
     # --- Ramp gradient source (elementwise coordinate math; traffic
@@ -490,7 +560,10 @@ def main() -> None:
 
     backend = jax.default_backend()
     for canvas in SIZES:
-        for name, body, consts, traffic, out_px, n1, n2, base in stages(canvas):
+        vpu_envelope = None  # measured int-ops/s from this run's calib row
+        for stage in stages(canvas):
+            name, body, consts, traffic, out_px, n1, n2, base = stage[:8]
+            meta = stage[8] if len(stage) > 8 else {}
             if ONLY and not any(name.startswith(o) for o in ONLY):
                 continue
             # u8 quantization: vary inputs in steps ≥ 1/128 so consecutive
@@ -498,8 +571,8 @@ def main() -> None:
             # offsets (see h2n_body)
             if name.startswith("u8"):
                 step = 1.0 / 128.0
-            elif name.startswith(("h2n", "curvature", "ambient")):
-                step = 1.0  # integer roll offsets drive the variation
+            elif name.startswith(("h2n", "curvature", "ambient", "vpu")):
+                step = 1.0  # integer roll/xor offsets drive the variation
             elif name.startswith("pattern"):
                 step = 1.0  # integer seed steps (see the row comment)
             else:
@@ -515,6 +588,20 @@ def main() -> None:
                 "gpix_s": round(out_px / seconds / 1e9, 3),
                 "checksums_distinct": distinct,
             }
+            if name == "vpu_i32_calib":
+                # per-run envelope: measured int-ops/s of the known-count
+                # pure-ALU kernel (see the stage comment)
+                vpu_envelope = meta["intops_per_px"] * canvas * canvas / seconds
+                row["intops_per_px"] = meta["intops_per_px"]
+                row["vpu_envelope_tops"] = round(vpu_envelope / 1e12, 3)
+            elif "modeled_intops_per_px" in meta and vpu_envelope:
+                # compute-bound rows: % of this run's VPU envelope the op
+                # achieves under its modeled op count — a 2× kernel
+                # regression now FAILS a falsifiable ratio instead of
+                # hiding behind an unmeasured "compute-bound" claim
+                modeled_s = meta["modeled_intops_per_px"] * canvas * canvas / vpu_envelope
+                row["modeled_intops_per_px"] = meta["modeled_intops_per_px"]
+                row["pct_of_vpu_envelope"] = round(100.0 * modeled_s / seconds, 1)
             if seconds <= 5e-6:
                 # the two-length difference vanished into tunnel jitter: the
                 # op is faster than this protocol can resolve — say so
