@@ -678,7 +678,17 @@ class GraphCompiler:
             return outputs
 
         if kind == K.EMBED:
-            planes = args[f"{prefix}embed_{int(node.node_type.payload)}"]
+            planes = args.get(f"{prefix}embed_{int(node.node_type.payload)}")
+            if planes is None:
+                # no data registered under this id: diagnosable graph error,
+                # not a raw KeyError the engine would treat as fatal
+                # (reference: `embed.rs:33-50` returns Err; found by the
+                # r5 payload fuzz)
+                raise TexProError(
+                    ErrorKind.INVALID_BUFFER_COUNT,
+                    f"no embedded slot data with id "
+                    f"{int(node.node_type.payload)}",
+                )
             return [(SlotId(0), ImgVal(list(planes)))]
 
         if kind == K.WRITE:

@@ -324,11 +324,12 @@ class NodeType:
         `seed`/`persistence`/`cells` are PROGRAM ARGUMENTS in every traced
         consumer, so seed cycling and slider drags re-run cached
         executables; `octaves` and the size shape the trace."""
-        width, height = int(width), int(height)
-        cells, octaves = int(cells), int(octaves)
-        if width < 1 or height < 1 or cells < 1 or octaves < 1:
+        width = NodeType._axis(width, "Noise width")
+        height = NodeType._axis(height, "Noise height")
+        cells, octaves = NodeType._axis(cells, "Noise cells"), int(octaves)
+        if octaves < 1:
             raise TexProError(
-                ErrorKind.GENERIC, "Noise needs size/cells/octaves >= 1"
+                ErrorKind.GENERIC, "Noise needs octaves >= 1"
             )
         if octaves > 24:
             # octaves shape the TRACE (one lattice pass each) and double
@@ -338,9 +339,17 @@ class NodeType:
             raise TexProError(
                 ErrorKind.GENERIC, "Noise needs octaves <= 24"
             )
+        if cells << (octaves - 1) > (1 << 30):
+            # the top octave's wrap period rides as i32 in the bindings;
+            # past 2^30 it overflows (found by the r5 payload fuzz)
+            raise TexProError(
+                ErrorKind.GENERIC,
+                "Noise needs cells * 2^(octaves-1) <= 2^30",
+            )
         return NodeType(
             NodeTypeKind.NOISE,
-            (width, height, cells, octaves, int(seed), float(persistence)),
+            (width, height, cells, octaves,
+             int(seed) & 0xFFFFFFFF, float(persistence)),
         )
 
     @staticmethod
@@ -355,12 +364,10 @@ class NodeType:
         in every traced consumer (cell-count and groove drags re-run cached
         executables); the size and the `pattern` kind shape the trace."""
         pattern = PatternKind(pattern).value  # accept enum or serde string
-        width, height = int(width), int(height)
-        cells_x, cells_y = int(cells_x), int(cells_y)
-        if width < 1 or height < 1 or cells_x < 1 or cells_y < 1:
-            raise TexProError(
-                ErrorKind.GENERIC, "Pattern needs size/cells >= 1"
-            )
+        width = NodeType._axis(width, "Pattern width")
+        height = NodeType._axis(height, "Pattern height")
+        cells_x = NodeType._axis(cells_x, "Pattern cells_x")
+        cells_y = NodeType._axis(cells_y, "Pattern cells_y")
         if not (float(mortar) >= 0.0 and float(bevel) >= 0.0):
             raise TexProError(
                 ErrorKind.GENERIC, "Pattern needs mortar/bevel >= 0"
@@ -368,7 +375,7 @@ class NodeType:
         return NodeType(
             NodeTypeKind.PATTERN,
             (width, height, pattern, cells_x, cells_y,
-             float(mortar), float(bevel), int(seed)),
+             float(mortar), float(bevel), int(seed) & 0xFFFFFFFF),
         )
 
     @staticmethod
@@ -386,19 +393,18 @@ class NodeType:
         own cell and the 5×5 neighbourhood search is exact for F1, F2,
         and the ID (ops/voronoi.py proves the window bound; a 3×3 window
         is only exact up to jitter ≈ 0.5)."""
-        width, height = int(width), int(height)
-        cells_x, cells_y = int(cells_x), int(cells_y)
-        if width < 1 or height < 1 or cells_x < 1 or cells_y < 1:
-            raise TexProError(
-                ErrorKind.GENERIC, "Voronoi needs size/cells >= 1"
-            )
+        width = NodeType._axis(width, "Voronoi width")
+        height = NodeType._axis(height, "Voronoi height")
+        cells_x = NodeType._axis(cells_x, "Voronoi cells_x")
+        cells_y = NodeType._axis(cells_y, "Voronoi cells_y")
         if not (0.0 <= float(jitter) <= 1.0):
             raise TexProError(
                 ErrorKind.GENERIC, "Voronoi needs jitter in [0, 1]"
             )
         return NodeType(
             NodeTypeKind.VORONOI,
-            (width, height, cells_x, cells_y, float(jitter), int(seed)),
+            (width, height, cells_x, cells_y, float(jitter),
+             int(seed) & 0xFFFFFFFF),
         )
 
     @staticmethod
@@ -412,9 +418,8 @@ class NodeType:
         square fade). `angle`/`cx`/`cy`/`scale` are PROGRAM ARGUMENTS in
         every traced consumer (drags re-run cached executables); only the
         size and the KIND (three distinct formulas) shape the trace."""
-        width, height = int(width), int(height)
-        if width < 1 or height < 1:
-            raise TexProError(ErrorKind.GENERIC, "Ramp needs size >= 1")
+        width = NodeType._axis(width, "Ramp width")
+        height = NodeType._axis(height, "Ramp height")
         if kind not in ("Linear", "Radial", "Box"):
             raise TexProError(
                 ErrorKind.GENERIC, f"unknown ramp kind {kind!r}"
@@ -652,6 +657,32 @@ class NodeType:
         return {k.value: self.payload}
 
     @staticmethod
+    def _axis(value, what: str) -> int:
+        """Canvas-axis / lattice-count validation for procedural sources:
+        their bindings allocate O(value) HOST index vectors (`np.arange`),
+        so an absurd payload (2^40 found by the r5 payload fuzz) would
+        allocate terabytes or hang the host — the r4 payload-hazard class
+        (Blur sigma / AO radius / Noise octaves, commit 8fbe499). 65536
+        is beyond the packed-JFA canvas bound and any canvas this
+        framework serves."""
+        value = int(value)
+        if not (1 <= value <= 65536):
+            raise TexProError(
+                ErrorKind.GENERIC, f"{what} must be in [1, 65536]"
+            )
+        return value
+
+    @staticmethod
+    def _serde_axis(value) -> int:
+        """Serde leniency for `_axis`-bounded fields: clamp into
+        [1, 65536] instead of refusing the load (ADVICE r4 convention)."""
+        try:
+            v = int(value)
+        except (TypeError, ValueError):
+            return 1
+        return min(max(v, 1), 65536)
+
+    @staticmethod
     def _serde_clamp(value, lo: float, hi: float, default: float) -> float:
         """Serde leniency (ADVICE r4): payload caps added after graphs were
         saved (Blur sigma, AO radius, Noise octaves — host-hang guards)
@@ -698,28 +729,47 @@ class NodeType:
                 payload["out_lo"], payload["out_hi"],
             )
         if kind == NodeTypeKind.NOISE:
+            octaves = int(NodeType._serde_clamp(payload["octaves"], 1, 24, 4))
+            cells = NodeType._serde_axis(payload["cells"])
+            # keep the top octave's i32 wrap period in range (the
+            # constructor's cells·2^(octaves−1) ≤ 2^30 bound)
+            while cells > 1 and cells << (octaves - 1) > (1 << 30):
+                cells //= 2
             return NodeType.Noise(
-                max(1, int(payload["width"])), max(1, int(payload["height"])),
-                max(1, int(payload["cells"])),
-                int(NodeType._serde_clamp(payload["octaves"], 1, 24, 4)),
+                NodeType._serde_axis(payload["width"]),
+                NodeType._serde_axis(payload["height"]),
+                cells, octaves,
                 payload["seed"], payload["persistence"],
             )
         if kind == NodeTypeKind.PATTERN:
             return NodeType.Pattern(
-                payload["width"], payload["height"], payload["pattern"],
-                payload["cells_x"], payload["cells_y"], payload["mortar"],
-                payload["bevel"], payload["seed"],
+                NodeType._serde_axis(payload["width"]),
+                NodeType._serde_axis(payload["height"]),
+                payload["pattern"],
+                NodeType._serde_axis(payload["cells_x"]),
+                NodeType._serde_axis(payload["cells_y"]),
+                NodeType._serde_clamp(payload["mortar"], 0.0, 1e9, 0.0),
+                NodeType._serde_clamp(payload["bevel"], 0.0, 1e9, 0.0),
+                payload["seed"],
             )
         if kind == NodeTypeKind.VORONOI:
             return NodeType.Voronoi(
-                payload["width"], payload["height"], payload["cells_x"],
-                payload["cells_y"], payload["jitter"], payload["seed"],
+                NodeType._serde_axis(payload["width"]),
+                NodeType._serde_axis(payload["height"]),
+                NodeType._serde_axis(payload["cells_x"]),
+                NodeType._serde_axis(payload["cells_y"]),
+                NodeType._serde_clamp(payload["jitter"], 0.0, 1.0, 1.0),
+                payload["seed"],
             )
         if kind == NodeTypeKind.RAMP:
             return NodeType.Ramp(
-                payload["width"], payload["height"], payload["kind"],
-                payload["angle"], payload["cx"], payload["cy"],
-                payload["scale"],
+                NodeType._serde_axis(payload["width"]),
+                NodeType._serde_axis(payload["height"]),
+                payload["kind"],
+                NodeType._serde_clamp(payload["angle"], -1e9, 1e9, 0.0),
+                NodeType._serde_clamp(payload["cx"], -1e9, 1e9, 0.5),
+                NodeType._serde_clamp(payload["cy"], -1e9, 1e9, 0.5),
+                NodeType._serde_clamp(payload["scale"], -1e9, 1e9, 1.0),
             )
         if kind == NodeTypeKind.GRADIENT_MAP:
             return NodeType.GradientMap(payload["stops"])
