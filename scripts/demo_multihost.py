@@ -37,7 +37,9 @@ if REPO not in sys.path:
 BATCH, H, W = 8, 64, 64
 NPROC = 2
 DEVICES_PER_PROC = 4
-COORD = "127.0.0.1:19833"
+# overridable so the suite test (tests/test_multihost.py) can pick a free
+# port per run instead of colliding on a fixed one
+COORD = os.environ.get("KANTER_MULTIHOST_COORD", "127.0.0.1:19833")
 
 
 def _build_graph():

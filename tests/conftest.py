@@ -49,11 +49,17 @@ TIMEOUT_SECONDS = int(os.environ.get("KANTER_TEST_TIMEOUT", "120"))
 
 
 @pytest.fixture(autouse=True)
-def _watchdog():
+def _watchdog(request):
     """Deadlock guard: dump all stacks AND abort if a test exceeds the
     budget, so deadlocks fail instead of hanging (reference:
-    `#[timeout(20_000)]` on every test)."""
-    faulthandler.dump_traceback_later(TIMEOUT_SECONDS, exit=True)
+    `#[timeout(20_000)]` on every test). A `watchdog_scale(N)` marker
+    multiplies the budget for tests that legitimately exceed it (the
+    multi-process multihost test spawns three JAX runtimes on one core)."""
+    scale = 1
+    marker = request.node.get_closest_marker("watchdog_scale")
+    if marker:
+        scale = int(marker.args[0])
+    faulthandler.dump_traceback_later(TIMEOUT_SECONDS * scale, exit=True)
     yield
     faulthandler.cancel_dump_traceback_later()
 
