@@ -418,13 +418,22 @@ def main() -> None:
                 else:
                     n_mix_gray += 1
             rows = _benchops_rows(fcanvas)
+            # each part lists fallbacks (first available wins): blur_s1 is
+            # below the noise floor at 2048 — σ=5 is the conservative
+            # stand-in there
             part_names = [
-                "distance_jfa", "voronoi_cellular", "ambient_occlusion_r2",
-                "warp_pallas", "blur_s1", "h2n", "hsv_rgba", "curvature",
-                "noise_fbm4", "pattern_brick", "ramp_radial",
+                ("distance_jfa",), ("voronoi_cellular",),
+                ("ambient_occlusion_r2",), ("warp_pallas",),
+                ("blur_s1", "blur_s5"), ("h2n",), ("hsv_rgba",),
+                ("curvature",), ("noise_fbm4",), ("pattern_brick",),
+                ("ramp_radial",),
             ]
-            if all(p in rows for p in part_names) and "mix_add" in rows:
-                sum_parts = sum(rows[p] for p in part_names)
+            picked = [
+                next((rows[n] for n in alts if n in rows), None)
+                for alts in part_names
+            ]
+            if all(v is not None for v in picked) and "mix_add" in rows:
+                sum_parts = sum(picked)
                 sum_parts += rows["mix_add"] * (n_mix_gray + 3 * n_mix_rgba)
                 extras[f"flagship_{tag}_sum_of_parts_ms"] = round(sum_parts, 3)
                 extras[f"flagship_{tag}_vs_sum_of_parts"] = round(

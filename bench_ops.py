@@ -407,6 +407,9 @@ def stages(canvas: int):
     #     exceed the Mosaic tap bound, the jnp fallback's ~100 rolls
     #     materialize 64 MB temps inside the scan, and HBM dies — the
     #     documented blur-class hazard, now pinned at the AO level too.
+    #     The ENGINE absorbs that case by banding (AO is bandable):
+    #     pinned by test_tiled.py::test_ao_at_capacity_bands_through_engine
+    #     (VERDICT r4 #7).
     #     Minimal-traffic model: each separable blur is 2 passes
     #     (in+tmp+tmp+out = 4 planes) ×3, plus the combine's 3 blurred
     #     reads + center read + out write; the GB/s is a LOWER bound when

@@ -962,3 +962,57 @@ def test_tiled_nan_producing_graph_parity():
     graph, targets = _build_random_graph(209, allow_graph_nodes=False)
     assert targets and graph_is_tileable(graph)
     _assert_tiled_matches(graph, [(t, SlotId(0)) for t in targets], band_rows=7)
+
+
+def test_ao_at_capacity_bands_through_engine(monkeypatch):
+    """VERDICT r4 #7: AO's jnp fallback OOMs at radius 8, 4096^2 on chip
+    (bench_ops row comment) — the engine's capacity machinery absorbs
+    that case because AO is BANDABLE (halo = ao_max_radius rows). Pin the
+    ROUTE at test scale: an AO graph under a budget every full plane
+    exceeds goes through the row-banded evaluator (halo 24 < height 128,
+    so banding genuinely shrinks the working set) and stays bit-identical
+    to the unconstrained dense processor. Radius 2 stands in for the
+    chip's radius-8 case: the engine's band routing is radius-independent
+    (only the halo row count scales), and radius 8's 193-tap x 3-scale
+    chains hit XLA:CPU's compose-chain compile explosion (CLAUDE.md; a
+    256^2 dense compile tripped XLA's very-slow-compile alarm when this
+    test was first written at radius 8)."""
+    from kanter_core_tpu.engine import Engine
+    from kanter_core_tpu.ops.ambient_occlusion import ao_max_radius
+
+    assert ao_max_radius(2.0) < 128 // 2  # banding must actually shrink
+
+    def build(g):
+        pat = g.add_node(Node(NodeType.Pattern(
+            128, 128, "Checker", cells_x=4, cells_y=4,
+            mortar=0.2, bevel=0.1, seed=7,
+        )))
+        ao = g.add_node(Node(NodeType.AmbientOcclusion(2.0, 2.0)))
+        g.connect(pat, ao, SlotId(0), SlotId(0))
+        out = g.add_node(Node(NodeType.OutputGray("out")))
+        g.connect(ao, out, SlotId(0), SlotId(0))
+        return out
+
+    plain = TextureProcessor(10_000_000)
+    try:
+        lg = plain.new_live_graph()
+        with lg.write() as g:
+            out = build(g)
+        dense = render_u8(lg, out)
+    finally:
+        plain.shutdown_now()
+
+    # budget smaller than ONE full 128^2 plane (65536 B): the proactive
+    # gate must band — the same route the chip's OOM retry takes
+    monkeypatch.setattr(Engine, "_auto_tile_bytes", lambda self: 50_000)
+    tp = TextureProcessor(10_000_000)
+    try:
+        lg2 = tp.new_live_graph()
+        with lg2.write() as g:
+            out2 = build(g)
+        banded = render_u8(lg2, out2)
+        assert np.array_equal(banded, dense)
+        assert len(tp.engine._tiled_programs) >= 1, "AO did not band"
+        assert not tp.shutdown.load()
+    finally:
+        tp.shutdown_now()
