@@ -212,6 +212,22 @@ def stages(canvas: int):
         8, 32, 0.25,  # sub-ms op: n2>=32 (CLAUDE.md noise floor)
     )
 
+    # --- identity-gamma Levels (r5 fast path): the lax.cond skips
+    #     ds_pow's double-single exp/log — the slider-at-rest case drops
+    #     from compute-bound to the traffic floor ---
+    import jax.numpy as _jl
+
+    lv1_params = _jl.asarray([0.15, 0.85, 1.0, 0.05, 0.95], _jl.float32)
+
+    yield (
+        "levels_gamma1",
+        lambda c, ps: (levels_plane(ps[0] + c, lv1_params),),
+        (p1,),
+        2 * plane_bytes,
+        canvas * canvas,
+        8, 32, 0.25,
+    )
+
     # --- FBM noise source (4 octaves, compute-bound: 16 lattice hashes +
     #     interp per pixel; traffic model = the single output write). The
     #     scan value drives PERSISTENCE (a runtime argument) so every

@@ -57,7 +57,23 @@ def levels_plane(plane, params):
     in_lo, in_hi, gamma = params[0], params[1], params[2]
     out_lo, out_hi = params[3], params[4]
     t = jnp.clip(_div(plane - in_lo, in_hi - in_lo), 0.0, 1.0)
-    t = _pow(t, gamma)
+    # gamma == 1 fast path (r5): the pow IS the op's cost off-CPU
+    # (ds_pow's double-single exp/log — the 13.0 ms of the 4096² bench
+    # row vs a ~0.3 ms traffic floor), and identity gamma is the common
+    # slider-at-rest case. Bit-safe by the glibc contract: powf(x, 1.0)
+    # is special-cased to x exactly, so the CPU golden path is unchanged
+    # bit-for-bit and the off-CPU cond matches CPU exactly (chip battery
+    # re-run post-change). `lax.cond` executes ONE branch per call (under
+    # vmap it degrades to select — both branches — which only restores
+    # the old cost); NaN gamma takes the pow path unchanged.
+    from jax import lax
+
+    t = lax.cond(
+        gamma == jnp.float32(1.0),
+        lambda t_: t_,
+        lambda t_: _pow(t_, gamma),
+        t,
+    )
     return out_lo + nc_mul(out_hi - out_lo, t)
 
 

@@ -281,6 +281,17 @@ def _determinism_kernels():
     # allowed diffs are inputs where glibc powf itself misrounds
     cases.append(("levels_remap", _levels_row, 80))
 
+    def _levels_g1_row():
+        from kanter_core_tpu.ops.levels import levels_plane
+
+        params = np.asarray([0.15, 0.85, 1.0, 0.05, 0.95], np.float32)
+        return jax.jit(levels_plane)(src, params)
+
+    # identity gamma takes the r5 lax.cond fast path (no pow at all —
+    # glibc powf(x,1)==x is special-cased, so the skip is bit-identical
+    # on CPU and the off-CPU cond must match EXACTLY: allowance 0)
+    cases.append(("levels_identity_gamma", _levels_g1_row, 0))
+
     def _noise_row():
         from kanter_core_tpu.ops.noise import noise_bindings, noise_plane
 
