@@ -66,6 +66,12 @@ BUCKETABLE_KINDS = frozenset(
 
 _LEAF_KINDS = frozenset({K.IMAGE, K.EMBED, K.INPUT_GRAY, K.INPUT_RGBA})
 
+#: the default pad-bucket size. The engine's segmented dispatch pads
+#: inter-segment boundary planes to THIS bucket's targets
+#: (`engine._eval_bucketed_segments`) — the two must agree or pleaf arg
+#: shapes mismatch the trace, so both read this one constant.
+DEFAULT_BUCKET = 256
+
 
 def graph_is_bucketable(graph, preset_nodes=frozenset(),
                         allow_graph: bool = False) -> bool:
@@ -219,9 +225,9 @@ class BucketedGraph:
     mutates every alias; copy first if you must write.
     """
 
-    def __init__(self, node_graph, targets=None, bucket: int = 256, preset=None,
-                 device_out: bool = False, bindings=None, mesh=None,
-                 padded_preset=frozenset()):
+    def __init__(self, node_graph, targets=None, bucket: int = DEFAULT_BUCKET,
+                 preset=None, device_out: bool = False, bindings=None,
+                 mesh=None, padded_preset=frozenset()):
         import jax
 
         from . import tiled

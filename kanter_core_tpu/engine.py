@@ -1335,6 +1335,14 @@ class Engine:
         `test_partition_split.py::test_distance_segmented_*` and the
         dryrun's bucketed+mesh flagship compare.
 
+        Known cost (r5 review): plane ALIASING does not cross segment
+        boundaries — a pass-through consumer (Output/Separate) in a later
+        segment commits a fresh buffer instead of Arc-sharing its
+        producer's plane like the dense path (one extra plane copy +
+        accounting per aliased boundary plane). Fixing it would need
+        cross-program buffer-identity plumbing; accepted while segmented
+        graphs are the minority path.
+
         Returns {(flat_nid, slot): true-size device planes} for `targets`.
         """
         from . import bucketed
@@ -1352,7 +1360,7 @@ class Engine:
         for e in flat_graph.edges:
             edges_by_input.setdefault(e.input_id, []).append(e)
 
-        B = 256  # BucketedGraph's default bucket — keep in lockstep
+        B = bucketed.DEFAULT_BUCKET  # the evaluators below pad to this
 
         def padded(p, size):
             H = bucketed.bucket_of(size.height, B)
@@ -1393,7 +1401,15 @@ class Engine:
                 else:
                     # original partition-boundary preset: stable planes,
                     # ride unpadded exactly like the whole-graph path
-                    planes = bindings[f"preset_{int(pid)}_{int(pslot)}"]
+                    planes = bindings.get(f"preset_{int(pid)}_{int(pslot)}")
+                    if planes is None:
+                        # diagnosable like the marshal's guard, not a raw
+                        # KeyError the commit would surface opaquely
+                        raise TexProError(
+                            ErrorKind.INVALID_BUFFER_COUNT,
+                            f"no binding preset_{int(pid)}_{int(pslot)} "
+                            "for a segment boundary",
+                        )
                 seg_preset[(pid, pslot)] = len(planes)
                 seg_planes[f"preset_{int(pid)}_{int(pslot)}"] = tuple(planes)
             seg_targets = [
@@ -1404,11 +1420,30 @@ class Engine:
 
             if is_bucketable:
                 seg_bind = {**bindings, **seg_planes}
+                # plane-count signature over the keys THIS segment can
+                # consume (r5 review: keying on the whole flat-graph
+                # bindings made a leaf-count change in a DIFFERENT
+                # segment mint a redundant evaluator compile)
+                keep_ints = {int(n) for n in keep}
+
+                def _relevant(k):
+                    if (
+                        k in seg_planes
+                        or k == "input_rgba_first"
+                        or k.startswith("embed_")
+                    ):
+                        return True
+                    if k.startswith("preset_"):
+                        parts = k.split("_")
+                        return parts[1].isdigit() and int(parts[1]) in keep_ints
+                    tail = k.rsplit("_", 1)[-1]
+                    return tail.isdigit() and int(tail) in keep_ints
+
                 counts_sig = tuple(
                     sorted(
                         (k, len(v))
                         for k, v in seg_bind.items()
-                        if isinstance(v, tuple)
+                        if isinstance(v, tuple) and _relevant(k)
                     )
                 )
                 key = (

@@ -507,6 +507,13 @@ class NodeType:
             raise TexProError(
                 ErrorKind.GENERIC, "GradientMap needs at least 2 stops"
             )
+        if len(stops) > 256:
+            # the stop COUNT shapes the trace (one select per stop in
+            # every traced consumer) — an absurd list is the Blur(1e9)
+            # trace-hazard class (r5 review finding; serde truncates)
+            raise TexProError(
+                ErrorKind.GENERIC, "GradientMap needs <= 256 stops"
+            )
         return NodeType(
             NodeTypeKind.GRADIENT_MAP, tuple(sorted(stops, key=lambda s: s[0]))
         )
@@ -683,13 +690,19 @@ class NodeType:
         return min(max(v, 1), 65536)
 
     @staticmethod
-    def _serde_clamp(value, lo: float, hi: float, default: float) -> float:
+    def _serde_clamp(value, lo: float, hi: float, default: float,
+                     lo_open: bool = False) -> float:
         """Serde leniency (ADVICE r4): payload caps added after graphs were
         saved (Blur sigma, AO radius, Noise octaves — host-hang guards)
         must not make previously-saved files unloadable. On the load path
         an out-of-range or non-finite value CLAMPS into the constructor's
         accepted range; the hard TexProError stays on programmatic
-        construction, where the caller can fix the call."""
+        construction. FIDELITY RULE (r5 review): `lo`/`hi` must be the
+        constructor's TRUE bounds — any value the constructor accepts
+        passes through bit-unchanged, so save/load never silently rewrites
+        a valid payload. `lo_open` marks an exclusive lower bound (Blur's
+        (0, 256]): at-or-below it there is no nearest valid value, so the
+        default is used."""
         import math
 
         try:
@@ -698,7 +711,20 @@ class NodeType:
             return default
         if not math.isfinite(v):
             return default
+        if lo_open and v <= lo:
+            return default
         return min(max(v, lo), hi)
+
+    @staticmethod
+    def _serde_seed(value) -> int:
+        """Serde leniency for seed fields: wrap to u32 like the
+        constructors; a non-numeric seed in a saved file falls back to 0
+        instead of refusing the whole graph (r5 review — every sibling
+        field in the same payload clamps, so the file must still open)."""
+        try:
+            return int(value) & 0xFFFFFFFF
+        except (TypeError, ValueError):
+            return 0
 
     @staticmethod
     def from_json(data) -> "NodeType":
@@ -718,8 +744,11 @@ class NodeType:
             return NodeType(kind, EmbeddedSlotDataId(payload))
         if kind == NodeTypeKind.BLUR:
             # the constructor's (0, 256] cap guards host tap baking; a
-            # saved Blur(300) loads as Blur(256) rather than failing
-            return NodeType.Blur(NodeType._serde_clamp(payload, 1e-6, 256.0, 1.0))
+            # saved Blur(300) loads as Blur(256) rather than failing, and
+            # any in-range sigma (incl. 1e-9) round-trips bit-unchanged
+            return NodeType.Blur(
+                NodeType._serde_clamp(payload, 0.0, 256.0, 1.0, lo_open=True)
+            )
         if kind in (NodeTypeKind.VALUE, NodeTypeKind.CURVATURE,
                     NodeTypeKind.DISTANCE):
             return NodeType(kind, float(payload))
@@ -739,8 +768,9 @@ class NodeType:
                 NodeType._serde_axis(payload["width"]),
                 NodeType._serde_axis(payload["height"]),
                 cells, octaves,
-                payload["seed"], payload["persistence"],
+                NodeType._serde_seed(payload["seed"]), payload["persistence"],
             )
+        _inf = float("inf")
         if kind == NodeTypeKind.PATTERN:
             return NodeType.Pattern(
                 NodeType._serde_axis(payload["width"]),
@@ -748,9 +778,11 @@ class NodeType:
                 payload["pattern"],
                 NodeType._serde_axis(payload["cells_x"]),
                 NodeType._serde_axis(payload["cells_y"]),
-                NodeType._serde_clamp(payload["mortar"], 0.0, 1e9, 0.0),
-                NodeType._serde_clamp(payload["bevel"], 0.0, 1e9, 0.0),
-                payload["seed"],
+                # constructor accepts any finite >= 0: clamp only
+                # negatives/non-finite so valid payloads round-trip
+                NodeType._serde_clamp(payload["mortar"], 0.0, _inf, 0.0),
+                NodeType._serde_clamp(payload["bevel"], 0.0, _inf, 0.0),
+                NodeType._serde_seed(payload["seed"]),
             )
         if kind == NodeTypeKind.VORONOI:
             return NodeType.Voronoi(
@@ -759,20 +791,24 @@ class NodeType:
                 NodeType._serde_axis(payload["cells_x"]),
                 NodeType._serde_axis(payload["cells_y"]),
                 NodeType._serde_clamp(payload["jitter"], 0.0, 1.0, 1.0),
-                payload["seed"],
+                NodeType._serde_seed(payload["seed"]),
             )
         if kind == NodeTypeKind.RAMP:
+            # constructor requires FINITE only — pass finite values
+            # through bit-unchanged, default only on non-finite
             return NodeType.Ramp(
                 NodeType._serde_axis(payload["width"]),
                 NodeType._serde_axis(payload["height"]),
                 payload["kind"],
-                NodeType._serde_clamp(payload["angle"], -1e9, 1e9, 0.0),
-                NodeType._serde_clamp(payload["cx"], -1e9, 1e9, 0.5),
-                NodeType._serde_clamp(payload["cy"], -1e9, 1e9, 0.5),
-                NodeType._serde_clamp(payload["scale"], -1e9, 1e9, 1.0),
+                NodeType._serde_clamp(payload["angle"], -_inf, _inf, 0.0),
+                NodeType._serde_clamp(payload["cx"], -_inf, _inf, 0.5),
+                NodeType._serde_clamp(payload["cy"], -_inf, _inf, 0.5),
+                NodeType._serde_clamp(payload["scale"], -_inf, _inf, 1.0),
             )
         if kind == NodeTypeKind.GRADIENT_MAP:
-            return NodeType.GradientMap(payload["stops"])
+            # stop COUNT shapes the trace: truncate absurd saved lists to
+            # the constructor's 256 cap instead of refusing the load
+            return NodeType.GradientMap(payload["stops"][:256])
         if kind == NodeTypeKind.TRANSFORM:
             return NodeType.Transform(
                 payload["offset_x"], payload["offset_y"], payload["rotation"],
@@ -787,7 +823,9 @@ class NodeType:
         if kind == NodeTypeKind.AMBIENT_OCCLUSION:
             return NodeType.AmbientOcclusion(
                 payload["strength"],
-                NodeType._serde_clamp(payload["radius"], 1e-6, 64.0, 2.0),
+                NodeType._serde_clamp(
+                    payload["radius"], 0.0, 64.0, 2.0, lo_open=True
+                ),
             )
         return NodeType(kind, payload)
 

@@ -18,19 +18,29 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 @pytest.mark.watchdog_scale(6)
 def test_multihost_two_process_crc_match():
-    # a free port per run: parallel/leftover runs must not collide on the
-    # demo's fixed default
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    env = dict(os.environ, KANTER_MULTIHOST_COORD=f"127.0.0.1:{port}")
-    # workers force the CPU platform themselves (jax.config.update)
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "demo_multihost.py")],
-        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
-    )
-    blob = proc.stdout + proc.stderr
+    # a free port per attempt: the probe socket closes before the
+    # coordinator binds (TOCTOU), so a bind collision retries with a
+    # fresh port instead of flaking (r5 review)
+    blob = ""
+    for attempt in range(3):
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        env = dict(os.environ, KANTER_MULTIHOST_COORD=f"127.0.0.1:{port}")
+        # workers force the CPU platform themselves (jax.config.update)
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "scripts", "demo_multihost.py")],
+            capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+        )
+        blob = proc.stdout + proc.stderr
+        if proc.returncode != 0 and (
+            "address already in use" in blob.lower()
+            or "address in use" in blob.lower()
+        ):
+            continue
+        break
     if proc.returncode != 0 and (
         "Unable to initialize backend" in blob
         or "DEADLINE_EXCEEDED" in blob

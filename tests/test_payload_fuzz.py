@@ -242,9 +242,31 @@ def test_image_and_embed_degrade():
 
 
 def test_gradient_map_stop_count_bounded():
-    """GradientMap's stop COUNT shapes the trace (one select per stop): a
-    pathological stop list must be rejected or stay tractable. 64 stops
-    must work; the constructor documents/enforces whatever cap exists."""
+    """GradientMap's stop COUNT shapes the trace (one select per stop in
+    every traced consumer — the Blur(1e9) hazard class): 64 stops work,
+    the constructor caps at 256 (r5 review finding), and the serde path
+    TRUNCATES an absurd saved list instead of refusing the load."""
     stops = [[i / 63.0, i / 63.0, 0.5, 0.5, 1.0] for i in range(64)]
     planes = _eval_graph(_wire_gray_to_rgba(Node(NodeType.GradientMap(stops))))
     assert np.asarray(planes[0]).shape == (16, 16)
+
+    huge = [[i / 9999.0, 0.5, 0.5, 0.5, 1.0] for i in range(10_000)]
+    with pytest.raises(TexProError):
+        NodeType.GradientMap(huge)
+    nt = NodeType.from_json({"GradientMap": {"stops": huge}})
+    assert len(nt.payload) == 256
+
+    # serde fidelity (r5 review): values the constructors accept
+    # round-trip bit-unchanged — the clamps only catch out-of-range
+    nt = NodeType.from_json({"Blur": 1e-9})
+    assert nt.payload == 1e-9
+    nt = NodeType.from_json({"Ramp": {
+        "width": 16, "height": 16, "kind": "Linear", "angle": 2e9,
+        "cx": 0.5, "cy": 0.5, "scale": 1.0,
+    }})
+    assert nt.payload[3] == 2e9
+    nt = NodeType.from_json({"Noise": {
+        "width": 16, "height": 16, "cells": 4, "octaves": 2,
+        "seed": "garbage", "persistence": 0.5,
+    }})
+    assert nt.payload[4] == 0  # non-numeric seed falls back, file loads
