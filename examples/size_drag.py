@@ -64,5 +64,62 @@ def main() -> None:
     )
 
 
+def main_segmented() -> None:
+    """Act 2 — the same drag on a graph containing a Distance node.
+
+    Distance's jump flood cannot run on a padded plane, so it is not
+    bucketable; through the LIVE engine (`bucket_sizes=True`) the fused
+    partition SPLITS at the Distance boundary: the bucketable majority
+    rides cached bucketed evaluators (one compile per bucket) and only
+    the small Distance segment dense-compiles per size — instead of
+    recompiling the whole pipeline per size (r5; on chip this measured a
+    4.4× faster median drag tick on a flagship-tail graph)."""
+    import numpy as np
+
+    from kanter_core_tpu import TextureProcessor
+
+    with TextureProcessor(100_000_000, bucket_sizes=True) as tp:
+        lg = tp.new_live_graph()
+        with lg.write() as g:
+            pat = g.add_node(Node(NodeType.Pattern(
+                128, 128, "Brick", cells_x=3, cells_y=5,
+                mortar=0.15, bevel=0.06, seed=1,
+            )))
+            mix = g.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+            val = g.add_node(Node(NodeType.Value(0.8)))
+            g.connect(pat, mix, SlotId(0), SlotId(0))
+            g.connect(val, mix, SlotId(0), SlotId(1))
+            g.node_mut(mix).resize_policy = ResizePolicy.SpecificSize(
+                Size(120, 120)
+            )
+            dst = g.add_node(Node(NodeType.Distance(12.0)))
+            g.connect(mix, dst, SlotId(0), SlotId(0))
+            dmix = g.add_node(Node(NodeType.Mix(MixType.MULTIPLY)))
+            g.connect(mix, dmix, SlotId(0), SlotId(0))
+            g.connect(dst, dmix, SlotId(0), SlotId(1))
+            out = g.add_node(Node(NodeType.OutputGray("out")))
+            g.connect(dmix, out, SlotId(0), SlotId(0))
+
+        print("\nact 2 — dragging a Distance-containing graph 100 → 124 px:")
+        for size in range(100, 125, 6):
+            with lg.write() as g:
+                g.node_mut(mix).resize_policy = ResizePolicy.SpecificSize(
+                    Size(size, size)
+                )
+            t0 = time.perf_counter()
+            px = TextureProcessor.buffer_rgba(lg, out, SlotId(0))
+            ms = (time.perf_counter() - t0) * 1e3
+            print(f"  {size:3d} px: {ms:7.1f} ms   out {np.shape(px)}")
+        eng = tp.engine
+        traces = sum(ev.traces for ev in eng._bucketed_programs.values())
+        print(
+            f"segment evaluators: {len(eng._bucketed_programs)} "
+            f"({traces} traces), dense programs: {len(eng._fused_programs)} "
+            "(the Distance segment only — the bucketable majority never "
+            "dense-recompiled)"
+        )
+
+
 if __name__ == "__main__":
     main()
+    main_segmented()

@@ -396,13 +396,15 @@ class Engine:
         return self._auto_tile_cache[0]
 
     def _graph_fatal(self, lg, error) -> None:
-        """Surface `error` on the graph's waiters. Capacity errors are
+        """Surface `error` on the graph's waiters. Capacity errors and IO
+        errors (user-payload hazards: a Write node's unwritable path — the
+        same class as a bad Image path, which degrades to magenta) are
         graph-fatal only; everything else mirrors the reference's engine
         panic (`engine.rs:111-119`) by also shutting the processor down."""
         lg.fatal_error = error
         if not (
             isinstance(error, TexProError)
-            and error.kind == ErrorKind.RESOURCE_EXHAUSTED
+            and error.kind in (ErrorKind.RESOURCE_EXHAUSTED, ErrorKind.IO)
         ):
             self.tex_pro.shutdown.store(True)
         lg._notify_state_change()

@@ -33,10 +33,24 @@ def process_image(node, path):
 
 
 def process_write(slot_datas, path):
-    """Device→host download + PNG encode (`write.rs:5-21`); no outputs."""
+    """Device→host download + PNG encode (`write.rs:5-21`); no outputs.
+
+    A save failure (unwritable/nonexistent path — a USER-PAYLOAD hazard,
+    the same class as a bad Image path, which degrades to magenta) raises
+    a diagnosable IO TexProError instead of an OSError the engine would
+    treat as an internal fault: the engine then fails only THIS graph and
+    the processor stays alive (`engine._graph_fatal`; r5, pinned by
+    `test_payload_fuzz.py::test_write_failure_is_graph_fatal_only`)."""
     if slot_datas:
         slot_data = slot_datas[0]
-        save_rgba_png(path, slot_data.image.to_u8(), slot_data.size())
+        try:
+            save_rgba_png(path, slot_data.image.to_u8(), slot_data.size())
+        except OSError as e:
+            from ..errors import ErrorKind, TexProError
+
+            raise TexProError(
+                ErrorKind.IO, f"Write node could not save {path!r}: {e}"
+            ) from e
     return []
 
 

@@ -270,3 +270,62 @@ def test_gradient_map_stop_count_bounded():
         "seed": "garbage", "persistence": 0.5,
     }})
     assert nt.payload[4] == 0  # non-numeric seed falls back, file loads
+
+
+def test_write_failure_is_graph_fatal_only():
+    """A Write node with an unwritable path (user-payload hazard, the bad
+    Image-path class) fails ITS graph with a diagnosable IO error; the
+    processor survives and other graphs keep rendering (r5 — previously
+    the raw OSError shut the whole processor down)."""
+    import time
+
+    from conftest import render_u8
+    from kanter_core_tpu.errors import ErrorKind
+
+    tp = TextureProcessor(10_000_000)
+    try:
+        lg = tp.new_live_graph()
+        with lg.write() as g:
+            v = g.add_node(Node(NodeType.Value(0.5)))
+            w = g.add_node(Node(NodeType.Write("/nonexistent-dir/x.png")))
+            g.connect(v, w, SlotId(0), SlotId(0))
+            g.request(w)
+        deadline = time.time() + 30
+        while lg.fatal_error is None and time.time() < deadline:
+            time.sleep(0.05)
+        assert isinstance(lg.fatal_error, TexProError)
+        assert lg.fatal_error.kind == ErrorKind.IO
+        assert not tp.shutdown.load(), "Write failure killed the processor"
+
+        lg2 = tp.new_live_graph()
+        with lg2.write() as g:
+            out = _wire_gray_filter(Node(NodeType.Curvature(2.0)))(g)
+        assert render_u8(lg2, out) is not None
+    finally:
+        tp.shutdown_now()
+
+
+def test_garbage_enum_serde_refuses_diagnosably(tmp_path):
+    """Garbage enum strings in a saved graph FILE refuse the load with the
+    documented IO TexProError (`from_path` wraps ValueError — the
+    reference's io::Result contract, node_graph.rs:33), never a raw
+    Python exception."""
+    import json
+
+    from kanter_core_tpu import NodeGraph
+
+    for payload in (
+        {"node_id": 1, "node_type": {"Mix": "Garbage"},
+         "resize_policy": "MostPixels", "resize_filter": "Triangle"},
+        {"node_id": 1, "node_type": {"Bogus": 1},
+         "resize_policy": "MostPixels", "resize_filter": "Triangle"},
+        {"node_id": 1, "node_type": "Value",
+         "resize_policy": "MostPixels", "resize_filter": "Bogus"},
+    ):
+        path = tmp_path / "bad.json"
+        path.write_text(json.dumps({"nodes": [payload], "edges": []}))
+        with pytest.raises(TexProError) as exc:
+            NodeGraph.from_path(str(path))
+        from kanter_core_tpu.errors import ErrorKind
+
+        assert exc.value.kind == ErrorKind.IO
