@@ -239,3 +239,32 @@ def test_distance_segmented_value_edit_reuses_everything():
         assert traces_after == traces_before, "steady-state value edit re-traced"
     finally:
         seg.shutdown_now()
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_segmented_engine_matches_dense(seed):
+    """Randomized segmented-route fuzz: the generator's Distance-containing
+    graphs render through TextureProcessor(bucket_sizes=True) — the r5
+    segmented dispatch — bit-identically to the plain dense processor
+    (extends the three pairwise-fuzz suites to the fifth engine route)."""
+    from test_fuzz_equivalence import _build_random_graph
+
+    from kanter_core_tpu import TextureProcessor
+
+    graph, targets = _build_random_graph(seed, allow_graph_nodes=False)
+    if not targets:
+        pytest.skip("degenerate graph")
+    results = {}
+    for bucket_sizes in (False, True):
+        tp = TextureProcessor(10_000_000, bucket_sizes=bucket_sizes)
+        try:
+            lg = tp.new_live_graph()
+            with lg.write() as g:
+                g.set_node_graph(graph.clone())
+            results[bucket_sizes] = [
+                render_u8(lg, t) for t in targets
+            ]
+        finally:
+            tp.shutdown_now()
+    for a, b in zip(results[False], results[True]):
+        assert np.array_equal(a, b), f"seed {seed} diverged (segmented)"
