@@ -395,25 +395,32 @@ def main() -> None:
             extras[f"flagship_{tag}_ms"] = round(flag_s * 1e3, 3)
             extras[f"flagship_{tag}_checksums_distinct"] = flag_ok
 
-            # sum-of-parts: count the graph's Mix nodes, RGBA ones (the
-            # pre-Separate chain) at 3× the gray mix row's traffic
+            # sum-of-parts: count the graph's Mix nodes; RGBA ones (those
+            # BETWEEN the CombineRgba and the SeparateRgba — the bounded
+            # chain's per-channel mixes are GRAY) weigh 3× the gray mix
+            # row's traffic
             from kanter_core_tpu.node import NodeTypeKind as _K
 
             sep = next(
                 n.node_id for n in fgraph.nodes
                 if n.node_type.kind == _K.SEPARATE_RGBA
             )
-            rgba_side, frontier = {sep}, [sep]
+            comb = next(
+                n.node_id for n in fgraph.nodes
+                if n.node_type.kind == _K.COMBINE_RGBA
+            )
+            ancestors, frontier = {sep}, [sep]
             while frontier:
                 for p in fgraph.get_parents(frontier.pop()):
-                    if p not in rgba_side:
-                        rgba_side.add(p)
+                    if p not in ancestors:
+                        ancestors.add(p)
                         frontier.append(p)
+            descendants = set(fgraph.get_children_recursive(comb))
             n_mix_rgba = n_mix_gray = 0
             for n in fgraph.nodes:
                 if n.node_type.kind != _K.MIX:
                     continue
-                if n.node_id in rgba_side:
+                if n.node_id in ancestors and n.node_id in descendants:
                     n_mix_rgba += 1
                 else:
                     n_mix_gray += 1
